@@ -1,0 +1,95 @@
+"""
+Anisotropic Network Model.
+
+API-compatible with reference ``anm.py``: lazy ``hessian`` /
+``covariance`` duals with setters, optional mass weighting, and the full
+NMA observable set (``eigen``, ``frequencies``, ``normal_mode``,
+``linear_response``, ``mean_square_fluctuation``, ``bfactor``, ``dcc``,
+``prs_effector_sensor``).
+"""
+
+from __future__ import annotations
+
+from . import nma
+from .base import ElasticNetworkModel
+from .interaction import compute_hessian
+from .nma import K_B
+
+__all__ = ["ANM"]
+
+
+class ANM(ElasticNetworkModel):
+    """
+    Anisotropic Network Model: directional ENM over the ``(3n, 3n)``
+    Hessian matrix (atom-interleaved layout
+    ``[x1, y1, z1, ..., xn, yn, zn]``).
+
+    Parameters
+    ----------
+    atoms : AtomArray, shape=(n,) or ndarray, shape=(n,3)
+        Model atoms (usually CA) or their coordinates.
+    force_field : ForceField
+        Spring-constant rule.
+    masses : bool or ndarray, shape=(n,), optional
+        ``True`` infers per-residue masses from ``res_name``; an array
+        gives explicit masses; default is no mass weighting.  The Hessian
+        is weighted with ``outer(1/sqrt(m))`` with each weight repeated
+        three times.
+    use_cell_list : bool, optional
+        Use a cell list for neighbor search on the host path.
+    """
+
+    _num_dim = 3
+
+    def _compute_matrix(self):
+        hessian, _ = compute_hessian(
+            self._coord, self._ff, self._use_cell_list
+        )
+        return hessian
+
+    @property
+    def hessian(self):
+        """The ``(3n, 3n)`` Hessian matrix (lazily computed; assignable —
+        assigning invalidates the covariance)."""
+        return self._get_matrix()
+
+    @hessian.setter
+    def hessian(self, value):
+        self._set_matrix(value, error_cls=IndexError)
+
+    def normal_mode(self, index, amplitude, frames, movement="sine"):
+        """Displacement trajectory ``(frames, n, 3)`` depicting normal
+        mode `index` (the first six modes are rigid-body motions)."""
+        return nma.normal_mode(self, index, amplitude, frames, movement)
+
+    def linear_response(self, force):
+        """Displacements induced by `force` via linear response theory."""
+        return nma.linear_response(self, force)
+
+    def frequencies(self):
+        """Mode frequencies in ascending order (first six trivial)."""
+        return nma.frequencies(self)
+
+    def mean_square_fluctuation(self, mode_subset=None, tem=None,
+                                tem_factors=K_B):
+        """MSF per node; equals the superelement traces of the covariance
+        when all non-trivial modes are included."""
+        return nma.mean_square_fluctuation(self, mode_subset, tem,
+                                           tem_factors)
+
+    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B):
+        """Isotropic B-factors from the MSF."""
+        return nma.bfactor(self, mode_subset, tem, tem_factors)
+
+    def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
+        """Dynamic cross-correlation between nodes."""
+        return nma.dcc(self, mode_subset, norm, tem, tem_factors)
+
+    def prs_effector_sensor(self, norm=True):
+        """
+        Perturbation-response-scanning matrix plus the derived effector
+        (row-average) and sensor (column-average) profiles.
+        """
+        prs_mat = nma.prs(self, norm)
+        eff, sens = nma.effector_sensor(prs_mat)
+        return prs_mat, eff, sens

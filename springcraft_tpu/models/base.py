@@ -1,0 +1,132 @@
+"""
+Shared machinery for the GNM/ANM model classes: coordinate/mass intake,
+lazily computed interaction-matrix / covariance duals with setters that
+invalidate each other, and a cached eigensystem.
+
+The dual-cache contract mirrors the reference (``anm.py:98-148``,
+``gnm.py:91-143``); the eigensystem cache is an addition — the reference
+re-runs ``eigh`` inside every observable (``nma.py:145``), here it is
+computed once per matrix state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import assembly, linalg
+from ..structure import info as struc_info
+from ..structure.atoms import AtomArray, coord as as_coord
+
+__all__ = ["ElasticNetworkModel"]
+
+
+class ElasticNetworkModel:
+    """Common base for :class:`GNM` and :class:`ANM`."""
+
+    #: dimensions per atom in the interaction matrix (1 = GNM, 3 = ANM)
+    _num_dim = 1
+
+    def __init__(self, atoms, force_field, masses=None, use_cell_list=True):
+        self._coord = as_coord(atoms)
+        self._ff = force_field
+        self._use_cell_list = use_cell_list
+        self._masses = self._resolve_masses(atoms, masses)
+
+        if self._masses is not None:
+            self._mass_weight_matrix = assembly.mass_weights(
+                self._masses, np, repeat3=(self._num_dim == 3)
+            )
+        else:
+            self._mass_weight_matrix = None
+
+        self._matrix = None
+        self._covariance = None
+        self._eigen_cache = None
+
+    @staticmethod
+    def _resolve_masses(atoms, masses):
+        if masses is None or masses is False:
+            return None
+        if masses is True:
+            if not isinstance(atoms, AtomArray):
+                raise TypeError(
+                    "An AtomArray is required to automatically infer masses"
+                )
+            return struc_info.residue_masses(atoms.res_name)
+        masses = np.asarray(masses, dtype=float)
+        n = atoms.array_length() if isinstance(atoms, AtomArray) \
+            else len(as_coord(atoms))
+        if len(masses) != n:
+            raise IndexError(f"{len(masses)} masses for {n} atoms given")
+        if np.any(masses == 0):
+            raise ValueError("Masses must not be 0")
+        return masses
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def _compute_matrix(self):
+        raise NotImplementedError
+
+    @property
+    def _matrix_dim(self):
+        return len(self._coord) * self._num_dim
+
+    # -- lazy dual caches ----------------------------------------------------
+
+    def _get_matrix(self):
+        if self._matrix is None:
+            if self._covariance is None:
+                matrix = self._compute_matrix()
+                if self._mass_weight_matrix is not None:
+                    matrix = matrix * self._mass_weight_matrix
+                self._matrix = matrix
+            else:
+                self._matrix = np.asarray(
+                    linalg.pinvh(self._covariance, rcond=1e-6)
+                )
+        return self._matrix
+
+    def _set_matrix(self, value, error_cls=IndexError):
+        dim = self._matrix_dim
+        if value.shape != (dim, dim):
+            raise error_cls(
+                f"Expected shape {(dim, dim)}, got {value.shape}"
+            )
+        self._matrix = value
+        self._covariance = None
+        self._eigen_cache = None
+
+    @property
+    def covariance(self):
+        """Pseudo-inverse of the interaction matrix
+        (``rcond=1e-6``, Hermitian)."""
+        if self._covariance is None:
+            self._covariance = np.asarray(
+                linalg.pinvh(self._get_matrix(), rcond=1e-6)
+            )
+        return self._covariance
+
+    @covariance.setter
+    def covariance(self, value):
+        dim = self._matrix_dim
+        if value.shape != (dim, dim):
+            raise IndexError(
+                f"Expected shape {(dim, dim)}, got {value.shape}"
+            )
+        self._covariance = value
+        self._matrix = None
+        self._eigen_cache = None
+
+    @property
+    def masses(self):
+        return self._masses
+
+    def eigen(self):
+        """
+        Eigenvalues (ascending) and eigenvectors (modes in rows) of the
+        interaction matrix; cached until the matrix changes.
+        """
+        if self._eigen_cache is None:
+            vals, vecs = linalg.eigensystem(self._get_matrix())
+            self._eigen_cache = (np.asarray(vals), np.asarray(vecs))
+        return self._eigen_cache

@@ -1,0 +1,74 @@
+"""
+Gaussian Network Model.
+
+API-compatible with reference ``gnm.py``: lazy ``kirchhoff`` /
+``covariance`` duals with setters, optional mass weighting, and the NMA
+observable methods (``eigen``, ``frequencies``,
+``mean_square_fluctuation``, ``bfactor``, ``dcc``).
+"""
+
+from __future__ import annotations
+
+from . import nma
+from .base import ElasticNetworkModel
+from .interaction import compute_kirchhoff
+from .nma import K_B
+
+__all__ = ["GNM"]
+
+
+class GNM(ElasticNetworkModel):
+    """
+    Gaussian Network Model: isotropic ENM over the ``(n, n)`` Kirchhoff
+    matrix.
+
+    Parameters
+    ----------
+    atoms : AtomArray, shape=(n,) or ndarray, shape=(n,3)
+        Model atoms (usually CA) or their coordinates.
+    force_field : ForceField
+        Spring-constant rule.
+    masses : bool or ndarray, shape=(n,), optional
+        ``True`` infers per-residue masses from ``res_name``; an array
+        gives explicit masses; default is no mass weighting.  The
+        Kirchhoff matrix is weighted with ``outer(1/sqrt(m))``.
+    use_cell_list : bool, optional
+        Use a cell list for neighbor search on the host path.
+    """
+
+    _num_dim = 1
+
+    def _compute_matrix(self):
+        kirchhoff, _ = compute_kirchhoff(
+            self._coord, self._ff, self._use_cell_list
+        )
+        return kirchhoff
+
+    @property
+    def kirchhoff(self):
+        """The ``(n, n)`` Kirchhoff matrix (lazily computed; assignable —
+        assigning invalidates the covariance)."""
+        return self._get_matrix()
+
+    @kirchhoff.setter
+    def kirchhoff(self, value):
+        self._set_matrix(value, error_cls=ValueError)
+
+    def frequencies(self):
+        """Mode frequencies in ascending order (first mode trivial)."""
+        return nma.frequencies(self)
+
+    def mean_square_fluctuation(self, mode_subset=None, tem=None,
+                                tem_factors=K_B):
+        """MSF per node; equals the covariance diagonal when all
+        non-trivial modes are included."""
+        return nma.mean_square_fluctuation(self, mode_subset, tem,
+                                           tem_factors)
+
+    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B):
+        """Isotropic B-factors from the MSF."""
+        return nma.bfactor(self, mode_subset, tem, tem_factors)
+
+    def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
+        """Dynamic cross-correlation between nodes."""
+        return nma.dcc(self, mode_subset, norm, tem, tem_factors)

