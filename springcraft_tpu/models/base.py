@@ -81,7 +81,7 @@ class ElasticNetworkModel:
                     matrix = matrix * self._mass_weight_matrix
                 self._matrix = matrix
             else:
-                self._matrix = np.asarray(
+                self._matrix = np.array(
                     linalg.pinvh(self._covariance, rcond=1e-6)
                 )
         return self._matrix
@@ -101,7 +101,7 @@ class ElasticNetworkModel:
         """Pseudo-inverse of the interaction matrix
         (``rcond=1e-6``, Hermitian)."""
         if self._covariance is None:
-            self._covariance = np.asarray(
+            self._covariance = np.array(
                 linalg.pinvh(self._get_matrix(), rcond=1e-6)
             )
         return self._covariance
@@ -128,5 +128,5 @@ class ElasticNetworkModel:
         """
         if self._eigen_cache is None:
             vals, vecs = linalg.eigensystem(self._get_matrix())
-            self._eigen_cache = (np.asarray(vals), np.asarray(vecs))
+            self._eigen_cache = (np.array(vals), np.array(vecs))
         return self._eigen_cache

@@ -56,7 +56,9 @@ def compute_kirchhoff(coord, force_field, use_cell_list=True):
         return _host_kirchhoff(coord, force_field, use_cell_list)
 
     xp = _get_xp(coord.dtype)
-    kirchhoff = np.asarray(
+    # np.array (not asarray): device outputs must become writable host
+    # arrays at the public boundary
+    kirchhoff = np.array(
         assembly.kirchhoff_matrix(coord, params, xp), dtype=np.float64
     )
     pairs = _pairs_from_params(coord, params)
@@ -80,7 +82,7 @@ def compute_hessian(coord, force_field, use_cell_list=True):
         return _host_hessian(coord, force_field, use_cell_list)
 
     xp = _get_xp(coord.dtype)
-    hessian = np.asarray(
+    hessian = np.array(
         assembly.hessian_matrix(coord, params, xp, layout="atom"),
         dtype=np.float64,
     )

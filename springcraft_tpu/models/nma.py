@@ -69,7 +69,7 @@ def frequencies(enm):
     _, n_trivial, _ = _model_info(enm)
     eig_values, _ = eigen(enm)
     xp = _xp_for(eig_values)
-    return np.asarray(
+    return np.array(
         nma_core.frequencies_from_eigenvalues(
             xp.asarray(eig_values), n_trivial, xp
         )
@@ -100,7 +100,7 @@ def mean_square_fluctuation(enm, mode_subset=None, tem=None,
     eig_values, eig_vectors = eigen(enm)
     modes, _ = _resolve_mode_subset(mode_subset, len(eig_values), n_trivial)
     xp = _xp_for(eig_values)
-    return np.asarray(
+    return np.array(
         nma_core.mean_square_fluctuation(
             xp.asarray(eig_values), xp.asarray(eig_vectors), modes, xp,
             num_dim=num_dim, tem=tem, tem_factors=tem_factors,
@@ -147,7 +147,7 @@ def dcc(enm, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
         result = nma_core.normalize_dcc(result, xp)
     if tem is not None:
         result = result * tem * tem_factors
-    return np.asarray(result)
+    return np.array(result)
 
 
 def normal_mode(anm, index, amplitude, frames, movement="sine"):
@@ -161,7 +161,7 @@ def normal_mode(anm, index, amplitude, frames, movement="sine"):
         raise ValueError("Instance of ANM class expected.")
     _, eig_vectors = eigen(anm)
     xp = _xp_for(eig_vectors)
-    return np.asarray(
+    return np.array(
         nma_core.normal_mode_displacements(
             xp.asarray(eig_vectors[index]), amplitude, frames, xp,
             movement=movement,
@@ -196,7 +196,7 @@ def linear_response(anm, force):
         )
     cov = anm.covariance
     xp = _xp_for(cov)
-    return np.asarray(
+    return np.array(
         nma_core.linear_response_displacement(
             xp.asarray(cov), xp.asarray(force), xp
         )
@@ -214,7 +214,7 @@ def prs(anm, norm=True):
         raise ValueError("Instance of ANM class expected.")
     cov = anm.covariance
     xp = _xp_for(cov)
-    return np.asarray(nma_core.prs_matrix(xp.asarray(cov), xp, norm=norm))
+    return np.array(nma_core.prs_matrix(xp.asarray(cov), xp, norm=norm))
 
 
 def effector_sensor(prs_matrix):

@@ -220,9 +220,8 @@ def _compact_row_constants(sq_dist, params, row_start, block, xp):
     col_ids = _arange(n, xp)
     delta = col_ids[None, :] - row_ids[:, None]
     # j == i + 1 bonded via bonded_next[i]; j == i - 1 via bonded_next[j]
-    bprev = xp.concatenate([xp.zeros(1, dtype=bool), bnext[:-1]])
     bonded_mask = ((delta == 1) & bnext_rows[:, None]) | (
-        (delta == -1) & bprev[None, :]
+        (delta == -1) & bnext[None, :]
     )
     return xp.where(bonded_mask, bonded_k, k)
 

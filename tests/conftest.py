@@ -1,0 +1,72 @@
+"""
+Test configuration.
+
+* Forces JAX onto CPU with 8 virtual devices so multi-chip sharding tests
+  run on any host (must happen before JAX initializes).
+* Enables x64 so the JAX backend reproduces the reference's float64
+  results for the golden-data parity tests.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment may pin JAX_PLATFORMS to a TPU plugin before this
+# process starts; the config update reliably forces CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from os.path import dirname, join, realpath  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def data_dir():
+    return join(dirname(realpath(__file__)), "data")
+
+
+def load_csv(name, skip_header=0):
+    return np.genfromtxt(
+        join(data_dir(), name), delimiter=",", skip_header=skip_header
+    )
+
+
+@pytest.fixture(scope="session")
+def ca_1l2y():
+    from springcraft_tpu.structure import load_structure
+
+    atoms = load_structure(join(data_dir(), "1l2y.pdb"), model=1)
+    return atoms[(atoms.atom_name == "CA") & (atoms.element == "C")]
+
+
+@pytest.fixture(scope="session")
+def ca_7cal():
+    from springcraft_tpu.structure import load_structure
+
+    atoms = load_structure(join(data_dir(), "7cal.pdb"), model=1)
+    return atoms[(atoms.atom_name == "CA") & (atoms.element == "C")]
+
+
+@pytest.fixture(scope="session")
+def ca_by_name(ca_1l2y, ca_7cal):
+    return {"1l2y": ca_1l2y, "7cal": ca_7cal}
+
+
+@pytest.fixture
+def two_chain_ca(ca_1l2y):
+    """Two perfectly overlapping copies of the 1l2y CA trace with
+    distinct chain IDs — exercises intra-/inter-chain and bonded table
+    selection (cf. reference test fixture)."""
+    first = ca_1l2y.copy()
+    second = ca_1l2y.copy()
+    first.chain_id[:] = "A"
+    second.chain_id[:] = "B"
+    return first + second

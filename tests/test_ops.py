@@ -1,0 +1,145 @@
+"""
+Functional-core tests: layout equivalence, blocked assembly, pinv
+semantics, and vmap/jit consistency of the dense pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import springcraft_tpu as sc
+from springcraft_tpu.ops import assembly, ffparams, linalg
+
+from .util import random_coord
+
+
+def test_pinvh_matches_numpy():
+    rng = np.random.RandomState(0)
+    a = rng.rand(30, 30)
+    a = a + a.T
+    # Make it singular (rank deficient) to exercise the rcond path
+    a[-1] = a[0]
+    a[:, -1] = a[:, 0]
+
+    ref = np.linalg.pinv(a, hermitian=True, rcond=1e-6)
+    test = np.asarray(linalg.pinvh(a, rcond=1e-6))
+    # Rank-deficient pseudo-inverses agree only up to eigensolver rounding
+    assert np.allclose(test, ref, rtol=1e-5, atol=1e-8)
+
+
+def test_pinvh_batched():
+    rng = np.random.RandomState(1)
+    batch = rng.rand(4, 16, 16)
+    batch = batch + batch.swapaxes(-1, -2)
+
+    batched = np.asarray(linalg.pinvh(jnp.asarray(batch)))
+    for i in range(4):
+        ref = np.linalg.pinv(batch[i], hermitian=True, rcond=1e-6)
+        assert np.allclose(batched[i], ref, atol=1e-8)
+
+
+def test_xyz_layout_permutation_equivalence():
+    coord = random_coord(0, 60)
+    params = ffparams.invariant_params(12.0)
+
+    atom = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                              layout="atom"))
+    xyz = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                             layout="xyz"))
+    perm = assembly.atom_to_xyz_permutation(60)
+    assert np.allclose(xyz, atom[np.ix_(perm, perm)])
+
+    # Permutation similarity: identical eigenvalues
+    ev_atom = np.linalg.eigvalsh(atom)
+    ev_xyz = np.linalg.eigvalsh(xyz)
+    assert np.allclose(ev_atom, ev_xyz, atol=1e-9)
+
+
+@pytest.mark.parametrize("kind", ["invariant", "hinsen", "pfenm"])
+def test_hessian_rows_match_full(kind):
+    coord = random_coord(1, 64)
+    params = {
+        "invariant": ffparams.invariant_params(10.0),
+        "hinsen": ffparams.hinsen_params(),
+        "pfenm": ffparams.pfenm_params(),
+    }[kind]
+
+    full = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                              layout="atom"))
+    block = 16
+    rows = [
+        np.asarray(assembly.hessian_rows(coord, params, start, block, jnp))
+        for start in range(0, 64, block)
+    ]
+    assert np.allclose(np.concatenate(rows, axis=0), full, atol=1e-12)
+
+
+def test_hessian_rows_tabulated_compact(two_chain_ca):
+    ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
+    params = ff.to_compact_params()
+    coord = two_chain_ca.coord.astype(np.float64)
+    n = len(coord)
+
+    full = np.asarray(assembly.hessian_matrix(coord, params, jnp))
+    rows = [
+        np.asarray(assembly.hessian_rows(coord, params, start, 10, jnp))
+        for start in range(0, n, 10)
+    ]
+    assert np.allclose(np.concatenate(rows, axis=0), full, atol=1e-12)
+
+
+def test_kirchhoff_jit_and_vmap_consistency():
+    """vmapped batched assembly must equal a loop of unbatched calls."""
+    params = ffparams.invariant_params(9.0)
+    coords = np.stack([random_coord(s, 40) for s in range(5)])
+
+    single = jax.jit(
+        lambda c: assembly.kirchhoff_matrix(c, params, jnp)
+    )
+    batched = jax.jit(
+        jax.vmap(lambda c: assembly.kirchhoff_matrix(c, params, jnp))
+    )
+
+    loop = np.stack([np.asarray(single(c)) for c in coords])
+    vect = np.asarray(batched(coords))
+    assert np.allclose(loop, vect, atol=1e-12)
+
+
+def test_hessian_vmap_consistency():
+    params = ffparams.hinsen_params()
+    coords = np.stack([random_coord(s + 10, 24) for s in range(3)])
+
+    batched = jax.jit(
+        jax.vmap(lambda c: assembly.hessian_matrix(c, params, jnp))
+    )
+    vect = np.asarray(batched(coords))
+    for i, c in enumerate(coords):
+        ref = np.asarray(assembly.hessian_matrix(c, params, jnp))
+        assert np.allclose(vect[i], ref, atol=1e-12)
+
+
+def test_force_constant_matrix_symmetry(two_chain_ca):
+    for ff in (
+        sc.InvariantForceField(8.0),
+        sc.HinsenForceField(),
+        sc.TabulatedForceField.e_anm(two_chain_ca),
+        sc.TabulatedForceField.sd_enm(two_chain_ca),
+    ):
+        params = ff.to_params(natoms=len(two_chain_ca))
+        coord = two_chain_ca.coord.astype(np.float64)
+        _, sq = ffparams.pairwise_sq_distance(coord, np)
+        k = ffparams.force_constant_matrix(sq, params, np)
+        assert np.allclose(k, k.T)
+        assert np.all(np.diagonal(k) == 0)
+
+
+def test_eigensystem_convention():
+    rng = np.random.RandomState(2)
+    a = rng.rand(12, 12)
+    a = a + a.T
+    vals, vecs = linalg.eigensystem(a)
+    # Modes in rows, ascending eigenvalues
+    assert np.all(np.diff(vals) >= -1e-12)
+    for i in range(12):
+        assert np.allclose(a @ vecs[i], vals[i] * vecs[i], atol=1e-9)
