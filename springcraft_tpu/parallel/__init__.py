@@ -1,4 +1,31 @@
 """Batched (vmap) and multi-chip (mesh/shard_map) execution of ENM
 pipelines."""
 
-__all__ = []
+from .mesh import ensemble_sharding, make_mesh
+from .pipeline import (
+    anm_observables,
+    ensemble_anm,
+    ensemble_gnm,
+    gnm_observables,
+)
+from .sharded import (
+    ensemble_mean_msf,
+    sharded_anm_pipeline,
+    sharded_ensemble_anm,
+    sharded_ensemble_gnm,
+    sharded_hessian,
+)
+
+__all__ = [
+    "make_mesh",
+    "ensemble_sharding",
+    "anm_observables",
+    "gnm_observables",
+    "ensemble_anm",
+    "ensemble_gnm",
+    "sharded_ensemble_anm",
+    "sharded_ensemble_gnm",
+    "sharded_hessian",
+    "sharded_anm_pipeline",
+    "ensemble_mean_msf",
+]

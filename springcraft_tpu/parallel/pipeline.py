@@ -1,0 +1,184 @@
+"""
+Fused, jit-compiled NMA pipelines.
+
+These are the TPU throughput paths: one traced function goes from
+coordinates to observables (assembly -> eigh -> MSF/B-factors/
+frequencies/DCC) with static shapes throughout, so XLA fuses the
+elementwise work into the assembly and the whole pipeline is
+``vmap``-able over conformer ensembles and shardable over device meshes.
+
+Unlike the user-facing model classes (which mirror the reference's lazy
+OO API), everything here is purely functional: force fields enter as
+:class:`FFParams` pytrees, observables leave as a flat dict of arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import assembly, nma_core
+
+__all__ = [
+    "anm_observables",
+    "gnm_observables",
+    "ensemble_anm",
+    "ensemble_gnm",
+]
+
+
+def _mass_weight(matrix, masses, repeat3):
+    if masses is None:
+        return matrix
+    w = 1.0 / jnp.sqrt(masses)
+    if repeat3:
+        w = jnp.repeat(w, 3)
+    return matrix * jnp.outer(w, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype"),
+)
+def anm_observables(coord, params, masses=None, *, with_dcc=False,
+                    with_covariance=False, n_modes=None, dtype=jnp.float32):
+    """
+    Full ANM NMA for one structure: Hessian (xyz plane layout), batched
+    eigensolve, and the standard observables with the six trivial modes
+    excluded.
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    params : FFParams
+    masses : ndarray, shape=(n,), optional
+        Mass-weights the Hessian like the reference (``anm.py:89-96``).
+    with_dcc : bool
+        Also return the normalized ``(n, n)`` DCC matrix.
+    with_covariance : bool
+        Also return the pseudo-inverse covariance (xyz layout).
+    n_modes : int, optional
+        If given, restrict observables to the `n_modes` lowest
+        non-trivial modes.
+
+    Returns
+    -------
+    dict with ``eig_values``, ``eig_vectors`` (modes in rows, xyz
+    layout), ``frequencies``, ``msf``, ``bfactor`` and optionally
+    ``dcc`` / ``covariance``.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    hessian = assembly.hessian_matrix(coord, params, jnp, dtype=dtype,
+                                      layout="xyz")
+    if masses is not None:
+        hessian = _mass_weight_xyz(hessian, masses)
+
+    vals, vecs = jnp.linalg.eigh(hessian)
+    vecs = vecs.T  # modes in rows
+
+    n_trivial = 6
+    stop = 3 * n if n_modes is None else n_trivial + n_modes
+    mode_indices = jnp.arange(n_trivial, stop)
+
+    out = {
+        "eig_values": vals,
+        "eig_vectors": vecs,
+        "frequencies": nma_core.frequencies_from_eigenvalues(
+            vals, n_trivial, jnp
+        ),
+        "msf": nma_core.mean_square_fluctuation(
+            vals, vecs, mode_indices, jnp, num_dim=3, layout="xyz"
+        ),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+
+    if with_dcc:
+        dcc = nma_core.dcc_from_modes(vals, vecs, mode_indices, jnp,
+                                      num_dim=3, layout="xyz")
+        out["dcc"] = nma_core.normalize_dcc(dcc, jnp)
+    if with_covariance:
+        inv_vals = jnp.zeros_like(vals).at[mode_indices].set(
+            1.0 / vals[mode_indices]
+        )
+        out["covariance"] = jnp.einsum(
+            "ki,k,kj->ij", vecs, inv_vals, vecs
+        )
+    return out
+
+
+def _mass_weight_xyz(hessian, masses):
+    """Mass weighting in xyz plane layout: the weight vector is tiled
+    (not repeated) over the three component blocks."""
+    w = 1.0 / jnp.sqrt(masses)
+    w3 = jnp.tile(w, 3)
+    return hessian * jnp.outer(w3, w3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("with_dcc", "n_modes", "dtype")
+)
+def gnm_observables(coord, params, masses=None, *, with_dcc=False,
+                    n_modes=None, dtype=jnp.float32):
+    """GNM analogue of :func:`anm_observables` over the Kirchhoff
+    matrix (one trivial mode)."""
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp, dtype=dtype)
+    kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
+
+    vals, vecs = jnp.linalg.eigh(kirchhoff)
+    vecs = vecs.T
+
+    n_trivial = 1
+    stop = n if n_modes is None else n_trivial + n_modes
+    mode_indices = jnp.arange(n_trivial, stop)
+
+    out = {
+        "eig_values": vals,
+        "eig_vectors": vecs,
+        "frequencies": nma_core.frequencies_from_eigenvalues(
+            vals, n_trivial, jnp
+        ),
+        "msf": nma_core.mean_square_fluctuation(
+            vals, vecs, mode_indices, jnp, num_dim=1
+        ),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        dcc = nma_core.dcc_from_modes(vals, vecs, mode_indices, jnp,
+                                      num_dim=1)
+        out["dcc"] = nma_core.normalize_dcc(dcc, jnp)
+    return out
+
+
+def ensemble_anm(coords, params, masses=None, **options):
+    """
+    Batched ANM NMA over an ensemble of conformers.
+
+    Parameters
+    ----------
+    coords : ndarray, shape=(b, n, 3)
+        Conformer batch (e.g. MD snapshots of one protein).
+    params : FFParams
+        Shared force-field parameterization (per-structure tables are
+        valid across conformers of the same sequence).
+    masses : ndarray, shape=(n,), optional
+
+    Returns
+    -------
+    dict of batched observables (leading axis = conformer).
+    """
+    fn = functools.partial(anm_observables, params=params, masses=masses,
+                           **options)
+    return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
+
+
+def ensemble_gnm(coords, params, masses=None, **options):
+    """Batched GNM NMA over an ensemble of conformers
+    (see :func:`ensemble_anm`)."""
+    fn = functools.partial(gnm_observables, params=params, masses=masses,
+                           **options)
+    return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))

@@ -1,0 +1,141 @@
+"""
+Mesh-sharded execution: data-parallel ensemble NMA and row-sharded
+mega-assembly Hessians.
+
+Design notes (green-field; the reference has no distributed layer):
+
+* **Ensemble NMA** is embarrassingly parallel over conformers: the batch
+  axis is sharded over the whole mesh via ``NamedSharding`` and the
+  vmapped pipeline runs under ``jit`` — XLA keeps every solve local to
+  its device; cross-device collectives appear only for ensemble
+  reductions (e.g. mean MSF), riding ICI.
+* **Sharded Hessian assembly** uses ``shard_map`` over row blocks: each
+  device holds the full ``(n, 3)`` coordinate array (tiny) and computes
+  its block of Hessian rows with
+  :func:`springcraft_tpu.ops.assembly.hessian_rows`.  Because each
+  atom's diagonal superelement is the negated sum over its own row, the
+  computation is fully local — the 30k x 30k matrix is *born sharded*
+  with zero communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import assembly
+from . import pipeline
+
+__all__ = [
+    "sharded_ensemble_anm",
+    "sharded_ensemble_gnm",
+    "sharded_hessian",
+    "ensemble_mean_msf",
+]
+
+
+def _shard_batch(coords, mesh):
+    sharding = NamedSharding(mesh, P(("ens", "row")))
+    return jax.device_put(jnp.asarray(coords), sharding)
+
+
+def sharded_ensemble_anm(coords, params, mesh, masses=None, **options):
+    """
+    Data-parallel ensemble ANM over `mesh`: the conformer batch is
+    sharded across all devices and each device runs complete NMA solves
+    for its shard.
+
+    `coords` has shape ``(b, n, 3)`` with ``b`` divisible by the mesh
+    size.
+    """
+    coords = _shard_batch(coords, mesh)
+    return pipeline.ensemble_anm(coords, params, masses=masses, **options)
+
+
+def sharded_ensemble_gnm(coords, params, mesh, masses=None, **options):
+    """Data-parallel ensemble GNM (see :func:`sharded_ensemble_anm`)."""
+    coords = _shard_batch(coords, mesh)
+    return pipeline.ensemble_gnm(coords, params, masses=masses, **options)
+
+
+def ensemble_mean_msf(coords, params, mesh, kind="anm"):
+    """
+    Mean MSF profile over a sharded conformer ensemble.
+
+    The per-conformer solves stay device-local; the final mean over the
+    sharded batch axis lowers to an XLA ``AllReduce`` over ICI.
+    """
+    coords = _shard_batch(coords, mesh)
+    run = pipeline.ensemble_anm if kind == "anm" else pipeline.ensemble_gnm
+
+    @jax.jit
+    def mean_msf(c):
+        return run(c, params)["msf"].mean(axis=0)
+
+    return mean_msf(coords)
+
+
+def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
+    """
+    Row-sharded ``(3n, 3n)`` Hessian (atom layout) built with
+    ``shard_map`` over the ``"row"`` mesh axis: device ``r`` computes
+    atom rows ``[r * n/R, (r+1) * n/R)`` locally; no collectives are
+    needed (see module docstring).
+
+    ``n`` must be divisible by the size of the ``"row"`` axis.  The
+    result is a global array sharded along its row axis.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    n_row = mesh.shape["row"]
+    if n % n_row != 0:
+        raise ValueError(
+            f"n={n} must be divisible by the row axis size {n_row}"
+        )
+    block = n // n_row
+
+    def row_block(local_coord):
+        # local_coord is the full coordinate array (replicated)
+        r = jax.lax.axis_index("row")
+        return assembly.hessian_rows(
+            local_coord, params, r * block, block, jnp, dtype=dtype
+        )
+
+    fn = shard_map(
+        row_block,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P("row", None),
+        check_rep=False,
+    )
+    return jax.jit(fn)(coord)
+
+
+def sharded_anm_pipeline(coord, params, mesh, dtype=jnp.float32,
+                         n_modes=None):
+    """
+    Mega-assembly ANM: build the Hessian row-sharded across the mesh,
+    then eigensolve and reduce to observables.  The eigensolve input is
+    resharded by XLA as needed (gathered over ICI for the dense solver).
+    """
+    hessian = sharded_hessian(coord, params, mesh, dtype=dtype)
+
+    @functools.partial(jax.jit, static_argnames=("n_modes",))
+    def solve(h, n_modes=None):
+        vals, vecs = jnp.linalg.eigh(h)
+        vecs = vecs.T
+        stop = h.shape[0] if n_modes is None else 6 + n_modes
+        modes = jnp.arange(6, stop)
+        from ..ops import nma_core
+
+        msf = nma_core.mean_square_fluctuation(
+            vals, vecs, modes, jnp, num_dim=3, layout="atom"
+        )
+        return {"eig_values": vals, "msf": msf,
+                "bfactor": nma_core.bfactor_from_msf(msf)}
+
+    return solve(hessian, n_modes=n_modes)

@@ -1,0 +1,156 @@
+"""
+Batched and multi-chip pipeline tests, run on a virtual 8-device CPU
+mesh (see conftest).  Checks: fused pipeline results equal the
+model-class reference path; sharded execution equals unsharded; the
+row-sharded Hessian equals the dense one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import springcraft_tpu as sc
+from springcraft_tpu.ops import assembly, ffparams
+from springcraft_tpu.parallel import (
+    anm_observables,
+    ensemble_anm,
+    ensemble_gnm,
+    ensemble_mean_msf,
+    gnm_observables,
+    make_mesh,
+    sharded_anm_pipeline,
+    sharded_ensemble_anm,
+    sharded_hessian,
+)
+
+from .util import random_coord
+
+
+def _conformers(n_batch, n_atoms, seed=0, jitter=0.05):
+    # Dense enough that a ~9 A cutoff keeps the network connected
+    # (disconnected networks have extra zero modes -> undefined MSF)
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n_atoms, 3) * 10
+    return base[None] + jitter * rng.randn(n_batch, n_atoms, 3)
+
+
+def test_anm_pipeline_matches_model_class(ca_1l2y):
+    ff = sc.InvariantForceField(13.0)
+    params = ff.to_params()
+    coord = ca_1l2y.coord.astype(np.float64)
+
+    out = anm_observables(coord, params, dtype=jnp.float64, with_dcc=True)
+
+    anm = sc.ANM(ca_1l2y, ff)
+    vals_ref, _ = anm.eigen()
+    assert np.allclose(out["eig_values"], vals_ref, atol=1e-9)
+    assert np.allclose(out["msf"], anm.mean_square_fluctuation(),
+                       atol=1e-9)
+    assert np.allclose(out["bfactor"], anm.bfactor(), atol=1e-9)
+    assert np.allclose(out["frequencies"][6:], anm.frequencies()[6:],
+                       atol=1e-9)
+    assert np.allclose(out["dcc"], anm.dcc(), atol=1e-7)
+
+
+def test_gnm_pipeline_matches_model_class(ca_1l2y):
+    ff = sc.InvariantForceField(7.0)
+    params = ff.to_params()
+    coord = ca_1l2y.coord.astype(np.float64)
+
+    out = gnm_observables(coord, params, dtype=jnp.float64, with_dcc=True)
+
+    gnm = sc.GNM(ca_1l2y, ff)
+    vals_ref, _ = gnm.eigen()
+    assert np.allclose(out["eig_values"], vals_ref, atol=1e-9)
+    assert np.allclose(out["msf"], gnm.mean_square_fluctuation(),
+                       atol=1e-9)
+    assert np.allclose(out["dcc"], gnm.dcc(), atol=1e-7)
+
+
+def test_anm_pipeline_mass_weighting(ca_1l2y):
+    ff = sc.HinsenForceField()
+    masses = np.linspace(60.0, 180.0, len(ca_1l2y))
+    out = anm_observables(
+        ca_1l2y.coord.astype(np.float64), ff.to_params(),
+        masses=jnp.asarray(masses), dtype=jnp.float64,
+    )
+    anm = sc.ANM(ca_1l2y, ff, masses=masses)
+    vals_ref, _ = anm.eigen()
+    assert np.allclose(out["eig_values"], vals_ref, atol=1e-9)
+
+
+def test_ensemble_matches_loop():
+    params = ffparams.invariant_params(9.0)
+    coords = _conformers(6, 30)
+
+    batched = ensemble_anm(coords, params, dtype=jnp.float64)
+    for i in range(6):
+        single = anm_observables(coords[i], params, dtype=jnp.float64)
+        assert np.allclose(batched["eig_values"][i], single["eig_values"],
+                           atol=1e-9)
+        assert np.allclose(batched["msf"][i], single["msf"], atol=1e-9)
+
+
+def test_ensemble_gnm_shapes():
+    params = ffparams.pfenm_params()
+    coords = _conformers(4, 25)
+    out = ensemble_gnm(coords, params, n_modes=10)
+    assert out["eig_values"].shape == (4, 25)
+    assert out["msf"].shape == (4, 25)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_ensemble_matches_unsharded():
+    mesh = make_mesh(8, row_axis=2)
+    params = ffparams.invariant_params(9.0)
+    coords = _conformers(16, 24)
+
+    sharded = sharded_ensemble_anm(coords, params, mesh,
+                                   dtype=jnp.float64)
+    plain = ensemble_anm(coords, params, dtype=jnp.float64)
+    assert np.allclose(np.asarray(sharded["msf"]),
+                       np.asarray(plain["msf"]), atol=1e-9)
+
+    mean = ensemble_mean_msf(coords, params, mesh)
+    assert np.allclose(
+        np.asarray(mean),
+        np.asarray(plain["msf"]).astype(np.float32).mean(axis=0),
+        atol=1e-4,
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("kind", ["invariant", "hinsen", "compact"])
+def test_sharded_hessian_matches_dense(kind, two_chain_ca):
+    mesh = make_mesh(8, row_axis=4)
+    if kind == "compact":
+        ff = sc.TabulatedForceField.s_enm_10(two_chain_ca)
+        params = ff.to_compact_params()
+        coord = two_chain_ca.coord.astype(np.float64)
+    else:
+        params = (ffparams.invariant_params(10.0) if kind == "invariant"
+                  else ffparams.hinsen_params())
+        coord = random_coord(5, 40)
+
+    sharded = np.asarray(
+        sharded_hessian(coord, params, mesh, dtype=jnp.float64)
+    )
+    dense = np.asarray(
+        assembly.hessian_matrix(coord, params, jnp, dtype=np.float64)
+    )
+    assert np.allclose(sharded, dense, atol=1e-12)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_anm_pipeline():
+    mesh = make_mesh(8, row_axis=4)
+    params = ffparams.invariant_params(10.0)
+    coord = _conformers(1, 40, seed=6)[0]
+
+    out = sharded_anm_pipeline(coord, params, mesh, dtype=jnp.float64)
+    ref = anm_observables(coord, params, dtype=jnp.float64)
+    assert np.allclose(np.asarray(out["eig_values"]),
+                       np.asarray(ref["eig_values"]), atol=1e-9)
+    assert np.allclose(np.asarray(out["msf"]), np.asarray(ref["msf"]),
+                       atol=1e-9)
