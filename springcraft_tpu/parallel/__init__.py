@@ -3,9 +3,12 @@ pipelines."""
 
 from .mesh import ensemble_sharding, make_mesh
 from .pipeline import (
+    anm_fluctuations,
     anm_observables,
     ensemble_anm,
+    ensemble_anm_fluctuations,
     ensemble_gnm,
+    gnm_fluctuations,
     gnm_observables,
 )
 from .sharded import (
@@ -19,6 +22,9 @@ from .sharded import (
 __all__ = [
     "make_mesh",
     "ensemble_sharding",
+    "anm_fluctuations",
+    "gnm_fluctuations",
+    "ensemble_anm_fluctuations",
     "anm_observables",
     "gnm_observables",
     "ensemble_anm",
