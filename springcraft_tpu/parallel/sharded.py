@@ -114,7 +114,6 @@ def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
         mesh=mesh,
         in_specs=P(),
         out_specs=P("row", None),
-        check_rep=False,
     )
     return jax.jit(fn)(coord)
 
