@@ -1,0 +1,459 @@
+"""
+Pallas TPU kernels: fused tiled assembly of ENM interaction matrices.
+
+This is the TPU-native replacement for the reference's neighbor-search +
+scatter pipeline (biotite ``CellList`` + ``np.where`` pair lists +
+fancy-indexing scatter, reference ``interaction.py:114-190``): one fused
+pass over (row-tile, col-tile) blocks of the pairwise plane computes
+displacements, squared distances, the cutoff mask and the force-constant
+rule, and writes interaction-matrix tiles directly — no pair lists, no
+scatter, O(tile) VMEM.
+
+Layout: the Hessian is produced in ``xyz`` plane layout ``(3, n, 3, n)``
+(component-major) — each of the nine ``(n, n)`` planes is a clean tile
+target, avoiding the interleaved 3x3 superelement layout that fights TPU
+tiling.  ``reshape(3n, 3n)`` of the result is free (row-major view) and
+is permutation-similar to the reference's atom-interleaved layout
+(identical eigenvalues; see ``assembly.atom_to_xyz_permutation``).
+
+Diagonal handling uses a *diagonal-last column ordering*: for row-tile
+``i`` the column tiles are visited in the rolled order
+``i+1, i+2, ..., i`` so the diagonal tile comes last, by which point the
+running row-sum accumulator holds the full ``-sum_j k_ij (...)`` needed
+for the diagonal (super)elements — the matrix leaves the kernel
+finished, with no second pass over HBM.
+
+Supported force-field families: the analytic ones (``invariant``,
+``hinsen``, ``pfenm``) and ``table_compact`` (type-pair tables applied
+via one-hot MXU matmuls).  ``table_pair``/overlay families use the XLA
+dense path instead (they are O(n^2)-parameterized and small by
+construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["hessian_pallas", "kirchhoff_pallas", "supports_params"]
+
+
+def supports_params(params):
+    return params.kind in ("invariant", "hinsen", "pfenm", "table_compact") \
+        and not params.overlays
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# In-kernel force-constant rules
+# ---------------------------------------------------------------------------
+
+def _mask_and_constants(sq, row0, col0, n, params, extra):
+    """Masked spring constants for one (TI, TJ) tile.
+
+    Returns k with zeros outside the interaction set (beyond cutoff,
+    self-pairs, padding)."""
+    ti, tj = sq.shape
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    valid = (rows != cols) & (rows < n) & (cols < n)
+    if params.has_cutoff:
+        valid &= sq <= np.float32(params.cutoff_sq)
+
+    kind = params.kind
+    if kind == "invariant":
+        k = jnp.ones_like(sq)
+    elif kind == "hinsen":
+        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
+        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
+                      (1.28e6) / (sq * sq * sq))
+    elif kind == "pfenm":
+        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
+    elif kind == "table_compact":
+        k = _compact_tile_constants(sq, rows, cols, params, extra)
+    else:
+        raise NotImplementedError(kind)
+    return jnp.where(valid, k, 0.0)
+
+
+def _compact_tile_constants(sq, rows, cols, params, extra):
+    """Tabulated constants for one tile via one-hot MXU matmuls.
+
+    ``k_ij = sum_b [bin_ij == b] * (O_i T_b O_j^t)_ij`` where ``O`` are
+    one-hot type matrices — turns the per-pair table gather (TPU-hostile)
+    into a short scan of small matmuls (TPU-native).
+    """
+    onehot_rows, onehot_cols, chain_rows, chain_cols, bonded_rows, \
+        bonded_cols, tables = extra
+    # tables: (n_bins, 3, 20, 20) stacked [intra, inter, bonded]
+    n_bins = tables.shape[0]
+
+    if n_bins > 1:
+        # Statically unrolled searchsorted (side='left'): the bin index
+        # is the number of edges strictly below sq.  Static Python
+        # floats avoid capturing the edge array as a kernel constant.
+        bins = jnp.zeros(sq.shape, jnp.int32)
+        for edge_sq in np.asarray(params.edges_sq, dtype=np.float32):
+            bins = bins + (sq > edge_sq).astype(jnp.int32)
+        bins = jnp.clip(bins, 0, n_bins - 1)
+    else:
+        bins = jnp.zeros(sq.shape, jnp.int32)
+
+    # Broadcast int32 vectors to the 2D tile before comparing — Mosaic
+    # only supports minor-dim insertion for 32-bit types, so boolean
+    # vectors must not be reshaped/broadcast directly.
+    shape = sq.shape
+    chain_r2 = jnp.broadcast_to(chain_rows[:, None], shape)
+    chain_c2 = jnp.broadcast_to(chain_cols[None, :], shape)
+    same_chain = chain_r2 == chain_c2
+    delta = cols - rows
+    bond_r2 = jnp.broadcast_to(bonded_rows[:, None], shape)
+    bond_c2 = jnp.broadcast_to(bonded_cols[None, :], shape)
+    bonded = ((delta == 1) & (bond_r2 != 0)) | ((delta == -1) & (bond_c2 != 0))
+
+    k = jnp.zeros_like(sq)
+    for b in range(n_bins):
+        intra = _pair_table_product(onehot_rows, tables[b, 0], onehot_cols)
+        inter = _pair_table_product(onehot_rows, tables[b, 1], onehot_cols)
+        bond = _pair_table_product(onehot_rows, tables[b, 2], onehot_cols)
+        k_b = jnp.where(bonded, bond, jnp.where(same_chain, intra, inter))
+        k = jnp.where(bins == b, k_b, k)
+    return k
+
+
+def _pair_table_product(onehot_rows, table, onehot_cols):
+    # (TI, 20) @ (20, 20) @ (20, TJ) on the MXU
+    left = jnp.dot(onehot_rows, table, preferred_element_type=jnp.float32)
+    return jnp.dot(left, onehot_cols.T, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Hessian kernel
+# ---------------------------------------------------------------------------
+
+def _hessian_kernel(params, n, n_tiles, tile, *refs):
+    """One grid instance computes the ``(tile, tile)`` blocks of all nine
+    component planes at (row-tile ``i``, rolled col-tile) — the nine
+    planes are separate outputs so every HBM write is a clean contiguous
+    tile (a fused ``(3, T, 3, T)`` block write is an order of magnitude
+    slower)."""
+    if params.kind == "table_compact":
+        (coord_row_ref, coord_col_ref, type_row_ref, type_col_ref,
+         chain_row_ref, chain_col_ref, bond_row_ref, bond_col_ref,
+         tables_ref) = refs[:9]
+        out_refs = refs[9:18]
+        acc_ref = refs[18]
+    else:
+        coord_row_ref, coord_col_ref = refs[:2]
+        out_refs = refs[2:11]
+        acc_ref = refs[11]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    col_tile = (i + 1 + j) % n_tiles  # diagonal-last rolled ordering
+    row0 = i * tile
+    col0 = col_tile * tile
+
+    rows = coord_row_ref[:]  # (3, T)
+    cols = coord_col_ref[:]  # (3, T)
+    dx = rows[0][:, None] - cols[0][None, :]
+    dy = rows[1][:, None] - cols[1][None, :]
+    dz = rows[2][:, None] - cols[2][None, :]
+    sq = dx * dx + dy * dy + dz * dz
+
+    if params.kind == "table_compact":
+        extra = (
+            type_row_ref[:], type_col_ref[:],
+            chain_row_ref[0], chain_col_ref[0],
+            bond_row_ref[0], bond_col_ref[0],
+            tables_ref[:],
+        )
+    else:
+        extra = None
+    k = _mask_and_constants(sq, row0, col0, n, params, extra)
+    g = -k / jnp.where(sq == 0, 1.0, sq)
+    disp = (dx, dy, dz)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    is_diag_tile = j == n_tiles - 1  # rolled order puts col_tile == i last
+    rows_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, sq.shape, 0)
+    cols_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
+    eye = rows_ids == cols_ids
+
+    for a in range(3):
+        for b in range(3):
+            plane = g * disp[a] * disp[b]
+            acc_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
+
+            @pl.when(jnp.logical_not(is_diag_tile))
+            def _(plane=plane, a=a, b=b):
+                out_refs[3 * a + b][:] = plane
+
+            @pl.when(is_diag_tile)
+            def _(plane=plane, a=a, b=b):
+                out_refs[3 * a + b][:] = plane + jnp.where(
+                    eye, -acc_ref[3 * a + b, :][:, None], 0.0
+                )
+
+
+def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
+                   interpret=False):
+    """
+    Fused tiled ANM Hessian on TPU.
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    params : FFParams
+        Must satisfy :func:`supports_params`.
+    tile : int
+        Square tile edge (atoms per tile); 256 suits v5e VMEM.
+
+    Returns
+    -------
+    hessian : ndarray, shape=(3n, 3n), dtype
+        xyz plane layout (see module docstring).
+    """
+    if not supports_params(params):
+        raise ValueError(
+            f"Pallas path does not support kind={params.kind!r} "
+            f"with overlays={bool(params.overlays)}"
+        )
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+
+    coord_t = jnp.zeros((3, n_pad), dtype=dtype)
+    coord_t = coord_t.at[:, :n].set(coord.T)
+
+    kernel = functools.partial(_hessian_kernel, params, n, n_tiles, tile)
+
+    nt = n_tiles
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i, j: (0, (i + 1 + j) % nt),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [coord_t, coord_t]
+
+    if params.kind == "table_compact":
+        (onehot, chain, bonded, tables) = _compact_device_inputs(
+            params, n, n_pad, dtype
+        )
+        in_specs += [
+            pl.BlockSpec((tile, 32), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32),
+                         lambda i, j: ((i + 1 + j) % nt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile),
+                         lambda i, j: (0, (i + 1 + j) % nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile),
+                         lambda i, j: (0, (i + 1 + j) % nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+
+    plane_spec = pl.BlockSpec(
+        (tile, tile), lambda i, j: (i, (i + 1 + j) % nt),
+        memory_space=pltpu.VMEM,
+    )
+    planes = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_tiles),
+        in_specs=in_specs,
+        out_specs=[plane_spec] * 9,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, n_pad), dtype)] * 9,
+        scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if n_pad != n:
+        planes = [p[:n, :n] for p in planes]
+    # Assemble (3n, 3n) by concatenation — contiguous block copies only
+    # (a (3, n, 3, n) -> (3n, 3n) transpose is pathologically slow).
+    return jnp.concatenate(
+        [
+            jnp.concatenate([planes[3 * a + b] for b in range(3)], axis=1)
+            for a in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _compact_device_inputs(params, n, n_pad, dtype):
+    """Padded device-side metadata for the compact tabulated family."""
+    type_idx = np.zeros(n_pad, dtype=np.int32)
+    type_idx[:n] = np.asarray(params.type_idx)
+    onehot = jax.nn.one_hot(jnp.asarray(type_idx), 32, dtype=dtype)
+
+    chain = np.full((1, n_pad), -1, dtype=np.int32)
+    chain[0, :n] = np.asarray(params.chain_code)
+    # Padding must never look bonded or same-chain; use a second
+    # distinct sentinel for alternating safety
+    bonded = np.zeros((1, n_pad), dtype=np.int32)
+    bonded[0, :n] = np.asarray(params.bonded_next).astype(np.int32)
+
+    intra = np.asarray(params.intra_table, dtype=np.float32)
+    inter = np.asarray(params.inter_table, dtype=np.float32)
+    bond = np.asarray(params.bonded_table, dtype=np.float32)
+    n_bins = intra.shape[-1]
+    # (n_bins, 3, 32, 32): pad the 20x20 tables to MXU-friendly 32
+    tables = np.zeros((n_bins, 3, 32, 32), dtype=np.float32)
+    tables[:, 0, :20, :20] = np.moveaxis(intra, -1, 0)
+    tables[:, 1, :20, :20] = np.moveaxis(inter, -1, 0)
+    tables[:, 2, :20, :20] = np.moveaxis(bond, -1, 0)
+
+    return (onehot, jnp.asarray(chain), jnp.asarray(bonded),
+            jnp.asarray(tables))
+
+
+# ---------------------------------------------------------------------------
+# Kirchhoff kernel
+# ---------------------------------------------------------------------------
+
+def _kirchhoff_kernel(params, n, n_tiles, tile, *refs):
+    if params.kind == "table_compact":
+        (coord_row_ref, coord_col_ref, type_row_ref, type_col_ref,
+         chain_row_ref, chain_col_ref, bond_row_ref, bond_col_ref,
+         tables_ref, out_ref, acc_ref) = refs
+    else:
+        coord_row_ref, coord_col_ref, out_ref, acc_ref = refs
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    rows = coord_row_ref[:]
+    cols = coord_col_ref[:]
+    dx = rows[0][:, None] - cols[0][None, :]
+    dy = rows[1][:, None] - cols[1][None, :]
+    dz = rows[2][:, None] - cols[2][None, :]
+    sq = dx * dx + dy * dy + dz * dz
+
+    col_tile = (i + 1 + j) % n_tiles
+    row0 = i * tile
+    col0 = col_tile * tile
+
+    if params.kind == "table_compact":
+        extra = (
+            type_row_ref[:], type_col_ref[:],
+            chain_row_ref[0], chain_col_ref[0],
+            bond_row_ref[0], bond_col_ref[0],
+            tables_ref[:],
+        )
+    else:
+        extra = None
+
+    k = _mask_and_constants(sq, row0, col0, n, params, extra)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[0, :] += jnp.sum(k, axis=1)
+
+    is_diag_tile = j == n_tiles - 1
+
+    @pl.when(jnp.logical_not(is_diag_tile))
+    def _():
+        out_ref[:] = -k
+
+    @pl.when(is_diag_tile)
+    def _():
+        rows_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        cols_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+        eye = rows_ids == cols_ids
+        out_ref[:] = -k + jnp.where(eye, acc_ref[0, :][:, None], 0.0)
+
+
+def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
+                     interpret=False):
+    """Fused tiled GNM Kirchhoff matrix on TPU (see
+    :func:`hessian_pallas`)."""
+    if not supports_params(params):
+        raise ValueError(
+            f"Pallas path does not support kind={params.kind!r} "
+            f"with overlays={bool(params.overlays)}"
+        )
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+
+    coord_t = jnp.zeros((3, n_pad), dtype=dtype)
+    coord_t = coord_t.at[:, :n].set(coord.T)
+
+    kernel = functools.partial(_kirchhoff_kernel, params, n, n_tiles, tile)
+
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile),
+                     lambda i, j, _nt=n_tiles: (0, (i + 1 + j) % _nt),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [coord_t, coord_t]
+    if params.kind == "table_compact":
+        (onehot, chain, bonded, tables) = _compact_device_inputs(
+            params, n, n_pad, dtype
+        )
+        in_specs += [
+            pl.BlockSpec((tile, 32), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32),
+                         lambda i, j, _nt=n_tiles: ((i + 1 + j) % _nt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile),
+                         lambda i, j, _nt=n_tiles: (0, (i + 1 + j) % _nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile),
+                         lambda i, j, _nt=n_tiles: (0, (i + 1 + j) % _nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, tile),
+            lambda i, j, _nt=n_tiles: (i, (i + 1 + j) % _nt),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
+        interpret=interpret,
+    )(*inputs)
+
+    if n_pad != n:
+        out = out[:n, :n]
+    return out

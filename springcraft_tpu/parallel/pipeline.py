@@ -41,12 +41,24 @@ def _mass_weight(matrix, masses, repeat3):
     return matrix * jnp.outer(w, w)
 
 
+def _build_hessian_xyz(coord, params, dtype, use_pallas):
+    """Dense (3n, 3n) xyz-layout Hessian via XLA or the Pallas kernel."""
+    if use_pallas:
+        from ..ops import pallas_kernels
+
+        return pallas_kernels.hessian_pallas(coord, params, dtype=dtype)
+    return assembly.hessian_matrix(coord, params, jnp, dtype=dtype,
+                                   layout="xyz")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype"),
+    static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype",
+                     "use_pallas"),
 )
 def anm_observables(coord, params, masses=None, *, with_dcc=False,
-                    with_covariance=False, n_modes=None, dtype=jnp.float32):
+                    with_covariance=False, n_modes=None, dtype=jnp.float32,
+                    use_pallas=False):
     """
     Full ANM NMA for one structure: Hessian (xyz plane layout), batched
     eigensolve, and the standard observables with the six trivial modes
@@ -74,8 +86,7 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
     """
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
-    hessian = assembly.hessian_matrix(coord, params, jnp, dtype=dtype,
-                                      layout="xyz")
+    hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
     if masses is not None:
         hessian = _mass_weight_xyz(hessian, masses)
 
@@ -158,10 +169,10 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_dcc", "with_prs", "dtype")
+    jax.jit, static_argnames=("with_dcc", "with_prs", "dtype", "use_pallas")
 )
 def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
-                     with_prs=False, dtype=jnp.float32):
+                     with_prs=False, dtype=jnp.float32, use_pallas=False):
     """
     Covariance-derived ANM observables via the fast Cholesky path —
     no eigendecomposition.
@@ -176,8 +187,7 @@ def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     disconnected networks fall back to :func:`anm_observables`.)
     """
     coord = jnp.asarray(coord, dtype=dtype)
-    hessian = assembly.hessian_matrix(coord, params, jnp, dtype=dtype,
-                                      layout="xyz")
+    hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
     if masses is not None:
         hessian = _mass_weight_xyz(hessian, masses)
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
