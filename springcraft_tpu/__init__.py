@@ -11,7 +11,7 @@ execution.
 
 __version__ = "0.1.0"
 
-from . import ops, parallel, structure, utils
+from . import io, ops, parallel, structure, utils
 from .models import (
     ANM,
     GNM,
@@ -57,6 +57,7 @@ __all__ = [
     "prs",
     "effector_sensor",
     "nma",
+    "io",
     "ops",
     "parallel",
     "structure",

@@ -1,16 +1,25 @@
 """Pure-JAX functional core: force-field parameter pytrees, dense
 interaction-matrix assembly, eigensolves, and NMA observable kernels."""
 
-from . import assembly, ffparams, linalg, nma_core
+from . import assembly, ffparams, linalg, modes, nma_core, rigid
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
 from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
+from .modes import lowest_modes, lowest_modes_anm
+from .rigid import covariance_cholesky, null_mode_gnm, rigid_modes_anm
 
 __all__ = [
     "assembly",
     "ffparams",
     "linalg",
+    "modes",
     "nma_core",
+    "rigid",
+    "lowest_modes",
+    "lowest_modes_anm",
+    "covariance_cholesky",
+    "rigid_modes_anm",
+    "null_mode_gnm",
     "FFParams",
     "force_constant_matrix",
     "pairwise_sq_distance",

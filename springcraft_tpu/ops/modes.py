@@ -1,0 +1,104 @@
+"""
+Partial-spectrum solvers: lowest non-trivial normal modes without a full
+eigendecomposition.
+
+The reference always runs a dense ``eigh`` (O(n^3), full spectrum) even
+when only the handful of low-frequency functional modes is wanted
+(reference ``nma.py:61``).  For mega-assemblies (10k+ residues) the
+scientifically relevant output is exactly those lowest modes, so this
+module provides an iterative LOBPCG path:
+
+1. the known rigid-body null space is *deflated* by shifting it to high
+   eigenvalues (``H + sigma T T^t``),
+2. the spectrum is reflected (``c I - H``) so the smallest eigenvalues
+   become the largest,
+3. ``jax.experimental.sparse.linalg.lobpcg_standard`` extracts the top
+   block — all matvecs are dense matmuls that run on the MXU.
+
+Cost: O(iters * k * n^2) instead of O(n^3) — for ``k << n`` this is the
+difference between seconds and minutes at n = 30k.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.experimental.sparse.linalg import lobpcg_standard
+
+from . import rigid
+
+__all__ = ["lowest_modes", "lowest_modes_anm"]
+
+
+def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
+    """
+    The `k` smallest non-trivial eigenpairs of a PSD interaction matrix.
+
+    Parameters
+    ----------
+    matrix : ndarray, shape=(m, m)
+        Hessian or Kirchhoff matrix.
+    k : int
+        Number of non-trivial modes to compute.
+    null_basis : ndarray, shape=(m, t), optional
+        Orthonormal basis of the known null space (rigid-body modes);
+        deflated out of the search space.
+    n_iter : int
+        LOBPCG iteration cap.
+
+    Returns
+    -------
+    eig_values : ndarray, shape=(k,)
+        Smallest non-trivial eigenvalues, ascending.
+    eig_vectors : ndarray, shape=(k, m)
+        Corresponding modes (rows).
+    """
+    matrix = jnp.asarray(matrix)
+    m = matrix.shape[0]
+
+    if 5 * k >= m:
+        # LOBPCG needs search dim * 5 < matrix dim; small systems just
+        # use the dense solver
+        return _dense_lowest(matrix, k, null_basis)
+
+    # Gershgorin upper bound on the spectrum
+    upper = jnp.max(jnp.sum(jnp.abs(matrix), axis=1))
+
+    if null_basis is not None:
+        t = jnp.asarray(null_basis, dtype=matrix.dtype)
+        # Shift the null space to `upper` so it cannot surface
+        shifted = matrix + upper * (t @ t.T)
+    else:
+        shifted = matrix
+
+    # Reflect: largest eigenvalues of (c I - shifted) are the smallest
+    # of `shifted`
+    c = 2.0 * upper
+    reflected = c * jnp.eye(m, dtype=matrix.dtype) - shifted
+
+    # Deterministic start block (iteration-friendly, full rank)
+    key = jnp.arange(m * k, dtype=matrix.dtype).reshape(m, k)
+    x0 = jnp.cos(key * 0.7 + seed) + 1e-3
+    if null_basis is not None:
+        x0 = x0 - t @ (t.T @ x0)
+    x0, _ = jnp.linalg.qr(x0)
+
+    mu, vecs, _ = lobpcg_standard(reflected, x0, m=n_iter)
+    vals = c - mu
+    order = jnp.argsort(vals)
+    return vals[order], vecs[:, order].T
+
+
+def _dense_lowest(matrix, k, null_basis):
+    n_null = 0 if null_basis is None else null_basis.shape[1]
+    vals, vecs = jnp.linalg.eigh(matrix)
+    sel = jnp.arange(n_null, n_null + k)
+    return vals[sel], vecs[:, sel].T
+
+
+def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=200):
+    """
+    The `k` lowest non-trivial ANM modes of an xyz-layout Hessian, with
+    the six rigid-body modes deflated analytically.
+    """
+    basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+    return lowest_modes(hessian_xyz, k, null_basis=basis, n_iter=n_iter)

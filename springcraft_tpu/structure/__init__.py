@@ -19,7 +19,7 @@ from .atoms import (
     index_displacement,
 )
 from .celllist import CellList
-from .pdb import PDBFile, get_structure, load_structure
+from .pdb import PDBFile, get_structure, load_structure, write_pdb
 
 __all__ = [
     "AtomArray",
@@ -37,5 +37,6 @@ __all__ = [
     "PDBFile",
     "get_structure",
     "load_structure",
+    "write_pdb",
     "info",
 ]

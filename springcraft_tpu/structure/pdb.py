@@ -140,3 +140,48 @@ def get_structure(pdb_file, model=None):
 def load_structure(path, model=None):
     """Read a PDB file from `path` and return its :class:`AtomArray`."""
     return get_structure(PDBFile.read(path), model=model)
+
+
+def write_pdb(path, atoms, coord_models=None):
+    """
+    Write an :class:`AtomArray` as a PDB file.
+
+    Parameters
+    ----------
+    path : str
+    atoms : AtomArray
+        Template providing the annotations.
+    coord_models : ndarray, shape=(m, n, 3), optional
+        Per-model coordinates (e.g. a normal-mode trajectory from
+        ``ANM.normal_mode`` added to the input structure).  If omitted,
+        ``atoms.coord`` is written as a single model.
+    """
+    if coord_models is None:
+        coord_models = np.asarray(atoms.coord)[None]
+    coord_models = np.asarray(coord_models)
+    multi = coord_models.shape[0] > 1
+
+    with open(path, "w") as f:
+        for m, coords in enumerate(coord_models, start=1):
+            if multi:
+                f.write(f"MODEL     {m:4d}\n")
+            for i in range(atoms.array_length()):
+                name = atoms.atom_name[i]
+                # PDB name column convention: 1-char-element names start
+                # in column 14
+                name_field = f" {name:<3s}" if len(name) < 4 else name
+                is_het = "hetero" in atoms._annot and bool(atoms.hetero[i])
+                record = "HETATM" if is_het else "ATOM  "
+                f.write(
+                    f"{record}{i + 1:5d} {name_field:<4s}"
+                    f"{atoms.res_name[i]:>4s} "
+                    f"{(atoms.chain_id[i] or 'A')[:1]}"
+                    f"{int(atoms.res_id[i]):4d}    "
+                    f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}"
+                    f"{coords[i, 2]:8.3f}"
+                    f"{1.00:6.2f}{0.00:6.2f}          "
+                    f"{atoms.element[i]:>2s}\n"
+                )
+            if multi:
+                f.write("ENDMDL\n")
+        f.write("END\n")
