@@ -2,19 +2,25 @@
 Benchmark harness.
 
 Headline metric (cf. BASELINE.json): batched NMA solves/sec — complete
-ANM pipelines (dense Hessian assembly -> eigh -> MSF/B-factors) for a
-300-residue protein, batched over a conformer ensemble on one chip.
+ANM pipelines (dense Hessian assembly -> full eigh -> MSF/B-factors/
+frequencies) for a 300-residue protein, batched over a conformer
+ensemble on one chip.
 
 Baseline: the reference implementation is single-threaded float64 NumPy
 (pair-list assembly + LAPACK eigh; springcraft has no GPU/TPU path and
-publishes no numbers, so the baseline is measured here with an
-equivalent NumPy implementation on the host CPU).
+publishes no numbers), measured here with an equivalent NumPy
+implementation on the host CPU.
+
+Timing methodology: every jitted program returns a scalar checksum of
+all outputs and the clock stops on fetching it — plain
+``block_until_ready`` does not synchronize on relayed TPU backends.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-Extra diagnostics go to stderr.
+Extra diagnostics (fast covariance path, scaling curve) go to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -24,7 +30,7 @@ import numpy as np
 N_RES = 300
 BATCH = 64
 CUTOFF = 13.0
-TPU_ITERS = 10
+TPU_ITERS = 8
 CPU_ITERS = 3
 
 
@@ -41,6 +47,17 @@ def make_batches(n_batches, batch, n_res, seed=0):
     ]
 
 
+def _timed(fn, inputs):
+    """Compile on inputs[0], then time scalar fetches over the rest."""
+    t0 = time.perf_counter()
+    float(fn(inputs[0]))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vals = [fn(b) for b in inputs[1:]]
+    checksum = sum(float(v) for v in vals)
+    return compile_s, time.perf_counter() - t0, checksum
+
+
 def bench_tpu():
     import jax
     import jax.numpy as jnp
@@ -49,42 +66,39 @@ def bench_tpu():
     from springcraft_tpu.parallel import pipeline
 
     params = ffparams.invariant_params(CUTOFF)
-    batches = make_batches(TPU_ITERS + 1, BATCH, N_RES)
-    device_batches = [jax.device_put(jnp.asarray(b)) for b in batches]
+    batches = [
+        jax.device_put(jnp.asarray(b))
+        for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
+    ]
 
-    import functools
-
-    fn = jax.jit(
-        jax.vmap(
-            functools.partial(
-                pipeline.anm_observables, params=params, dtype=jnp.float32
-            )
-        )
+    spectral = jax.vmap(
+        functools.partial(pipeline.anm_observables, params=params,
+                          dtype=jnp.float32)
     )
-
-    def checksum(out):
-        # Scalar depending on every output, so fetching it forces the
-        # whole computation to finish (block_until_ready alone does not
-        # synchronize on relayed backends).
-        return sum(jnp.sum(v) for v in out.values())
-
-    # Warm-up / compile
-    t0 = time.perf_counter()
-    float(checksum(fn(device_batches[0])))
-    log(f"tpu compile+first-run: {time.perf_counter() - t0:.2f}s on "
-        f"{jax.devices()[0].device_kind}")
-
-    t0 = time.perf_counter()
-    acc = 0.0
-    for b in device_batches[1:]:
-        acc = acc + checksum(fn(b))
-    acc = float(acc)
-    elapsed = time.perf_counter() - t0
+    spectral_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in spectral(b).values())
+    )
+    compile_s, elapsed, _ = _timed(spectral_fn, batches)
     solves = TPU_ITERS * BATCH
-    rate = solves / elapsed
-    log(f"tpu: {solves} solves (N={N_RES}) in {elapsed:.3f}s -> "
-        f"{rate:.1f} solves/s (checksum {acc:.3e})")
-    return rate
+    spectral_rate = solves / elapsed
+    log(f"tpu[{jax.devices()[0].device_kind}] spectral pipeline: "
+        f"compile {compile_s:.1f}s; {solves} solves (N={N_RES}) in "
+        f"{elapsed:.3f}s -> {spectral_rate:.1f} solves/s")
+
+    # Fast covariance-only pipeline (no eigh) — fluctuation observables
+    fluct = jax.vmap(
+        functools.partial(pipeline.anm_fluctuations, params=params,
+                          with_dcc=True, dtype=jnp.float32)
+    )
+    fluct_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in fluct(b).values())
+    )
+    compile_s, elapsed, _ = _timed(fluct_fn, batches)
+    log(f"tpu fluctuation pipeline (Cholesky covariance): compile "
+        f"{compile_s:.1f}s; {solves} solves in {elapsed:.3f}s -> "
+        f"{solves / elapsed:.1f} solves/s")
+
+    return spectral_rate
 
 
 def bench_cpu_baseline():
@@ -117,8 +131,8 @@ def bench_cpu_baseline():
         solve(c)
     elapsed = time.perf_counter() - t0
     rate = CPU_ITERS / elapsed
-    log(f"cpu baseline: {CPU_ITERS} solves in {elapsed:.3f}s -> "
-        f"{rate:.3f} solves/s")
+    log(f"cpu baseline (reference architecture, float64): {CPU_ITERS} "
+        f"solves in {elapsed:.3f}s -> {rate:.3f} solves/s")
     return rate
 
 
