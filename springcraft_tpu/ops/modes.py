@@ -62,27 +62,29 @@ def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
 
     # Gershgorin upper bound on the spectrum
     upper = jnp.max(jnp.sum(jnp.abs(matrix), axis=1))
-
-    if null_basis is not None:
-        t = jnp.asarray(null_basis, dtype=matrix.dtype)
-        # Shift the null space to `upper` so it cannot surface
-        shifted = matrix + upper * (t @ t.T)
-    else:
-        shifted = matrix
-
-    # Reflect: largest eigenvalues of (c I - shifted) are the smallest
-    # of `shifted`
     c = 2.0 * upper
-    reflected = c * jnp.eye(m, dtype=matrix.dtype) - shifted
+
+    t = (jnp.asarray(null_basis, dtype=matrix.dtype)
+         if null_basis is not None else None)
+
+    def reflected_matvec(x):
+        # (c I - H - upper * T T^t) @ x without materializing any
+        # additional (m, m) array — null space shifted to `upper` so it
+        # cannot surface, spectrum reflected so the smallest eigenvalues
+        # become the largest.
+        y = c * x - matrix @ x
+        if t is not None:
+            y = y - upper * (t @ (t.T @ x))
+        return y
 
     # Deterministic start block (iteration-friendly, full rank)
     key = jnp.arange(m * k, dtype=matrix.dtype).reshape(m, k)
     x0 = jnp.cos(key * 0.7 + seed) + 1e-3
-    if null_basis is not None:
+    if t is not None:
         x0 = x0 - t @ (t.T @ x0)
     x0, _ = jnp.linalg.qr(x0)
 
-    mu, vecs, _ = lobpcg_standard(reflected, x0, m=n_iter)
+    mu, vecs, _ = lobpcg_standard(reflected_matvec, x0, m=n_iter)
     vals = c - mu
     order = jnp.argsort(vals)
     return vals[order], vecs[:, order].T
