@@ -131,16 +131,24 @@ def _mass_weight_xyz(hessian, masses):
     return hessian * jnp.outer(w3, w3)
 
 
+def _build_kirchhoff(coord, params, dtype, use_pallas):
+    if use_pallas:
+        from ..ops import pallas_kernels
+
+        return pallas_kernels.kirchhoff_pallas(coord, params, dtype=dtype)
+    return assembly.kirchhoff_matrix(coord, params, jnp, dtype=dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("with_dcc", "n_modes", "dtype")
+    jax.jit, static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas")
 )
 def gnm_observables(coord, params, masses=None, *, with_dcc=False,
-                    n_modes=None, dtype=jnp.float32):
+                    n_modes=None, dtype=jnp.float32, use_pallas=False):
     """GNM analogue of :func:`anm_observables` over the Kirchhoff
     matrix (one trivial mode)."""
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
-    kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp, dtype=dtype)
+    kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
     kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
 
     vals, vecs = jnp.linalg.eigh(kirchhoff)
@@ -215,14 +223,16 @@ def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("with_dcc", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("with_dcc", "dtype", "use_pallas")
+)
 def gnm_fluctuations(coord, params, masses=None, *, with_dcc=True,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, use_pallas=False):
     """GNM analogue of :func:`anm_fluctuations`: covariance via the
     regularized Cholesky solve with the analytic constant null mode."""
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
-    kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp, dtype=dtype)
+    kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
     kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
     cov = rigid.covariance_cholesky(kirchhoff, basis)
