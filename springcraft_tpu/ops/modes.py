@@ -21,6 +21,9 @@ difference between seconds and minutes at n = 30k.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax.experimental.sparse.linalg import lobpcg_standard
 
@@ -60,12 +63,20 @@ def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
         # use the dense solver
         return _dense_lowest(matrix, k, null_basis)
 
+    t = (jnp.asarray(null_basis, dtype=matrix.dtype)
+         if null_basis is not None else None)
+    return _lobpcg_smallest(matrix, t, k=k, n_iter=n_iter, seed=seed)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iter", "seed"))
+def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
+    # Jitted with the matrix as an *argument* — a closure capture would
+    # bake the O(m^2) matrix into the program as a constant.
+    m = matrix.shape[0]
+
     # Gershgorin upper bound on the spectrum
     upper = jnp.max(jnp.sum(jnp.abs(matrix), axis=1))
     c = 2.0 * upper
-
-    t = (jnp.asarray(null_basis, dtype=matrix.dtype)
-         if null_basis is not None else None)
 
     def reflected_matvec(x):
         # (c I - H - upper * T T^t) @ x without materializing any
