@@ -114,8 +114,13 @@ def _pairs_from_params(coord, params):
     disp = coord[:, None, :] - coord[None, :, :]
     sq_dist = np.einsum("ijk,ijk->ij", disp, disp)
     mask = ffparams._adjacency(sq_dist, params, np)
-    for overlay in params.overlays:
-        mask = (mask & ~overlay.off_mask) | overlay.on_mask
+    if params.overlays:
+        off_any = np.zeros_like(mask)
+        on_any = np.zeros_like(mask)
+        for overlay in params.overlays:
+            off_any |= overlay.off_mask
+            on_any |= overlay.on_mask
+        mask = (mask & ~off_any) | on_any
     atom_i, atom_j = np.where(mask)
     return np.stack([atom_i, atom_j], axis=1)
 

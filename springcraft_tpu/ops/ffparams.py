@@ -299,20 +299,27 @@ def force_constant_matrix(sq_dist, params, xp, dtype=None):
     adj = _adjacency(sq_dist, params, xp)
     k = _base_constants(sq_dist, params, xp)
 
-    for overlay in params.overlays:
-        off = xp.asarray(overlay.off_mask)
-        on = xp.asarray(overlay.on_mask)
-        has_value = xp.asarray(overlay.has_value)
-        values = xp.asarray(overlay.values)
-        # Reference order (interaction.py:193-213): shutdown/off first,
-        # then pair_on re-enables.
-        adj = (adj & ~off) | on
-        # Pairs beyond the *inner* cutoff contribute zero from the base
-        # field (reference forcefield.py:188-195) …
-        k = xp.where(sq_dist <= params.cutoff_sq, k, xp.zeros_like(k))
-        # … and explicit per-pair constants override wherever defined
-        # (reference forcefield.py:197-223).
-        k = xp.where(has_value, values.astype(k.dtype), k)
+    if params.overlays:
+        # Adjacency patching follows the reference order
+        # (interaction.py:193-213) over the *concatenated* patches of
+        # the whole nesting chain: all shutdowns/offs first, then all
+        # pair_on re-enable.
+        off_any = xp.zeros_like(adj)
+        on_any = xp.zeros_like(adj)
+        for overlay in params.overlays:
+            off_any = off_any | xp.asarray(overlay.off_mask)
+            on_any = on_any | xp.asarray(overlay.on_mask)
+        adj = (adj & ~off_any) | on_any
+
+        # Value pipeline, innermost patch outward: pairs beyond the
+        # wrapped field's cutoff contribute zero (forcefield.py:188-195)
+        # and per-pair constants override wherever defined
+        # (forcefield.py:197-223).
+        for overlay in params.overlays:
+            has_value = xp.asarray(overlay.has_value)
+            values = xp.asarray(overlay.values)
+            k = xp.where(sq_dist <= params.cutoff_sq, k, xp.zeros_like(k))
+            k = xp.where(has_value, values.astype(k.dtype), k)
 
     k = xp.where(adj, k, xp.zeros_like(k))
     if dtype is not None:
