@@ -310,10 +310,11 @@ def _compact_device_inputs(params, n, n_pad, dtype):
     type_idx[:n] = np.asarray(params.type_idx)
     onehot = jax.nn.one_hot(jnp.asarray(type_idx), 32, dtype=dtype)
 
+    # Chain padding uses -1 (never a real chain code) so padded atoms
+    # are never same-chain; padded atoms are never bonded.  Padded rows
+    # are masked out by index anyway.
     chain = np.full((1, n_pad), -1, dtype=np.int32)
     chain[0, :n] = np.asarray(params.chain_code)
-    # Padding must never look bonded or same-chain; use a second
-    # distinct sentinel for alternating safety
     bonded = np.zeros((1, n_pad), dtype=np.int32)
     bonded[0, :n] = np.asarray(params.bonded_next).astype(np.int32)
 

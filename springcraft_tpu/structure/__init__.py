@@ -19,7 +19,14 @@ from .atoms import (
     index_displacement,
 )
 from .celllist import CellList
-from .pdb import PDBFile, get_structure, load_structure, write_pdb
+from .cif import CIFFile, load_structure_cif
+from .pdb import (
+    PDBFile,
+    get_structure,
+    load_ensemble,
+    load_structure,
+    write_pdb,
+)
 
 __all__ = [
     "AtomArray",
@@ -35,8 +42,11 @@ __all__ = [
     "filter_amino_acids",
     "CellList",
     "PDBFile",
+    "CIFFile",
     "get_structure",
     "load_structure",
+    "load_structure_cif",
+    "load_ensemble",
     "write_pdb",
     "info",
 ]

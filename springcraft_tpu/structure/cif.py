@@ -1,0 +1,184 @@
+"""
+Minimal mmCIF/PDBx reader producing :class:`AtomArray` objects.
+
+Covers the ``atom_site`` loop category — the part needed to load
+structures for ENM analysis (the reference gallery loads structures via
+``biotite.structure.io.pdbx``, cf. ``doc/examples/scripts/basic_nma.py``).
+Handles multi-model files, quoted values and comments; everything beyond
+``atom_site`` is ignored.
+"""
+
+from __future__ import annotations
+
+import gzip
+import shlex
+
+import numpy as np
+
+from .atoms import AtomArray
+
+__all__ = ["CIFFile", "get_structure_cif", "load_structure_cif"]
+
+_FIELDS = {
+    "group_PDB": "record",
+    "auth_asym_id": "chain_id",
+    "label_asym_id": "chain_id_fallback",
+    "auth_seq_id": "res_id",
+    "label_seq_id": "res_id_fallback",
+    "auth_comp_id": "res_name",
+    "label_comp_id": "res_name_fallback",
+    "auth_atom_id": "atom_name",
+    "label_atom_id": "atom_name_fallback",
+    "type_symbol": "element",
+    "Cartn_x": "x",
+    "Cartn_y": "y",
+    "Cartn_z": "z",
+    "pdbx_PDB_model_num": "model",
+}
+
+
+def _tokenize(line):
+    # mmCIF values may be quoted with ' or "
+    if "'" in line or '"' in line:
+        return shlex.split(line)
+    return line.split()
+
+
+class CIFFile:
+    """Parsed ``atom_site`` records of an mmCIF file."""
+
+    def __init__(self, columns, rows):
+        self._columns = columns
+        self._rows = rows
+
+    @staticmethod
+    def read(path):
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt") as f:
+            lines = f.read().splitlines()
+
+        columns = []
+        rows = []
+        in_loop_header = False
+        in_atom_site = False
+        for line in lines:
+            stripped = line.strip()
+            if not stripped or stripped.startswith("#"):
+                if in_atom_site and rows:
+                    in_atom_site = False
+                continue
+            if stripped == "loop_":
+                in_loop_header = True
+                columns = []
+                in_atom_site = False
+                continue
+            if in_loop_header and stripped.startswith("_"):
+                tag = stripped.split(".", 1)
+                if tag[0] == "_atom_site":
+                    columns.append(tag[1].split()[0])
+                    in_atom_site = True
+                else:
+                    in_atom_site = False
+                continue
+            in_loop_header = False
+            if in_atom_site:
+                if stripped.startswith(("_", "loop_", "data_")):
+                    in_atom_site = False
+                    continue
+                values = _tokenize(stripped)
+                if len(values) == len(columns):
+                    rows.append(values)
+        return CIFFile(columns, rows)
+
+    def get_model_count(self):
+        idx = self._column_index("pdbx_PDB_model_num")
+        if idx is None:
+            return 1
+        return len({row[idx] for row in self._rows})
+
+    def _column_index(self, name):
+        try:
+            return self._columns.index(name)
+        except ValueError:
+            return None
+
+    def get_structure(self, model=None):
+        return get_structure_cif(self, model=model)
+
+
+def _pick(cif, *names):
+    for name in names:
+        idx = cif._column_index(name)
+        if idx is not None:
+            return idx
+    return None
+
+
+def get_structure_cif(cif, model=None):
+    """Build an :class:`AtomArray` from a :class:`CIFFile` (1-based
+    `model`, defaulting to the first)."""
+    model_idx = cif._column_index("pdbx_PDB_model_num")
+    rows = cif._rows
+    if model_idx is not None:
+        model_ids = sorted(
+            {row[model_idx] for row in rows}, key=lambda v: int(v)
+        )
+        wanted = model_ids[(model or 1) - 1]
+        rows = [row for row in rows if row[model_idx] == wanted]
+    elif model not in (None, 1):
+        raise ValueError(f"Model {model} does not exist in this file")
+    if not rows:
+        raise ValueError("No atom_site records found")
+
+    ix = {
+        "chain": _pick(cif, "auth_asym_id", "label_asym_id"),
+        "res_id": _pick(cif, "auth_seq_id", "label_seq_id"),
+        "res_name": _pick(cif, "auth_comp_id", "label_comp_id"),
+        "atom_name": _pick(cif, "auth_atom_id", "label_atom_id"),
+        "element": _pick(cif, "type_symbol"),
+        "x": _pick(cif, "Cartn_x"),
+        "y": _pick(cif, "Cartn_y"),
+        "z": _pick(cif, "Cartn_z"),
+        "record": _pick(cif, "group_PDB"),
+    }
+    for required in ("x", "y", "z", "atom_name", "res_name"):
+        if ix[required] is None:
+            raise ValueError(f"atom_site is missing required column "
+                             f"for '{required}'")
+
+    n = len(rows)
+    atoms = AtomArray(n)
+    coord = np.empty((n, 3), dtype=np.float32)
+    chain_id = np.empty(n, dtype="<U4")
+    res_id = np.empty(n, dtype=np.int64)
+    res_name = np.empty(n, dtype="<U5")
+    atom_name = np.empty(n, dtype="<U6")
+    element = np.empty(n, dtype="<U2")
+    hetero = np.empty(n, dtype=bool)
+
+    for i, row in enumerate(rows):
+        coord[i] = (float(row[ix["x"]]), float(row[ix["y"]]),
+                    float(row[ix["z"]]))
+        chain_id[i] = row[ix["chain"]] if ix["chain"] is not None else "A"
+        raw_res = row[ix["res_id"]] if ix["res_id"] is not None else "0"
+        res_id[i] = int(raw_res) if raw_res not in (".", "?") else 0
+        res_name[i] = row[ix["res_name"]]
+        atom_name[i] = row[ix["atom_name"]]
+        element[i] = (row[ix["element"]].upper()
+                      if ix["element"] is not None else "")
+        hetero[i] = (row[ix["record"]] == "HETATM"
+                     if ix["record"] is not None else False)
+
+    atoms.coord = coord
+    atoms.set_annotation("chain_id", chain_id)
+    atoms.set_annotation("res_id", res_id)
+    atoms.set_annotation("res_name", res_name)
+    atoms.set_annotation("atom_name", atom_name)
+    atoms.set_annotation("element", element)
+    atoms.add_annotation("hetero", bool)
+    atoms.set_annotation("hetero", hetero)
+    return atoms
+
+
+def load_structure_cif(path, model=None):
+    return get_structure_cif(CIFFile.read(path), model=model)

@@ -138,8 +138,44 @@ def get_structure(pdb_file, model=None):
 
 
 def load_structure(path, model=None):
-    """Read a PDB file from `path` and return its :class:`AtomArray`."""
+    """Read a structure file (PDB or mmCIF by extension) and return its
+    :class:`AtomArray`."""
+    name = str(path)
+    if name.endswith((".cif", ".cif.gz", ".mmcif", ".bcif")):
+        from .cif import load_structure_cif
+
+        return load_structure_cif(path, model=model)
     return get_structure(PDBFile.read(path), model=model)
+
+
+def load_ensemble(path):
+    """
+    Load all models of a multi-model structure file as a conformer
+    batch.
+
+    Returns
+    -------
+    atoms : AtomArray
+        Annotations + coordinates of the first model.
+    coords : ndarray, shape=(m, n, 3), dtype=float32
+        Coordinates of every model — ready for the batched ensemble
+        pipelines (``parallel.ensemble_anm``).
+    """
+    pdb_file = PDBFile.read(path)
+    n_models = pdb_file.get_model_count()
+    first = get_structure(pdb_file, model=1)
+    coords = np.empty((n_models, first.array_length(), 3),
+                      dtype=np.float32)
+    coords[0] = first.coord
+    for m in range(2, n_models + 1):
+        model = get_structure(pdb_file, model=m)
+        if model.array_length() != first.array_length():
+            raise ValueError(
+                f"Model {m} has {model.array_length()} atoms, expected "
+                f"{first.array_length()}"
+            )
+        coords[m - 1] = model.coord
+    return first, coords
 
 
 def write_pdb(path, atoms, coord_models=None):

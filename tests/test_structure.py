@@ -126,3 +126,69 @@ def test_cell_list_python_fallback_grid_path():
     diff = coords[:, None, :] - coords[None, :, :]
     ref = np.einsum("ijk,ijk->ij", diff, diff) <= 100.0
     assert np.array_equal(py, ref)
+
+
+def test_mmcif_reader(tmp_path):
+    """Minimal mmCIF round-trip: write an atom_site loop, read it back."""
+    cif_text = """data_test
+#
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.pdbx_PDB_model_num
+ATOM 1 N N ASN A 1 -8.901 4.127 -0.555 1
+ATOM 2 C CA ASN A 1 -8.608 3.135 -1.618 1
+ATOM 3 C CA LEU A 2 -4.923 4.002 -2.452 1
+HETATM 4 O O HOH A 3 1.000 2.000 3.000 1
+ATOM 1 N N ASN A 1 -8.001 4.127 -0.555 2
+ATOM 2 C CA ASN A 1 -8.008 3.135 -1.618 2
+ATOM 3 C CA LEU A 2 -4.023 4.002 -2.452 2
+HETATM 4 O O HOH A 3 1.100 2.000 3.000 2
+#
+"""
+    path = tmp_path / "test.cif"
+    path.write_text(cif_text)
+
+    from springcraft_tpu.structure import CIFFile, load_structure_cif
+
+    cif = CIFFile.read(path)
+    assert cif.get_model_count() == 2
+
+    atoms = load_structure_cif(path, model=1)
+    assert atoms.array_length() == 4
+    assert atoms.res_name[1] == "ASN"
+    assert atoms.atom_name[1] == "CA"
+    assert atoms.chain_id[0] == "A"
+    assert atoms.hetero[3]
+    assert np.allclose(atoms.coord[1], [-8.608, 3.135, -1.618], atol=1e-4)
+
+    atoms2 = load_structure_cif(path, model=2)
+    assert np.allclose(atoms2.coord[0], [-8.001, 4.127, -0.555], atol=1e-4)
+
+    # load_structure dispatches on extension
+    atoms3 = load_structure(str(path))
+    assert atoms3.array_length() == 4
+
+
+def test_load_ensemble(ca_1l2y, tmp_path):
+    from springcraft_tpu.structure import load_ensemble, write_pdb
+
+    rng = np.random.RandomState(0)
+    coords = ca_1l2y.coord[None] + 0.2 * rng.randn(5, len(ca_1l2y), 3).astype(
+        np.float32
+    )
+    path = tmp_path / "ens.pdb"
+    write_pdb(path, ca_1l2y, coord_models=coords)
+
+    atoms, batch = load_ensemble(path)
+    assert atoms.array_length() == len(ca_1l2y)
+    assert batch.shape == (5, len(ca_1l2y), 3)
+    assert np.allclose(batch, coords, atol=1e-3)
