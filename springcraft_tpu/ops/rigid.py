@@ -100,7 +100,7 @@ def null_mode_gnm(n, masses=None, dtype=jnp.float32):
     return v / jnp.linalg.norm(v)
 
 
-def covariance_cholesky(matrix, null_basis, sigma=None):
+def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
     """
     Pseudo-inverse of a PSD interaction matrix with known (orthonormal)
     null basis via a regularized Cholesky solve.
@@ -118,6 +118,11 @@ def covariance_cholesky(matrix, null_basis, sigma=None):
     sigma : float, optional
         Regularization weight placed on the null space; defaults to the
         mean diagonal of `matrix` (a well-conditioned choice).
+    block_size : int, optional
+        Solve the identity right-hand side in column blocks of this
+        size (unbatched input only) — bounds peak memory to
+        ``O(m^2 + m * block_size)`` for mega-assemblies instead of
+        holding a full dense identity.
 
     Returns
     -------
@@ -136,8 +141,28 @@ def covariance_cholesky(matrix, null_basis, sigma=None):
     ttt = t @ t.T
     reg = matrix + sigma * ttt
     chol = jnp.linalg.cholesky(reg)
-    eye = jnp.broadcast_to(
-        jnp.eye(matrix.shape[-1], dtype=matrix.dtype), matrix.shape
-    )
-    inv = jsl.cho_solve((chol, True), eye)
+    m = matrix.shape[-1]
+    if block_size is None or matrix.ndim > 2:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=matrix.dtype),
+                               matrix.shape)
+        inv = jsl.cho_solve((chol, True), eye)
+    else:
+        import jax
+
+        if m % block_size != 0:
+            raise ValueError(
+                f"block_size={block_size} must divide m={m}"
+            )
+        col_ids = jnp.arange(m)
+
+        def solve_block(start):
+            rhs = (col_ids[:, None]
+                   == (start + jnp.arange(block_size))[None, :]
+                   ).astype(matrix.dtype)
+            return jsl.cho_solve((chol, True), rhs)
+
+        blocks = jax.lax.map(
+            solve_block, jnp.arange(0, m, block_size)
+        )  # (m // B, m, B): block b holds inverse columns [bB, (b+1)B)
+        inv = jnp.concatenate(list(blocks), axis=1)
     return inv - ttt / sigma

@@ -108,3 +108,21 @@ def test_gnm_fluctuations_match_model(ca_1l2y):
     assert np.allclose(out["msf"], gnm.mean_square_fluctuation(),
                        atol=1e-9)
     assert np.allclose(out["dcc"], gnm.dcc(), atol=1e-9)
+
+
+def test_covariance_cholesky_blocked(ca_1l2y):
+    """The blocked right-hand-side variant must equal the full solve."""
+    params = ffparams.invariant_params(13.0)
+    coord = ca_1l2y.coord.astype(np.float64)
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="xyz"))
+    basis = rigid.rigid_modes_anm(coord, layout="xyz")
+
+    full = np.asarray(rigid.covariance_cholesky(jnp.asarray(h), basis))
+    blocked = np.asarray(
+        rigid.covariance_cholesky(jnp.asarray(h), basis, block_size=12)
+    )
+    assert np.allclose(full, blocked, atol=1e-10)
+
+    with pytest.raises(ValueError):
+        rigid.covariance_cholesky(jnp.asarray(h), basis, block_size=7)
