@@ -30,6 +30,8 @@ use the eigh-based :func:`springcraft_tpu.ops.linalg.pinvh` instead.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -37,6 +39,7 @@ __all__ = [
     "rigid_modes_anm",
     "null_mode_gnm",
     "covariance_cholesky",
+    "pinv_diagonal",
 ]
 
 
@@ -166,3 +169,52 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
         )  # (m // B, m, B): block b holds inverse columns [bB, (b+1)B)
         inv = jnp.concatenate(list(blocks), axis=1)
     return inv - ttt / sigma
+
+
+def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
+    """
+    Diagonal of the pseudo-inverse of a PSD matrix with known null
+    basis, without materializing the inverse — the memory-lean path for
+    mega-assembly MSF/B-factor profiles (for an xyz-layout ANM Hessian,
+    ``msf_i = sum_a diag[a * n + i]``).
+
+    Peak memory is ``O(m^2)`` for the Cholesky factor plus
+    ``O(m * block_size)`` per solve block (vs ``O(m^2)`` x several for
+    the full covariance).
+
+    .. warning:: the device buffer of `matrix` is **donated** (consumed)
+       to stay within memory at mega-assembly sizes — do not reuse the
+       input array afterwards.
+    """
+    matrix = jnp.asarray(matrix)
+    if matrix.ndim != 2:
+        raise ValueError("pinv_diagonal expects an unbatched matrix")
+    t = jnp.asarray(null_basis, dtype=matrix.dtype)
+    m = matrix.shape[-1]
+    if m % block_size != 0:
+        raise ValueError(f"block_size={block_size} must divide m={m}")
+
+    if sigma is None:
+        sigma = jnp.mean(jnp.diagonal(matrix))
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("block",))
+    def _diag(mat, t, sigma, block):
+        reg = mat + sigma * (t @ t.T)
+        chol = jnp.linalg.cholesky(reg)
+        col_ids = jnp.arange(m)
+
+        def block_diag(start):
+            rhs = (col_ids[:, None]
+                   == (start + jnp.arange(block))[None, :]
+                   ).astype(chol.dtype)
+            sol = jsl.cho_solve((chol, True), rhs)  # (m, B)
+            rows = jax.lax.dynamic_slice_in_dim(sol, start, block, axis=0)
+            return jnp.diagonal(rows)
+
+        diag = jax.lax.map(block_diag, jnp.arange(0, m, block)).reshape(m)
+        return diag - jnp.sum(t * t, axis=1) / sigma
+
+    return _diag(matrix, t, jnp.asarray(sigma, matrix.dtype), block_size)

@@ -126,3 +126,17 @@ def test_covariance_cholesky_blocked(ca_1l2y):
 
     with pytest.raises(ValueError):
         rigid.covariance_cholesky(jnp.asarray(h), basis, block_size=7)
+
+
+def test_pinv_diagonal(ca_1l2y):
+    params = ffparams.invariant_params(13.0)
+    coord = ca_1l2y.coord.astype(np.float64)
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="xyz"))
+    basis = rigid.rigid_modes_anm(coord, layout="xyz")
+
+    diag = np.asarray(
+        rigid.pinv_diagonal(jnp.asarray(h), basis, block_size=12)
+    )
+    ref = np.diagonal(np.linalg.pinv(h, hermitian=True, rcond=1e-6))
+    assert np.allclose(diag, ref, atol=1e-8)
