@@ -196,14 +196,22 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
 
     if sigma is None:
         sigma = jnp.mean(jnp.diagonal(matrix))
+    sigma = jnp.asarray(sigma, matrix.dtype)
 
     import jax
 
-    @functools.partial(jax.jit, donate_argnums=(0,),
-                       static_argnames=("block",))
-    def _diag(mat, t, sigma, block):
-        reg = mat + sigma * (t @ t.T)
-        chol = jnp.linalg.cholesky(reg)
+    # Staged jits with donated O(m^2) buffers so at most two m x m
+    # arrays are ever live: matrix -> regularized -> Cholesky factor.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _regularize(mat, t, sigma):
+        return mat + sigma * (t @ t.T)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _chol(reg):
+        return jnp.linalg.cholesky(reg)
+
+    @functools.partial(jax.jit, static_argnames=("block",))
+    def _diag_from_chol(chol, t, sigma, block):
         col_ids = jnp.arange(m)
 
         def block_diag(start):
@@ -217,4 +225,8 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
         diag = jax.lax.map(block_diag, jnp.arange(0, m, block)).reshape(m)
         return diag - jnp.sum(t * t, axis=1) / sigma
 
-    return _diag(matrix, t, jnp.asarray(sigma, matrix.dtype), block_size)
+    reg = _regularize(matrix, t, sigma)
+    del matrix
+    chol = _chol(reg)
+    del reg
+    return _diag_from_chol(chol, t, sigma, block_size)
