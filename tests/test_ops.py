@@ -143,3 +143,36 @@ def test_eigensystem_convention():
     assert np.all(np.diff(vals) >= -1e-12)
     for i in range(12):
         assert np.allclose(a @ vecs[i], vals[i] * vecs[i], atol=1e-9)
+
+
+def test_numpy_fallback_when_x64_off(ca_1l2y):
+    """With x64 disabled, float64 parity work must route through NumPy
+    instead of being silently downcast by JAX."""
+    import jax
+
+    from springcraft_tpu.utils.config import resolve_backend
+
+    try:
+        jax.config.update("jax_enable_x64", False)
+        assert resolve_backend(np.float64) == "numpy"
+
+        a = np.random.RandomState(0).rand(12, 12)
+        a = a + a.T
+        vals, vecs = linalg.eigh(a)
+        assert vals.dtype == np.float64
+        assert isinstance(vals, np.ndarray)
+
+        pinv = linalg.pinvh(a)
+        assert pinv.dtype == np.float64
+        assert np.allclose(pinv, np.linalg.pinv(a, hermitian=True,
+                                                rcond=1e-6), atol=1e-10)
+
+        # Full model path stays float64
+        import springcraft_tpu as sc
+
+        gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+        assert gnm.kirchhoff.dtype == np.float64
+        vals, _ = gnm.eigen()
+        assert vals.dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", True)
