@@ -28,13 +28,16 @@ from springcraft_tpu.ops import ffparams, modes, pallas_kernels, rigid
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 K_MODES = 20
 
-# Synthetic globular CA cloud at protein-like density (~0.0012 res/A^3)
+# Synthetic CA cloud: perturbed cubic lattice at protein-like density.
+# (A uniform random ball leaves isolated atoms -> extra zero modes; the
+# analytic-null-space fast paths require a *connected* network — check
+# with springcraft_tpu.utils.network.is_connected.)
 rng = np.random.RandomState(0)
-radius = (N / 0.0012 * 3 / (4 * np.pi)) ** (1 / 3)
-coord = rng.randn(N, 3).astype(np.float32)
-coord *= (radius * rng.rand(N, 1) ** (1 / 3)) / np.linalg.norm(
-    coord, axis=1, keepdims=True
-)
+side = int(np.ceil(N ** (1 / 3)))
+grid = np.stack(
+    np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1
+).reshape(-1, 3)[:N]
+coord = (grid * 5.5 + 0.8 * rng.randn(N, 3)).astype(np.float32)
 
 params = ffparams.invariant_params(13.0)
 

@@ -143,6 +143,11 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
 
     ttt = t @ t.T
     reg = matrix + sigma * ttt
+    # Jacobi equilibration: factor D^-1/2 R D^-1/2 instead of R — keeps
+    # the float32 Cholesky stable for large, ill-conditioned networks
+    # (inv(R) = S inv(S R S) S with S = D^-1/2).
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
+    reg = reg * scale[..., :, None] * scale[..., None, :]
     chol = jnp.linalg.cholesky(reg)
     m = matrix.shape[-1]
     if block_size is None or matrix.ndim > 2:
@@ -168,10 +173,12 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
             solve_block, jnp.arange(0, m, block_size)
         )  # (m // B, m, B): block b holds inverse columns [bB, (b+1)B)
         inv = jnp.concatenate(list(blocks), axis=1)
+    inv = inv * scale[..., :, None] * scale[..., None, :]
     return inv - ttt / sigma
 
 
-def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
+def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,
+                  donate=False):
     """
     Diagonal of the pseudo-inverse of a PSD matrix with known null
     basis, without materializing the inverse — the memory-lean path for
@@ -182,9 +189,9 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
     ``O(m * block_size)`` per solve block (vs ``O(m^2)`` x several for
     the full covariance).
 
-    .. warning:: the device buffer of `matrix` is **donated** (consumed)
-       to stay within memory at mega-assembly sizes — do not reuse the
-       input array afterwards.
+    With ``donate=True`` the device buffer of `matrix` is donated
+    (consumed) to stay within memory at mega-assembly sizes — the input
+    array is invalidated and must not be reused afterwards.
     """
     matrix = jnp.asarray(matrix)
     if matrix.ndim != 2:
@@ -202,16 +209,21 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
 
     # Staged jits with donated O(m^2) buffers so at most two m x m
     # arrays are ever live: matrix -> regularized -> Cholesky factor.
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    donated = (0,) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donated)
     def _regularize(mat, t, sigma):
-        return mat + sigma * (t @ t.T)
+        reg = mat + sigma * (t @ t.T)
+        # Jacobi equilibration (see covariance_cholesky)
+        scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+        return reg * scale[:, None] * scale[None, :], scale
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _chol(reg):
         return jnp.linalg.cholesky(reg)
 
     @functools.partial(jax.jit, static_argnames=("block",))
-    def _diag_from_chol(chol, t, sigma, block):
+    def _diag_from_chol(chol, t, sigma, scale, block):
         col_ids = jnp.arange(m)
 
         def block_diag(start):
@@ -223,10 +235,10 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024):
             return jnp.diagonal(rows)
 
         diag = jax.lax.map(block_diag, jnp.arange(0, m, block)).reshape(m)
-        return diag - jnp.sum(t * t, axis=1) / sigma
+        return diag * scale * scale - jnp.sum(t * t, axis=1) / sigma
 
-    reg = _regularize(matrix, t, sigma)
+    reg, scale = _regularize(matrix, t, sigma)
     del matrix
     chol = _chol(reg)
     del reg
-    return _diag_from_chol(chol, t, sigma, block_size)
+    return _diag_from_chol(chol, t, sigma, scale, block_size)

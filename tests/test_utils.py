@@ -37,3 +37,24 @@ def test_timed():
     seconds, result = timed(fn, jnp.arange(8.0), repeats=2)
     assert seconds >= 0
     assert np.allclose(np.asarray(result), np.arange(8.0) * 2)
+
+
+def test_connected_components(ca_1l2y):
+    from springcraft_tpu.utils.network import connected_components, is_connected
+
+    # Real protein at a sane cutoff is one component
+    assert is_connected(ca_1l2y.coord, 13.0)
+
+    # Two distant clusters -> two components
+    coords = np.concatenate(
+        [ca_1l2y.coord, ca_1l2y.coord + np.float32(500.0)]
+    )
+    assert not is_connected(coords, 13.0)
+
+    diff = coords[:, None, :] - coords[None, :, :]
+    adj = np.einsum("ijk,ijk->ij", diff, diff) <= 169.0
+    np.fill_diagonal(adj, False)
+    labels, count = connected_components(adj)
+    assert count == 2
+    assert len(np.unique(labels[:20])) == 1
+    assert labels[0] != labels[20]
