@@ -43,7 +43,7 @@ class ANM(ElasticNetworkModel):
 
     def _compute_matrix(self):
         hessian, _ = compute_hessian(
-            self._coord, self._ff, self._use_cell_list
+            self._coord, self._ff, self._use_cell_list, return_pairs=False
         )
         return hessian
 

@@ -126,14 +126,17 @@ class ElasticNetworkModel:
         Eigenvalues (ascending) and eigenvectors (modes in rows) of the
         interaction matrix; cached until the matrix changes.
 
-        The eigenvalue array is a fresh copy (mutable, like the
-        reference's per-call result); the eigenvector matrix is a
-        read-only view of the cache — copy it before modifying.
+        Each call returns fresh, mutable arrays (the reference contract)
+        backed by the cache — mutating a returned array does not corrupt
+        subsequent calls.
         """
+        vals, vecs = self._eigen()
+        return vals.copy(), vecs.copy()
+
+    def _eigen(self):
+        """Cached eigensystem without defensive copies — internal use
+        only (callers must not mutate)."""
         if self._eigen_cache is None:
             vals, vecs = linalg.eigensystem(self._get_matrix())
-            vecs = np.array(vecs)
-            vecs.flags.writeable = False
-            self._eigen_cache = (np.array(vals), vecs)
-        vals, vecs = self._eigen_cache
-        return vals.copy(), vecs
+            self._eigen_cache = (np.array(vals), np.array(vecs))
+        return self._eigen_cache

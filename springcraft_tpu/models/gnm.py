@@ -40,7 +40,7 @@ class GNM(ElasticNetworkModel):
 
     def _compute_matrix(self):
         kirchhoff, _ = compute_kirchhoff(
-            self._coord, self._ff, self._use_cell_list
+            self._coord, self._ff, self._use_cell_list, return_pairs=False
         )
         return kirchhoff
 

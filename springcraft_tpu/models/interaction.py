@@ -40,14 +40,22 @@ def _get_xp(dtype):
     return jnp
 
 
-def compute_kirchhoff(coord, force_field, use_cell_list=True):
+def compute_kirchhoff(coord, force_field, use_cell_list=True,
+                      return_pairs=True):
     """
     Kirchhoff matrix for the given coordinates and force field.
+
+    Parameters
+    ----------
+    return_pairs : bool, optional
+        If ``False``, skip building the O(n^2) interacting-pair list and
+        return ``None`` in its place (the model classes do this — they
+        only need the matrix).
 
     Returns
     -------
     kirchhoff : ndarray, shape=(n, n), dtype=float64
-    pairs : ndarray, shape=(k, 2), dtype=int
+    pairs : ndarray, shape=(k, 2), dtype=int, or None
         Indices of interacting atom pairs.
     """
     coord = _check_coord(coord, force_field)
@@ -61,20 +69,27 @@ def compute_kirchhoff(coord, force_field, use_cell_list=True):
     kirchhoff = np.array(
         assembly.kirchhoff_matrix(coord, params, xp), dtype=np.float64
     )
-    pairs = _pairs_from_params(coord, params)
+    pairs = _pairs_from_params(coord, params) if return_pairs else None
     return kirchhoff, pairs
 
 
-def compute_hessian(coord, force_field, use_cell_list=True):
+def compute_hessian(coord, force_field, use_cell_list=True,
+                    return_pairs=True):
     """
     Hessian matrix (atom-interleaved layout
     ``[x1, y1, z1, ..., xn, yn, zn]``) for the given coordinates and
     force field.
 
+    Parameters
+    ----------
+    return_pairs : bool, optional
+        If ``False``, skip building the O(n^2) interacting-pair list and
+        return ``None`` in its place.
+
     Returns
     -------
     hessian : ndarray, shape=(3n, 3n), dtype=float64
-    pairs : ndarray, shape=(k, 2), dtype=int
+    pairs : ndarray, shape=(k, 2), dtype=int, or None
     """
     coord = _check_coord(coord, force_field)
     params = force_field.to_params(natoms=len(coord))
@@ -86,7 +101,7 @@ def compute_hessian(coord, force_field, use_cell_list=True):
         assembly.hessian_matrix(coord, params, xp, layout="atom"),
         dtype=np.float64,
     )
-    pairs = _pairs_from_params(coord, params)
+    pairs = _pairs_from_params(coord, params) if return_pairs else None
     return hessian, pairs
 
 

@@ -61,13 +61,18 @@ def eigen(enm):
     return enm.eigen()
 
 
+def _eigen_view(enm):
+    """Cached eigensystem without defensive copies (read-only use)."""
+    return enm._eigen()
+
+
 def frequencies(enm):
     """
     Mode frequencies ``sqrt(lambda) / 2 pi``; trivial-mode eigenvalues
     are taken as absolute values (reference ``nma.py:66-105``).
     """
     _, n_trivial, _ = _model_info(enm)
-    eig_values, _ = eigen(enm)
+    eig_values, _ = _eigen_view(enm)
     xp = _xp_for(eig_values)
     return np.array(
         nma_core.frequencies_from_eigenvalues(
@@ -97,7 +102,7 @@ def mean_square_fluctuation(enm, mode_subset=None, tem=None,
     (reference ``nma.py:108-184``).
     """
     is_anm, n_trivial, num_dim = _model_info(enm)
-    eig_values, eig_vectors = eigen(enm)
+    eig_values, eig_vectors = _eigen_view(enm)
     modes, _ = _resolve_mode_subset(mode_subset, len(eig_values), n_trivial)
     xp = _xp_for(eig_values)
     return np.array(
@@ -124,7 +129,7 @@ def dcc(enm, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
     selected modes.
     """
     is_anm, n_trivial, num_dim = _model_info(enm)
-    eig_values, eig_vectors = eigen(enm)
+    eig_values, eig_vectors = _eigen_view(enm)
     modes, all_modes = _resolve_mode_subset(
         mode_subset, len(eig_values), n_trivial
     )
@@ -159,7 +164,7 @@ def normal_mode(anm, index, amplitude, frames, movement="sine"):
 
     if not isinstance(anm, ANM):
         raise ValueError("Instance of ANM class expected.")
-    _, eig_vectors = eigen(anm)
+    _, eig_vectors = _eigen_view(anm)
     xp = _xp_for(eig_vectors)
     return np.array(
         nma_core.normal_mode_displacements(

@@ -452,6 +452,9 @@ def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), dtype),
         scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*inputs)
 

@@ -80,11 +80,6 @@ class CellList:
         starts = np.searchsorted(sorted_flat, np.arange(dims.prod() + 1))
 
         adj = np.zeros((n, n), dtype=bool)
-        offsets = np.array(
-            [(dx * dims[1] + dy) * dims[2] + dz
-             for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
-        )
-        n_cells = int(dims.prod())
         for i in range(n):
             center = int(flat[i])
             ci = cell_idx[i]

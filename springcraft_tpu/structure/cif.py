@@ -19,23 +19,6 @@ from .atoms import AtomArray
 
 __all__ = ["CIFFile", "get_structure_cif", "load_structure_cif"]
 
-_FIELDS = {
-    "group_PDB": "record",
-    "auth_asym_id": "chain_id",
-    "label_asym_id": "chain_id_fallback",
-    "auth_seq_id": "res_id",
-    "label_seq_id": "res_id_fallback",
-    "auth_comp_id": "res_name",
-    "label_comp_id": "res_name_fallback",
-    "auth_atom_id": "atom_name",
-    "label_atom_id": "atom_name_fallback",
-    "type_symbol": "element",
-    "Cartn_x": "x",
-    "Cartn_y": "y",
-    "Cartn_z": "z",
-    "pdbx_PDB_model_num": "model",
-}
-
 
 def _tokenize(line):
     # mmCIF values may be quoted with ' or "
@@ -86,8 +69,14 @@ class CIFFile:
                     in_atom_site = False
                     continue
                 values = _tokenize(stripped)
-                if len(values) == len(columns):
-                    rows.append(values)
+                if len(values) != len(columns):
+                    raise ValueError(
+                        f"atom_site row has {len(values)} values for "
+                        f"{len(columns)} columns (multi-line or "
+                        f"';'-delimited values are not supported): "
+                        f"{stripped[:60]!r}"
+                    )
+                rows.append(values)
         return CIFFile(columns, rows)
 
     def get_model_count(self):

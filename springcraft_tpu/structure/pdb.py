@@ -49,6 +49,8 @@ def _atom_lines_for_model(lines, model):
     """Collect ATOM/HETATM record lines belonging to the given model."""
     has_models = any(line.startswith("MODEL") for line in lines)
     if not has_models:
+        if model not in (None, 1):
+            raise ValueError(f"Model {model} does not exist in this file")
         return [ln for ln in lines if ln.startswith(("ATOM", "HETATM"))]
 
     selected = []
@@ -67,8 +69,10 @@ def _atom_lines_for_model(lines, model):
     return selected
 
 
-def _guess_element(atom_name):
-    """Infer the element from a PDB atom name when columns 77-78 are empty."""
+def _guess_element(atom_name, hetero=False):
+    """Infer the element from a PDB atom name when columns 77-78 are
+    empty.  Two-letter elements are only trusted for HETATM records —
+    a protein atom named ``CA`` is an alpha carbon, not calcium."""
     name = atom_name.strip()
     if not name:
         return ""
@@ -76,10 +80,10 @@ def _guess_element(atom_name):
     stripped = name.lstrip("0123456789")
     if stripped[:1] in ("H", "D"):
         return "H"
-    if len(name) >= 2 and name[:2].upper() in ("FE", "ZN", "MG", "MN", "CU", "NA", "CL", "CA"):
-        # Only trust two-letter metals for HETATM-style names; for protein
-        # atoms the first character is the element.
-        return name[:2].capitalize().upper()
+    if hetero and len(name) >= 2 and name[:2].upper() in (
+        "FE", "ZN", "MG", "MN", "CU", "NA", "CL", "CA", "BR", "SE"
+    ):
+        return name[:2].upper()
     return stripped[:1]
 
 
@@ -101,6 +105,21 @@ def get_structure(pdb_file, model=None):
         model = 1
     lines = _atom_lines_for_model(pdb_file.lines, model)
 
+    # Alternate locations: keep only the first altloc of each atom
+    # (biotite's altloc="first" behavior) so alternate conformations do
+    # not appear as duplicate atoms.
+    kept = []
+    seen_altloc = set()
+    for line in lines:
+        altloc = line[16] if len(line) > 16 else " "
+        if altloc not in (" ", ""):
+            key = (line[21], line[22:27], line[12:16])  # chain, res, name
+            if key in seen_altloc:
+                continue
+            seen_altloc.add(key)
+        kept.append(line)
+    lines = kept
+
     n = len(lines)
     atoms = AtomArray(n)
     chain_id = np.empty(n, dtype="<U4")
@@ -109,24 +128,21 @@ def get_structure(pdb_file, model=None):
     atom_name = np.empty(n, dtype="<U6")
     element = np.empty(n, dtype="<U2")
     hetero = np.empty(n, dtype=bool)
-    coord = np.empty((n, 3), dtype=np.float32)
 
     for i, line in enumerate(lines):
-        # PDB fixed columns (1-based): name 13-16, resName 18-20,
-        # chainID 22, resSeq 23-26, x 31-38, y 39-46, z 47-54,
-        # element 77-78
+        # PDB fixed columns (1-based): name 13-16, altLoc 17,
+        # resName 18-20, chainID 22, resSeq 23-26, x 31-38, y 39-46,
+        # z 47-54, element 77-78
         atom_name[i] = line[12:16].strip()
         res_name[i] = line[17:20].strip()
         chain_id[i] = line[21].strip()
         res_id[i] = int(line[22:26])
-        coord[i, 0] = float(line[30:38])
-        coord[i, 1] = float(line[38:46])
-        coord[i, 2] = float(line[46:54])
-        elem = line[76:78].strip() if len(line) >= 78 else ""
-        element[i] = elem.upper() if elem else _guess_element(atom_name[i])
         hetero[i] = line.startswith("HETATM")
+        elem = line[76:78].strip() if len(line) >= 78 else ""
+        element[i] = (elem.upper() if elem
+                      else _guess_element(atom_name[i], hetero[i]))
 
-    atoms.coord = coord
+    atoms.coord = _parse_coords(lines)
     atoms.set_annotation("chain_id", chain_id)
     atoms.set_annotation("res_id", res_id)
     atoms.set_annotation("res_name", res_name)
@@ -135,6 +151,33 @@ def get_structure(pdb_file, model=None):
     atoms.add_annotation("hetero", bool)
     atoms.set_annotation("hetero", hetero)
     return atoms
+
+
+def _parse_coords(lines):
+    """Coordinate columns of ATOM/HETATM lines — through the native C
+    parser when available, otherwise pure Python."""
+    from .. import _native
+
+    lib = _native.get_lib()
+    if lib is not None and lines:
+        import ctypes
+
+        text = ("\n".join(lines) + "\n").encode()
+        out = np.empty((len(lines), 3), dtype=np.float64)
+        count = lib.parse_pdb_coords(
+            text, len(text),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(lines),
+        )
+        if count == len(lines):
+            return out.astype(np.float32)
+
+    coord = np.empty((len(lines), 3), dtype=np.float32)
+    for i, line in enumerate(lines):
+        coord[i, 0] = float(line[30:38])
+        coord[i, 1] = float(line[38:46])
+        coord[i, 2] = float(line[46:54])
+    return coord
 
 
 def load_structure(path, model=None):

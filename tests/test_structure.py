@@ -192,3 +192,44 @@ def test_load_ensemble(ca_1l2y, tmp_path):
     assert atoms.array_length() == len(ca_1l2y)
     assert batch.shape == (5, len(ca_1l2y), 3)
     assert np.allclose(batch, coords, atol=1e-3)
+
+
+def test_pdb_altloc_first(tmp_path):
+    """Alternate locations: only the first altloc of each atom is kept."""
+    lines = [
+        "ATOM      1  N   ASN A   1      -8.901   4.127  -0.555  1.00  0.00           N",
+        "ATOM      2  CA AASN A   1      -8.608   3.135  -1.618  0.60  0.00           C",
+        "ATOM      3  CA BASN A   1      -8.500   3.100  -1.600  0.40  0.00           C",
+        "ATOM      4  C   ASN A   1      -7.117   2.964  -1.897  1.00  0.00           C",
+        "END",
+    ]
+    path = tmp_path / "altloc.pdb"
+    path.write_text("\n".join(lines) + "\n")
+    atoms = load_structure(path)
+    assert atoms.array_length() == 3
+    ca = atoms[atoms.atom_name == "CA"]
+    assert ca.array_length() == 1
+    assert np.allclose(ca.coord[0], [-8.608, 3.135, -1.618], atol=1e-3)
+
+
+def test_pdb_element_guess_without_element_column(tmp_path):
+    """Blank element columns: CA on an ATOM record is carbon, not
+    calcium; CA on a HETATM record is calcium."""
+    lines = [
+        "ATOM      1  CA  ASN A   1      -8.608   3.135  -1.618  1.00  0.00",
+        "HETATM    2 CA    CA A 101       1.000   2.000   3.000  1.00  0.00",
+        "END",
+    ]
+    path = tmp_path / "elem.pdb"
+    path.write_text("\n".join(lines) + "\n")
+    atoms = load_structure(path)
+    assert atoms.element[0] == "C"
+    assert atoms.element[1] == "CA"
+
+
+def test_pdb_missing_model_raises():
+    from os.path import join
+
+    pdb = PDBFile.read(join(data_dir(), "1l2y.pdb"))
+    with pytest.raises(ValueError):
+        get_structure(pdb, model=3)
