@@ -35,6 +35,13 @@ from .models import (
     prs,
 )
 
+# Make `import springcraft_tpu.nma` resolve to the models.nma module
+# (mirrors the reference's flat module layout; the forcefield/anm/gnm/
+# interaction aliases are real modules).
+import sys as _sys
+
+_sys.modules[__name__ + ".nma"] = nma
+
 __all__ = [
     "__version__",
     "ANM",

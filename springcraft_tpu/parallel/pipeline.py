@@ -249,9 +249,28 @@ def gnm_fluctuations(coord, params, masses=None, *, with_dcc=True,
 
 def ensemble_anm_fluctuations(coords, params, masses=None, **options):
     """Batched fast-covariance ANM over a conformer ensemble."""
+    params = _resolve_params(params)
     fn = functools.partial(anm_fluctuations, params=params, masses=masses,
                            **options)
     return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
+
+
+def _resolve_params(params):
+    """Accept either an FFParams pytree or a ForceField object (lowered
+    to its compact device form when available)."""
+    to_compact = getattr(params, "to_compact_params", None)
+    if to_compact is not None:
+        return to_compact()
+    to_params = getattr(params, "to_params", None)
+    if to_params is not None and not hasattr(params, "kind"):
+        lowered = to_params()
+        if lowered is None:
+            raise ValueError(
+                "This force field has no device parameterization; use "
+                "the host API (compute_kirchhoff/compute_hessian)"
+            )
+        return lowered
+    return params
 
 
 def ensemble_anm(coords, params, masses=None, **options):
@@ -262,7 +281,7 @@ def ensemble_anm(coords, params, masses=None, **options):
     ----------
     coords : ndarray, shape=(b, n, 3)
         Conformer batch (e.g. MD snapshots of one protein).
-    params : FFParams
+    params : FFParams or ForceField
         Shared force-field parameterization (per-structure tables are
         valid across conformers of the same sequence).
     masses : ndarray, shape=(n,), optional
@@ -271,6 +290,7 @@ def ensemble_anm(coords, params, masses=None, **options):
     -------
     dict of batched observables (leading axis = conformer).
     """
+    params = _resolve_params(params)
     fn = functools.partial(anm_observables, params=params, masses=masses,
                            **options)
     return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
@@ -279,6 +299,7 @@ def ensemble_anm(coords, params, masses=None, **options):
 def ensemble_gnm(coords, params, masses=None, **options):
     """Batched GNM NMA over an ensemble of conformers
     (see :func:`ensemble_anm`)."""
+    params = _resolve_params(params)
     fn = functools.partial(gnm_observables, params=params, masses=masses,
                            **options)
     return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))

@@ -149,3 +149,32 @@ def test_hessian_setter_roundtrip_via_covariance(ca_1l2y):
     recovered = fresh.hessian
     ref = np.linalg.pinv(cov, hermitian=True, rcond=1e-6)
     assert np.allclose(recovered, ref, atol=1e-8)
+
+
+def test_reference_module_layout():
+    """Reference-style submodule imports must work."""
+    from springcraft_tpu.forcefield import InvariantForceField
+    from springcraft_tpu.anm import ANM
+    from springcraft_tpu.gnm import GNM
+    from springcraft_tpu.interaction import compute_kirchhoff
+    import springcraft_tpu.nma as nma_mod
+
+    assert InvariantForceField is sc.InvariantForceField
+    assert ANM is sc.ANM
+    assert GNM is sc.GNM
+    assert compute_kirchhoff is sc.compute_kirchhoff
+    assert nma_mod.eigen is sc.eigen
+
+
+def test_ensemble_accepts_forcefield_objects(ca_1l2y):
+    import jax.numpy as jnp
+
+    from springcraft_tpu.parallel import ensemble_anm
+
+    coords = np.repeat(ca_1l2y.coord[None], 3, axis=0)
+    ff = sc.TabulatedForceField.e_anm(ca_1l2y)
+    out = ensemble_anm(coords, ff, dtype=jnp.float64)
+
+    anm = sc.ANM(ca_1l2y, ff)
+    vals_ref, _ = anm.eigen()
+    assert np.allclose(out["eig_values"][0], vals_ref, atol=1e-9)
