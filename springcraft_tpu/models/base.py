@@ -73,6 +73,12 @@ class ElasticNetworkModel:
 
     # -- lazy dual caches ----------------------------------------------------
 
+    # NOTE on in-place mutation: like the reference ("This is not a
+    # copy: Create a copy before modifying this matrix"), the matrix/
+    # covariance properties return live arrays that must not be mutated
+    # in place.  Here that contract matters doubly: the eigensystem is
+    # cached, so undetectable in-place writes would also leave cached
+    # observables stale.  Assign through the setters instead.
     def _get_matrix(self):
         if self._matrix is None:
             if self._covariance is None:

@@ -125,17 +125,12 @@ def _check_coord(coord, force_field):
 
 def _pairs_from_params(coord, params):
     """Interacting-pair index list for the dense path (row-major order,
-    matching the reference's ``np.where`` over the adjacency matrix)."""
+    matching the reference's ``np.where`` over the adjacency matrix).
+    Shares the adjacency/overlay composition with the assembly kernels
+    so the pair list always describes the assembled matrix."""
     disp = coord[:, None, :] - coord[None, :, :]
     sq_dist = np.einsum("ijk,ijk->ij", disp, disp)
-    mask = ffparams._adjacency(sq_dist, params, np)
-    if params.overlays:
-        off_any = np.zeros_like(mask)
-        on_any = np.zeros_like(mask)
-        for overlay in params.overlays:
-            off_any |= overlay.off_mask
-            on_any |= overlay.on_mask
-        mask = (mask & ~off_any) | on_any
+    mask = ffparams.effective_adjacency(sq_dist, params, np)
     atom_i, atom_j = np.where(mask)
     return np.stack([atom_i, atom_j], axis=1)
 

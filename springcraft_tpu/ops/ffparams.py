@@ -76,19 +76,31 @@ class PatchOverlay:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FFParams:
-    """Parameter pytree for one force-field family."""
+    """Parameter pytree for one force-field family.
+
+    The family tag, bin count, cutoff and bin edges are *static*
+    (compile-time) fields: they select code paths (masking, bin
+    unrolling) in both the XLA and Pallas kernels, and as plain
+    floats/tuples they stay concrete under ``jit`` instead of becoming
+    tracers.
+    """
 
     # Static: family tag and bin count (shape-determining)
     kind: str = dataclasses.field(metadata=dict(static=True))
     n_bins: int = dataclasses.field(metadata=dict(static=True))
 
-    # Squared cutoff distance; +inf means "no cutoff"
-    cutoff_sq: Any = _INF
+    # Squared cutoff distance (float; +inf means "no cutoff")
+    cutoff_sq: float = dataclasses.field(
+        default=_INF, metadata=dict(static=True)
+    )
+
+    # squared right bin edges, tuple of floats (static)
+    edges_sq: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     # table_pair: position-specific (n, n, bins) force-constant table
     pair_table: Optional[Any] = None
-    # squared right bin edges, (bins,)
-    edges_sq: Optional[Any] = None
 
     # table_compact fields
     type_idx: Optional[Any] = None      # (n,) int32 amino-acid type
@@ -103,9 +115,7 @@ class FFParams:
 
     @property
     def has_cutoff(self):
-        return not (
-            isinstance(self.cutoff_sq, float) and self.cutoff_sq == _INF
-        )
+        return self.cutoff_sq != _INF
 
 
 def invariant_params(cutoff_distance):
@@ -148,7 +158,8 @@ def table_pair_params(pair_table, edges):
     return FFParams(
         kind="table_pair", n_bins=n_bins,
         cutoff_sq=float(edges[-1]) ** 2,
-        pair_table=pair_table, edges_sq=edges**2,
+        pair_table=pair_table,
+        edges_sq=tuple(float(e) ** 2 for e in edges),
     )
 
 
@@ -164,7 +175,8 @@ def table_compact_params(type_idx, chain_code, bonded_next,
         cutoff_sq, edges_sq = _INF, None
     else:
         edges = np.asarray(edges, dtype=np.float64)
-        cutoff_sq, edges_sq = float(edges[-1]) ** 2, edges**2
+        cutoff_sq = float(edges[-1]) ** 2
+        edges_sq = tuple(float(e) ** 2 for e in edges)
     return FFParams(
         kind="table_compact", n_bins=n_bins, cutoff_sq=cutoff_sq,
         edges_sq=edges_sq,
@@ -221,6 +233,22 @@ def _adjacency(sq_dist, params, xp):
     else:
         adj = xp.ones_like(eye)
     return adj & ~eye
+
+
+def effective_adjacency(sq_dist, params, xp):
+    """Final interaction set: cutoff adjacency with the concatenated
+    patch overlays applied in the reference order — all shutdown/off
+    patches first, then all pair_on re-enable
+    (reference ``interaction.py:193-213``)."""
+    adj = _adjacency(sq_dist, params, xp)
+    if params.overlays:
+        off_any = xp.zeros_like(adj)
+        on_any = xp.zeros_like(adj)
+        for overlay in params.overlays:
+            off_any = off_any | xp.asarray(overlay.off_mask)
+            on_any = on_any | xp.asarray(overlay.on_mask)
+        adj = (adj & ~off_any) | on_any
+    return adj
 
 
 def _bin_indices(sq_dist, params, xp):
@@ -296,21 +324,10 @@ def force_constant_matrix(sq_dist, params, xp, dtype=None):
     ``force_field.force_constant(pairs...)`` call at reference
     ``interaction.py:49,95``.
     """
-    adj = _adjacency(sq_dist, params, xp)
+    adj = effective_adjacency(sq_dist, params, xp)
     k = _base_constants(sq_dist, params, xp)
 
     if params.overlays:
-        # Adjacency patching follows the reference order
-        # (interaction.py:193-213) over the *concatenated* patches of
-        # the whole nesting chain: all shutdowns/offs first, then all
-        # pair_on re-enable.
-        off_any = xp.zeros_like(adj)
-        on_any = xp.zeros_like(adj)
-        for overlay in params.overlays:
-            off_any = off_any | xp.asarray(overlay.off_mask)
-            on_any = on_any | xp.asarray(overlay.on_mask)
-        adj = (adj & ~off_any) | on_any
-
         # Value pipeline, innermost patch outward: pairs beyond the
         # wrapped field's cutoff contribute zero (forcefield.py:188-195)
         # and per-pair constants override wherever defined

@@ -209,7 +209,7 @@ def _hessian_kernel(params, n, n_tiles, tile, *refs):
 
 
 def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
-                   interpret=False):
+                   interpret=None):
     """
     Fused tiled ANM Hessian on TPU.
 
@@ -231,6 +231,10 @@ def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
             f"Pallas path does not support kind={params.kind!r} "
             f"with overlays={bool(params.overlays)}"
         )
+    if interpret is None:
+        # Compiled Mosaic kernels need a TPU; fall back to the
+        # interpreter elsewhere (tests, CPU debugging)
+        interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
     n_pad = _round_up(n, tile)
@@ -305,31 +309,35 @@ def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
 
 
 def _compact_device_inputs(params, n, n_pad, dtype):
-    """Padded device-side metadata for the compact tabulated family."""
-    type_idx = np.zeros(n_pad, dtype=np.int32)
-    type_idx[:n] = np.asarray(params.type_idx)
-    onehot = jax.nn.one_hot(jnp.asarray(type_idx), 32, dtype=dtype)
+    """Padded device-side metadata for the compact tabulated family.
+    Built with jnp ops so the (traced) parameter arrays stay traceable
+    under jit."""
+    type_idx = jnp.zeros(n_pad, dtype=jnp.int32).at[:n].set(
+        jnp.asarray(params.type_idx, dtype=jnp.int32)
+    )
+    onehot = jax.nn.one_hot(type_idx, 32, dtype=dtype)
 
     # Chain padding uses -1 (never a real chain code) so padded atoms
     # are never same-chain; padded atoms are never bonded.  Padded rows
     # are masked out by index anyway.
-    chain = np.full((1, n_pad), -1, dtype=np.int32)
-    chain[0, :n] = np.asarray(params.chain_code)
-    bonded = np.zeros((1, n_pad), dtype=np.int32)
-    bonded[0, :n] = np.asarray(params.bonded_next).astype(np.int32)
+    chain = jnp.full((1, n_pad), -1, dtype=jnp.int32).at[0, :n].set(
+        jnp.asarray(params.chain_code, dtype=jnp.int32)
+    )
+    bonded = jnp.zeros((1, n_pad), dtype=jnp.int32).at[0, :n].set(
+        jnp.asarray(params.bonded_next).astype(jnp.int32)
+    )
 
-    intra = np.asarray(params.intra_table, dtype=np.float32)
-    inter = np.asarray(params.inter_table, dtype=np.float32)
-    bond = np.asarray(params.bonded_table, dtype=np.float32)
+    intra = jnp.asarray(params.intra_table, dtype=jnp.float32)
+    inter = jnp.asarray(params.inter_table, dtype=jnp.float32)
+    bond = jnp.asarray(params.bonded_table, dtype=jnp.float32)
     n_bins = intra.shape[-1]
     # (n_bins, 3, 32, 32): pad the 20x20 tables to MXU-friendly 32
-    tables = np.zeros((n_bins, 3, 32, 32), dtype=np.float32)
-    tables[:, 0, :20, :20] = np.moveaxis(intra, -1, 0)
-    tables[:, 1, :20, :20] = np.moveaxis(inter, -1, 0)
-    tables[:, 2, :20, :20] = np.moveaxis(bond, -1, 0)
+    tables = jnp.zeros((n_bins, 3, 32, 32), dtype=jnp.float32)
+    tables = tables.at[:, 0, :20, :20].set(jnp.moveaxis(intra, -1, 0))
+    tables = tables.at[:, 1, :20, :20].set(jnp.moveaxis(inter, -1, 0))
+    tables = tables.at[:, 2, :20, :20].set(jnp.moveaxis(bond, -1, 0))
 
-    return (onehot, jnp.asarray(chain), jnp.asarray(bonded),
-            jnp.asarray(tables))
+    return onehot, chain, bonded, tables
 
 
 # ---------------------------------------------------------------------------
@@ -391,7 +399,7 @@ def _kirchhoff_kernel(params, n, n_tiles, tile, *refs):
 
 
 def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
-                     interpret=False):
+                     interpret=None):
     """Fused tiled GNM Kirchhoff matrix on TPU (see
     :func:`hessian_pallas`)."""
     if not supports_params(params):
@@ -399,6 +407,10 @@ def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
             f"Pallas path does not support kind={params.kind!r} "
             f"with overlays={bool(params.overlays)}"
         )
+    if interpret is None:
+        # Compiled Mosaic kernels need a TPU; fall back to the
+        # interpreter elsewhere (tests, CPU debugging)
+        interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
     n_pad = _round_up(n, tile)

@@ -94,6 +94,11 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
     vecs = vecs.T  # modes in rows
 
     n_trivial = 6
+    if n_modes is not None and n_modes > 3 * n - n_trivial:
+        raise ValueError(
+            f"n_modes={n_modes} exceeds the {3 * n - n_trivial} "
+            f"non-trivial modes"
+        )
     stop = 3 * n if n_modes is None else n_trivial + n_modes
     mode_indices = jnp.arange(n_trivial, stop)
 
@@ -155,6 +160,11 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
     vecs = vecs.T
 
     n_trivial = 1
+    if n_modes is not None and n_modes > n - n_trivial:
+        raise ValueError(
+            f"n_modes={n_modes} exceeds the {n - n_trivial} "
+            f"non-trivial modes"
+        )
     stop = n if n_modes is None else n_trivial + n_modes
     mode_indices = jnp.arange(n_trivial, stop)
 

@@ -147,7 +147,10 @@ class AtomArray:
             return {name: annot[index] for name, annot in self._annot.items()} | {
                 "coord": self.coord[index]
             }
-        new_coord = self.coord[index]
+        # np.array: slice indexing would otherwise return a *view* of
+        # the parent coordinates (annotations are copied), silently
+        # aliasing mutations across arrays
+        new_coord = np.array(self.coord[index])
         new = AtomArray(len(new_coord))
         new.coord = new_coord
         for name, annot in self._annot.items():

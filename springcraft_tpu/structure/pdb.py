@@ -105,20 +105,26 @@ def get_structure(pdb_file, model=None):
         model = 1
     lines = _atom_lines_for_model(pdb_file.lines, model)
 
-    # Alternate locations: keep only the first altloc of each atom
-    # (biotite's altloc="first" behavior) so alternate conformations do
-    # not appear as duplicate atoms.
-    kept = []
-    seen_altloc = set()
+    # Alternate locations (biotite altloc="first" semantics): for each
+    # residue, pick the first altloc ID that appears and keep only
+    # blank-altloc atoms plus atoms with that ID — never mix
+    # conformations within a residue.
+    residue_altloc = {}
     for line in lines:
         altloc = line[16] if len(line) > 16 else " "
         if altloc not in (" ", ""):
-            key = (line[21], line[22:27], line[12:16])  # chain, res, name
-            if key in seen_altloc:
-                continue
-            seen_altloc.add(key)
-        kept.append(line)
-    lines = kept
+            res_key = (line[21], line[22:27], line[17:20])
+            residue_altloc.setdefault(res_key, altloc)
+    if residue_altloc:
+        kept = []
+        for line in lines:
+            altloc = line[16] if len(line) > 16 else " "
+            if altloc not in (" ", ""):
+                res_key = (line[21], line[22:27], line[17:20])
+                if altloc != residue_altloc[res_key]:
+                    continue
+            kept.append(line)
+        lines = kept
 
     n = len(lines)
     atoms = AtomArray(n)
@@ -184,7 +190,11 @@ def load_structure(path, model=None):
     """Read a structure file (PDB or mmCIF by extension) and return its
     :class:`AtomArray`."""
     name = str(path)
-    if name.endswith((".cif", ".cif.gz", ".mmcif", ".bcif")):
+    if name.endswith(".bcif"):
+        raise NotImplementedError(
+            "BinaryCIF (.bcif) is not supported; convert to .cif or .pdb"
+        )
+    if name.endswith((".cif", ".cif.gz", ".mmcif")):
         from .cif import load_structure_cif
 
         return load_structure_cif(path, model=model)

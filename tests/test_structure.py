@@ -233,3 +233,33 @@ def test_pdb_missing_model_raises():
     pdb = PDBFile.read(join(data_dir(), "1l2y.pdb"))
     with pytest.raises(ValueError):
         get_structure(pdb, model=3)
+
+
+def test_atom_array_slice_is_independent(ca_1l2y):
+    sub = ca_1l2y[0:5]
+    original = ca_1l2y.coord[0].copy()
+    sub.coord[:] = 0.0
+    assert np.allclose(ca_1l2y.coord[0], original)
+
+
+def test_pdb_altloc_per_residue(tmp_path):
+    """Altloc selection is per residue: the first altloc ID wins for the
+    whole residue even when atoms list IDs in different orders."""
+    lines = [
+        "ATOM      1  N  BASN A   1       1.000   0.000   0.000  0.50  0.00           N",
+        "ATOM      2  N  AASN A   1       2.000   0.000   0.000  0.50  0.00           N",
+        "ATOM      3  CA AASN A   1       3.000   0.000   0.000  0.50  0.00           C",
+        "ATOM      4  CA BASN A   1       4.000   0.000   0.000  0.50  0.00           C",
+        "END",
+    ]
+    path = tmp_path / "mixed.pdb"
+    path.write_text("\n".join(lines) + "\n")
+    atoms = load_structure(path)
+    # Residue's first altloc ID is 'B' -> keep N@1.0 and CA@4.0
+    assert atoms.array_length() == 2
+    assert np.allclose(atoms.coord[:, 0], [1.0, 4.0])
+
+
+def test_bcif_rejected():
+    with pytest.raises(NotImplementedError):
+        load_structure("foo.bcif")
