@@ -130,9 +130,15 @@ def _compact_tile_constants(sq, rows, cols, params, extra):
 
 
 def _pair_table_product(onehot_rows, table, onehot_cols):
-    # (TI, 20) @ (20, 20) @ (20, TJ) on the MXU
-    left = jnp.dot(onehot_rows, table, preferred_element_type=jnp.float32)
-    return jnp.dot(left, onehot_cols.T, preferred_element_type=jnp.float32)
+    # (TI, 32) @ (32, 32) @ (32, TJ) on the MXU.  precision=HIGHEST:
+    # the default bf16 MXU pass would round the table *values* (~0.4%),
+    # and a one-hot gather must reproduce them exactly.
+    left = jnp.dot(onehot_rows, table,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(left, onehot_cols.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
