@@ -15,6 +15,7 @@ from .sharded import (
     ensemble_mean_msf,
     sharded_anm_pipeline,
     sharded_ensemble_anm,
+    sharded_ensemble_anm_fluctuations,
     sharded_ensemble_gnm,
     sharded_hessian,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "ensemble_gnm",
     "sharded_ensemble_anm",
     "sharded_ensemble_gnm",
+    "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
     "sharded_anm_pipeline",
     "ensemble_mean_msf",

@@ -37,6 +37,7 @@ from . import pipeline
 __all__ = [
     "sharded_ensemble_anm",
     "sharded_ensemble_gnm",
+    "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
     "ensemble_mean_msf",
 ]
@@ -64,6 +65,15 @@ def sharded_ensemble_gnm(coords, params, mesh, masses=None, **options):
     """Data-parallel ensemble GNM (see :func:`sharded_ensemble_anm`)."""
     coords = _shard_batch(coords, mesh)
     return pipeline.ensemble_gnm(coords, params, masses=masses, **options)
+
+
+def sharded_ensemble_anm_fluctuations(coords, params, mesh, masses=None,
+                                      **options):
+    """Data-parallel fast-covariance ensemble ANM over `mesh`
+    (see :func:`sharded_ensemble_anm`)."""
+    coords = _shard_batch(coords, mesh)
+    return pipeline.ensemble_anm_fluctuations(coords, params,
+                                              masses=masses, **options)
 
 
 def ensemble_mean_msf(coords, params, mesh, kind="anm"):

@@ -16,7 +16,13 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-__all__ = ["enable_x64", "x64_enabled", "resolve_backend", "default_dtype"]
+__all__ = [
+    "enable_x64",
+    "x64_enabled",
+    "resolve_backend",
+    "default_dtype",
+    "enable_nan_checks",
+]
 
 
 def enable_x64(enabled=True):
@@ -26,6 +32,16 @@ def enable_x64(enabled=True):
 
 def x64_enabled():
     return bool(jax.config.jax_enable_x64)
+
+
+def enable_nan_checks(enabled=True):
+    """
+    Toggle JAX NaN debugging: every jitted computation re-runs un-jitted
+    and raises on the first NaN it produces.  Useful when the fast
+    covariance/LOBPCG paths are applied to a disconnected network (extra
+    zero modes make them singular — see ``utils.network.is_connected``).
+    """
+    jax.config.update("jax_debug_nans", bool(enabled))
 
 
 def default_dtype():

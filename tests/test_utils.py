@@ -58,3 +58,16 @@ def test_connected_components(ca_1l2y):
     assert count == 2
     assert len(np.unique(labels[:20])) == 1
     assert labels[0] != labels[20]
+
+
+def test_enable_nan_checks_toggle():
+    import jax
+
+    from springcraft_tpu.utils.config import enable_nan_checks
+
+    try:
+        enable_nan_checks(True)
+        assert jax.config.jax_debug_nans
+    finally:
+        enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans
