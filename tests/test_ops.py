@@ -176,3 +176,36 @@ def test_numpy_fallback_when_x64_off(ca_1l2y):
         assert vals.dtype == np.float64
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_eigvalsh_sturm_matches_eigh():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(40, 40)
+    a = a + a.T
+    vals = np.asarray(spectrum.eigvalsh_sturm(jnp.asarray(a), n_iter=60))
+    ref = np.linalg.eigvalsh(a)
+    assert np.allclose(vals, ref, atol=1e-10)
+
+    # Batched
+    batch = rng.rand(3, 24, 24)
+    batch = batch + batch.swapaxes(-1, -2)
+    vals_b = np.asarray(spectrum.eigvalsh_sturm(jnp.asarray(batch),
+                                                n_iter=60))
+    for i in range(3):
+        assert np.allclose(vals_b[i], np.linalg.eigvalsh(batch[i]),
+                           atol=1e-10)
+
+
+def test_tridiagonalize_preserves_spectrum():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(1)
+    a = rng.rand(30, 30)
+    a = a + a.T
+    d, e = spectrum.tridiagonalize(jnp.asarray(a))
+    t = (np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+         + np.diag(np.asarray(e), -1))
+    assert np.allclose(np.linalg.eigvalsh(t), np.linalg.eigvalsh(a),
+                       atol=1e-10)
