@@ -54,11 +54,11 @@ def _build_hessian_xyz(coord, params, dtype, use_pallas):
 @functools.partial(
     jax.jit,
     static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype",
-                     "use_pallas"),
+                     "use_pallas", "tem", "tem_factors"),
 )
 def anm_observables(coord, params, masses=None, *, with_dcc=False,
                     with_covariance=False, n_modes=None, dtype=jnp.float32,
-                    use_pallas=False):
+                    use_pallas=False, tem=None, tem_factors=nma_core.K_B):
     """
     Full ANM NMA for one structure: Hessian (xyz plane layout), batched
     eigensolve, and the standard observables with the six trivial modes
@@ -109,7 +109,8 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
             vals, n_trivial, jnp
         ),
         "msf": nma_core.mean_square_fluctuation(
-            vals, vecs, mode_indices, jnp, num_dim=3, layout="xyz"
+            vals, vecs, mode_indices, jnp, num_dim=3, layout="xyz",
+            tem=tem, tem_factors=tem_factors,
         ),
     }
     out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
@@ -145,10 +146,13 @@ def _build_kirchhoff(coord, params, dtype, use_pallas):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas")
+    jax.jit,
+    static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas", "tem",
+                     "tem_factors"),
 )
 def gnm_observables(coord, params, masses=None, *, with_dcc=False,
-                    n_modes=None, dtype=jnp.float32, use_pallas=False):
+                    n_modes=None, dtype=jnp.float32, use_pallas=False,
+                    tem=None, tem_factors=nma_core.K_B):
     """GNM analogue of :func:`anm_observables` over the Kirchhoff
     matrix (one trivial mode)."""
     coord = jnp.asarray(coord, dtype=dtype)
@@ -175,7 +179,8 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
             vals, n_trivial, jnp
         ),
         "msf": nma_core.mean_square_fluctuation(
-            vals, vecs, mode_indices, jnp, num_dim=1
+            vals, vecs, mode_indices, jnp, num_dim=1,
+            tem=tem, tem_factors=tem_factors,
         ),
     }
     out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
