@@ -14,10 +14,12 @@ from .pipeline import (
 from .sharded import (
     ensemble_mean_msf,
     sharded_anm_pipeline,
+    sharded_covariance,
     sharded_ensemble_anm,
     sharded_ensemble_anm_fluctuations,
     sharded_ensemble_gnm,
     sharded_hessian,
+    sharded_lowest_modes,
 )
 
 __all__ = [
@@ -34,6 +36,8 @@ __all__ = [
     "sharded_ensemble_gnm",
     "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
+    "sharded_lowest_modes",
+    "sharded_covariance",
     "sharded_anm_pipeline",
     "ensemble_mean_msf",
 ]

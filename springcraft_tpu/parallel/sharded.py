@@ -39,6 +39,8 @@ __all__ = [
     "sharded_ensemble_gnm",
     "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
+    "sharded_lowest_modes",
+    "sharded_covariance",
     "ensemble_mean_msf",
 ]
 
@@ -126,6 +128,90 @@ def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
         out_specs=P("row", None),
     )
     return jax.jit(fn)(coord)
+
+
+def sharded_lowest_modes(coord, params, mesh, k, dtype=jnp.float32,
+                         n_iter=200):
+    """
+    Lowest non-trivial ANM modes of a mega-assembly on a mesh: the
+    Hessian is built row-sharded (zero communication) and stays sharded
+    through the LOBPCG iteration — XLA partitions the ``H @ X`` matvecs
+    across the ``"row"`` axis and inserts the reduce/all-gather
+    collectives for the small block operations.
+    """
+    from ..ops import modes
+
+    hessian = sharded_hessian(coord, params, mesh, dtype=dtype)
+    coord = jnp.asarray(coord, dtype=dtype)
+    # Convert atom-layout rigid modes: sharded_hessian is atom layout
+    from ..ops import rigid
+
+    basis = rigid.rigid_modes_anm(coord, layout="atom")
+    return modes.lowest_modes(hessian, k, null_basis=basis, n_iter=n_iter)
+
+
+def sharded_covariance(coord, params, mesh, dtype=jnp.float32,
+                       sigma=None):
+    """
+    Mega-assembly pseudo-inverse covariance on a mesh: the Cholesky
+    factor is computed once (replicated) and the identity right-hand
+    side is solved in column shards — each device back-substitutes its
+    own column block, producing the covariance column-sharded across
+    the mesh.
+    """
+    from ..ops import rigid
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    n3 = 3 * coord.shape[0]
+    n_dev = mesh.size
+    if n3 % n_dev != 0:
+        raise ValueError(f"3n={n3} must be divisible by the mesh size "
+                         f"{n_dev}")
+
+    hessian = sharded_hessian(coord, params, mesh, dtype=dtype)
+    basis = rigid.rigid_modes_anm(coord, layout="atom")
+
+    @jax.jit
+    def solve(h, t):
+        if sigma is None:
+            sig = jnp.mean(jnp.diagonal(h))
+        else:
+            sig = jnp.asarray(sigma, h.dtype)
+        reg = h + sig * (t @ t.T)
+        scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+        reg = reg * scale[:, None] * scale[None, :]
+        chol = jnp.linalg.cholesky(reg)
+
+        block = n3 // n_dev
+
+        def col_block(chol_local, t_local, scale_local):
+            d = jax.lax.axis_index("ens") * mesh.shape["row"] \
+                + jax.lax.axis_index("row")
+            cols = d * block + jnp.arange(block)
+            rhs = (jnp.arange(n3)[:, None] == cols[None, :]).astype(
+                chol_local.dtype
+            )
+            import jax.scipy.linalg as jsl
+
+            sol = jsl.cho_solve((chol_local, True), rhs)
+            sol = sol * scale_local[:, None]
+            sol = sol * jax.lax.dynamic_slice_in_dim(
+                scale_local, d * block, block
+            )[None, :]
+            ttt_cols = t_local @ jax.lax.dynamic_slice_in_dim(
+                t_local, d * block, block, axis=0
+            ).T
+            return sol - ttt_cols / sig
+
+        fn = shard_map(
+            col_block,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, ("ens", "row")),
+        )
+        return fn(chol, t, scale)
+
+    return solve(hessian, basis)
 
 
 def sharded_anm_pipeline(coord, params, mesh, dtype=jnp.float32,

@@ -194,3 +194,40 @@ def test_n_modes_validation(ca_1l2y):
     with pytest.raises(ValueError):
         gnm_observables(ca_1l2y.coord.astype(np.float32), ff.to_params(),
                         n_modes=10_000)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_lowest_modes():
+    from springcraft_tpu.parallel import sharded_lowest_modes
+
+    mesh = make_mesh(8, row_axis=4)
+    params = ffparams.invariant_params(10.0)
+    coord = _conformers(1, 40, seed=6)[0].astype(np.float64)
+
+    vals, vecs = sharded_lowest_modes(coord, params, mesh, k=6,
+                                      dtype=jnp.float64, n_iter=300)
+    from springcraft_tpu.ops import assembly
+
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="atom"))
+    ref = np.linalg.eigvalsh(h)
+    assert np.allclose(np.asarray(vals), ref[6:12], rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_covariance():
+    from springcraft_tpu.parallel import sharded_covariance
+
+    mesh = make_mesh(8, row_axis=2)
+    params = ffparams.invariant_params(10.0)
+    coord = _conformers(1, 40, seed=6)[0].astype(np.float64)
+
+    cov = np.asarray(
+        sharded_covariance(coord, params, mesh, dtype=jnp.float64)
+    )
+    from springcraft_tpu.ops import assembly
+
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="atom"))
+    ref = np.linalg.pinv(h, hermitian=True, rcond=1e-6)
+    assert np.allclose(cov, ref, atol=1e-8)
