@@ -239,7 +239,9 @@ def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
         )
     if interpret is None:
         # Compiled Mosaic kernels need a TPU; fall back to the
-        # interpreter elsewhere (tests, CPU debugging)
+        # interpreter elsewhere (tests, CPU debugging).  The heuristic
+        # keys off the *default* backend — when explicitly placing the
+        # computation on a non-default device, pass interpret= yourself.
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
@@ -415,7 +417,9 @@ def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
         )
     if interpret is None:
         # Compiled Mosaic kernels need a TPU; fall back to the
-        # interpreter elsewhere (tests, CPU debugging)
+        # interpreter elsewhere (tests, CPU debugging).  The heuristic
+        # keys off the *default* backend — when explicitly placing the
+        # computation on a non-default device, pass interpret= yourself.
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]

@@ -58,7 +58,7 @@ def tridiagonalize(matrix):
         below = idx > k
         x = jnp.where(below, col, 0.0)
         norm_x = jnp.sqrt(jnp.sum(x * x))
-        head = x[k + 1] if False else jnp.take(x, k + 1, mode="clip")
+        head = jnp.take(x, k + 1, mode="clip")
         alpha = -jnp.sign(jnp.where(head == 0, 1.0, head)) * norm_x
         v = jnp.where(idx == k + 1, x - alpha, x)
         v_norm = jnp.sqrt(jnp.sum(v * v))
@@ -94,7 +94,6 @@ def _sturm_counts(diag, offdiag, shifts):
         count = count + (q_new < 0)
         return (q_new, count), None
 
-    init = (jnp.ones_like(shifts), jnp.zeros_like(shifts, jnp.int32))
     # First row: q = d[0] - shift
     q0 = diag[0] - shifts
     carry = (q0, (q0 < 0).astype(jnp.int32))

@@ -54,7 +54,7 @@ def _build_hessian_xyz(coord, params, dtype, use_pallas):
 @functools.partial(
     jax.jit,
     static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype",
-                     "use_pallas", "tem", "tem_factors"),
+                     "use_pallas"),
 )
 def anm_observables(coord, params, masses=None, *, with_dcc=False,
                     with_covariance=False, n_modes=None, dtype=jnp.float32,
@@ -94,10 +94,11 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
     vecs = vecs.T  # modes in rows
 
     n_trivial = 6
-    if n_modes is not None and n_modes > 3 * n - n_trivial:
+    if n_modes is not None and not (
+        0 < n_modes <= 3 * n - n_trivial
+    ):
         raise ValueError(
-            f"n_modes={n_modes} exceeds the {3 * n - n_trivial} "
-            f"non-trivial modes"
+            f"n_modes={n_modes} must be in [1, {3 * n - n_trivial}]"
         )
     stop = 3 * n if n_modes is None else n_trivial + n_modes
     mode_indices = jnp.arange(n_trivial, stop)
@@ -147,8 +148,7 @@ def _build_kirchhoff(coord, params, dtype, use_pallas):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas", "tem",
-                     "tem_factors"),
+    static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas"),
 )
 def gnm_observables(coord, params, masses=None, *, with_dcc=False,
                     n_modes=None, dtype=jnp.float32, use_pallas=False,
@@ -164,10 +164,9 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
     vecs = vecs.T
 
     n_trivial = 1
-    if n_modes is not None and n_modes > n - n_trivial:
+    if n_modes is not None and not (0 < n_modes <= n - n_trivial):
         raise ValueError(
-            f"n_modes={n_modes} exceeds the {n - n_trivial} "
-            f"non-trivial modes"
+            f"n_modes={n_modes} must be in [1, {n - n_trivial}]"
         )
     stop = n if n_modes is None else n_trivial + n_modes
     mode_indices = jnp.arange(n_trivial, stop)

@@ -227,10 +227,9 @@ def sharded_anm_pipeline(coord, params, mesh, dtype=jnp.float32,
     def solve(h, n_modes=None):
         vals, vecs = jnp.linalg.eigh(h)
         vecs = vecs.T
-        if n_modes is not None and n_modes > h.shape[0] - 6:
+        if n_modes is not None and not (0 < n_modes <= h.shape[0] - 6):
             raise ValueError(
-                f"n_modes={n_modes} exceeds the {h.shape[0] - 6} "
-                f"non-trivial modes"
+                f"n_modes={n_modes} must be in [1, {h.shape[0] - 6}]"
             )
         stop = h.shape[0] if n_modes is None else 6 + n_modes
         modes = jnp.arange(6, stop)

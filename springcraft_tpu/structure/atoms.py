@@ -147,10 +147,12 @@ class AtomArray:
             return {name: annot[index] for name, annot in self._annot.items()} | {
                 "coord": self.coord[index]
             }
-        # np.array: slice indexing would otherwise return a *view* of
-        # the parent coordinates (annotations are copied), silently
-        # aliasing mutations across arrays
-        new_coord = np.array(self.coord[index])
+        # Slice indexing returns a *view* of the parent coordinates —
+        # copy only then (boolean/fancy indexing already copies), so
+        # mutations never alias across arrays
+        new_coord = self.coord[index]
+        if np.shares_memory(new_coord, self.coord):
+            new_coord = new_coord.copy()
         new = AtomArray(len(new_coord))
         new.coord = new_coord
         for name, annot in self._annot.items():

@@ -17,7 +17,8 @@ import numpy as np
 
 from .atoms import AtomArray
 
-__all__ = ["PDBFile", "get_structure", "load_structure"]
+__all__ = ["PDBFile", "get_structure", "load_structure",
+           "load_ensemble", "write_pdb"]
 
 
 class PDBFile:
@@ -190,7 +191,7 @@ def load_structure(path, model=None):
     """Read a structure file (PDB or mmCIF by extension) and return its
     :class:`AtomArray`."""
     name = str(path)
-    if name.endswith(".bcif"):
+    if name.endswith((".bcif", ".bcif.gz")):
         raise NotImplementedError(
             "BinaryCIF (.bcif) is not supported; convert to .cif or .pdb"
         )

@@ -231,3 +231,18 @@ def test_sharded_covariance():
                                            layout="atom"))
     ref = np.linalg.pinv(h, hermitian=True, rcond=1e-6)
     assert np.allclose(cov, ref, atol=1e-8)
+
+
+def test_tem_scaling_dynamic(ca_1l2y):
+    """tem is a dynamic argument: scaling matches the model API and
+    different temperatures reuse one compilation."""
+    ff = sc.InvariantForceField(13.0)
+    coord = ca_1l2y.coord.astype(np.float64)
+    base = anm_observables(coord, ff.to_params(), dtype=jnp.float64)
+    scaled = anm_observables(coord, ff.to_params(), dtype=jnp.float64,
+                             tem=300.0, tem_factors=2.0)
+    assert np.allclose(np.asarray(scaled["msf"]),
+                       np.asarray(base["msf"]) * 600.0, rtol=1e-12)
+
+    with pytest.raises(ValueError):
+        anm_observables(coord, ff.to_params(), n_modes=0)
