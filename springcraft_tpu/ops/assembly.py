@@ -69,7 +69,11 @@ def _hessian_blocks(coord, params, xp, dtype):
     k = force_constant_matrix(sq_dist, params, xp, dtype=coord.dtype)
     safe_sq = xp.where(sq_dist == 0, xp.ones_like(sq_dist), sq_dist)
     g = -k / safe_sq
-    off = xp.einsum("ij,ija,ijb->ijab", g, disp, disp)
+    # Explicit broadcast product, NOT einsum: under jit an einsum (even
+    # contraction-free) lowers to dot_general at DEFAULT precision,
+    # which rounds f32 operands through bf16 on TPU (~0.4% error).
+    off = (g[:, :, None, None] * disp[:, :, :, None]
+           * disp[:, :, None, :])
     return off
 
 
@@ -128,12 +132,13 @@ def hessian_rows(coord, params, row_start, block, xp, dtype=None):
         rows = lax.dynamic_slice_in_dim(coord, row_start, block, axis=0)
 
     disp = rows[:, None, :] - coord[None, :, :]
-    sq_dist = xp.einsum("ijk,ijk->ij", disp, disp)
+    sq_dist = xp.sum(disp * disp, axis=-1)  # not einsum: see ffparams
     k = _row_force_constants(sq_dist, params, row_start, block, xp,
                              rows.dtype)
     safe_sq = xp.where(sq_dist == 0, xp.ones_like(sq_dist), sq_dist)
     g = -k / safe_sq
-    off = xp.einsum("ij,ija,ijb->ijab", g, disp, disp)
+    off = (g[:, :, None, None] * disp[:, :, :, None]
+           * disp[:, :, None, :])  # not einsum: see _hessian_blocks
 
     # Row-local diagonal superelements
     diag = -xp.sum(off, axis=1)

@@ -220,7 +220,11 @@ def pairwise_sq_distance(coord, xp):
     sq_dist : ndarray, shape=(n, n)
     """
     disp = coord[:, None, :] - coord[None, :, :]
-    sq_dist = xp.einsum("ijk,ijk->ij", disp, disp)
+    # Elementwise multiply + reduce, NOT einsum: an einsum contraction
+    # lowers to dot_general, which on TPU defaults to bf16 passes and
+    # corrupts f32 distances (~0.4%) — enough to flip cutoff/bin
+    # decisions and visibly bias covariance observables.
+    sq_dist = xp.sum(disp * disp, axis=-1)
     return disp, sq_dist
 
 

@@ -63,7 +63,9 @@ def pinvh(matrix, rcond=1e-6):
     abs_vals = xp.abs(vals)
     cutoff = rcond * xp.max(abs_vals, axis=-1, keepdims=True)
     inv_vals = xp.where(abs_vals > cutoff, 1.0 / vals, xp.zeros_like(vals))
-    return xp.einsum("...ik,...k,...jk->...ij", vecs, inv_vals, vecs)
+    kwargs = {} if xp is np else {"precision": "highest"}
+    return xp.einsum("...ik,...k,...jk->...ij", vecs, inv_vals, vecs,
+                     **kwargs)
 
 
 def _swap_last2(a):

@@ -83,9 +83,11 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
         # additional (m, m) array — null space shifted to `upper` so it
         # cannot surface, spectrum reflected so the smallest eigenvalues
         # become the largest.
-        y = c * x - matrix @ x
+        y = c * x - jnp.matmul(matrix, x, precision='highest')
         if t is not None:
-            y = y - upper * (t @ (t.T @ x))
+            y = y - upper * jnp.matmul(
+                t, jnp.matmul(t.T, x, precision='highest'),
+                precision='highest')
         return y
 
     # Deterministic start block (iteration-friendly, full rank)

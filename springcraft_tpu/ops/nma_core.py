@@ -101,7 +101,8 @@ def dcc_from_modes(eig_values, eig_vectors, mode_indices, xp, num_dim=3,
         modes = vecs.reshape(m, -1, num_dim)
     else:
         modes = vecs.reshape(m, num_dim, -1).transpose(0, 2, 1)
-    return xp.einsum("kid,kjd,k->ij", modes, modes, 1.0 / vals)
+    kwargs = {} if xp.__name__ == "numpy" else {"precision": "highest"}
+    return xp.einsum("kid,kjd,k->ij", modes, modes, 1.0 / vals, **kwargs)
 
 
 def dcc_from_covariance_anm(covariance, xp):
@@ -113,7 +114,8 @@ def dcc_from_covariance_anm(covariance, xp):
     n3 = covariance.shape[0]
     n = n3 // 3
     reshaped = covariance.reshape(n, 3, n, 3)
-    return xp.einsum("iaja->ij", reshaped)
+    # Explicit diagonal sum, not einsum (see assembly._hessian_blocks)
+    return sum(reshaped[:, a, :, a] for a in range(3))
 
 
 def normalize_dcc(dcc, xp):

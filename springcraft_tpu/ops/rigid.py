@@ -141,7 +141,7 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
         if sigma.ndim:
             sigma = sigma[..., None, None]
 
-    ttt = t @ t.T
+    ttt = jnp.matmul(t, t.T, precision='highest')
     reg = matrix + sigma * ttt
     # Jacobi equilibration: factor D^-1/2 R D^-1/2 instead of R — keeps
     # the float32 Cholesky stable for large, ill-conditioned networks
@@ -213,7 +213,7 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,
 
     @functools.partial(jax.jit, donate_argnums=donated)
     def _regularize(mat, t, sigma):
-        reg = mat + sigma * (t @ t.T)
+        reg = mat + sigma * jnp.matmul(t, t.T, precision='highest')
         # Jacobi equilibration (see covariance_cholesky)
         scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
         return reg * scale[:, None] * scale[None, :], scale

@@ -125,7 +125,7 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
             1.0 / vals[mode_indices]
         )
         out["covariance"] = jnp.einsum(
-            "ki,k,kj->ij", vecs, inv_vals, vecs
+            "ki,k,kj->ij", vecs, inv_vals, vecs, precision="highest"
         )
     return out
 
@@ -219,7 +219,7 @@ def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     # In xyz layout the 3x3 superelement trace over components a is
     # sum_a cov[a*n + i, a*n + j]
     planes = cov.reshape(3, n, 3, n)
-    traces = jnp.einsum("aiaj->ij", planes)
+    traces = sum(planes[a, :, a, :] for a in range(3))
     out = {
         "covariance": cov,
         "msf": jnp.diagonal(traces),
