@@ -94,7 +94,9 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
     key = jnp.arange(m * k, dtype=matrix.dtype).reshape(m, k)
     x0 = jnp.cos(key * 0.7 + seed) + 1e-3
     if t is not None:
-        x0 = x0 - t @ (t.T @ x0)
+        x0 = x0 - jnp.matmul(
+            t, jnp.matmul(t.T, x0, precision='highest'),
+            precision='highest')
     x0, _ = jnp.linalg.qr(x0)
 
     mu, vecs, _ = lobpcg_standard(reflected_matvec, x0, m=n_iter)

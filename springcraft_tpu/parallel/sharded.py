@@ -177,7 +177,7 @@ def sharded_covariance(coord, params, mesh, dtype=jnp.float32,
             sig = jnp.mean(jnp.diagonal(h))
         else:
             sig = jnp.asarray(sigma, h.dtype)
-        reg = h + sig * (t @ t.T)
+        reg = h + sig * jnp.matmul(t, t.T, precision='highest')
         scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
         reg = reg * scale[:, None] * scale[None, :]
         chol = jnp.linalg.cholesky(reg)
@@ -198,9 +198,13 @@ def sharded_covariance(coord, params, mesh, dtype=jnp.float32,
             sol = sol * jax.lax.dynamic_slice_in_dim(
                 scale_local, d * block, block
             )[None, :]
-            ttt_cols = t_local @ jax.lax.dynamic_slice_in_dim(
-                t_local, d * block, block, axis=0
-            ).T
+            ttt_cols = jnp.matmul(
+                t_local,
+                jax.lax.dynamic_slice_in_dim(
+                    t_local, d * block, block, axis=0
+                ).T,
+                precision='highest',
+            )
             return sol - ttt_cols / sig
 
         fn = shard_map(
