@@ -546,7 +546,7 @@ def _as_type_table(value, n_bins):
         _check_type_matrix(array)
         if array.shape[-1] != n_bins:
             raise IndexError(
-                f"Array contains {len(array)} elements "
+                f"Array contains {array.shape[-1]} elements "
                 f"for {n_bins} distance bins"
             )
         return array

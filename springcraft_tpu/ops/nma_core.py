@@ -150,7 +150,11 @@ def linear_response_displacement(covariance, force, xp):
     """LRT displacement ``C @ f`` reshaped to ``(n, 3)``
     (reference ``nma.py:457-473``)."""
     flat = force.reshape(-1)
-    return (covariance @ flat).reshape(-1, 3)
+    if xp.__name__ == "numpy":
+        disp = covariance @ flat
+    else:
+        disp = xp.matmul(covariance, flat, precision="highest")
+    return disp.reshape(-1, 3)
 
 
 def prs_matrix(covariance, xp, norm=True):

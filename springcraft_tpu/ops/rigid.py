@@ -205,25 +205,35 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,
         sigma = jnp.mean(jnp.diagonal(matrix))
     sigma = jnp.asarray(sigma, matrix.dtype)
 
+    # Staged module-level jits (stable cache across calls — per-call jit
+    # wrappers would recompile the O(m^2) programs every invocation)
+    # with donated buffers so at most two m x m arrays are ever live:
+    # matrix -> regularized -> Cholesky factor.
+    regularize = _regularize_donated if donate else _regularize_plain
+    reg, scale = regularize(matrix, t, sigma)
+    del matrix
+    chol = _chol_donated(reg)
+    del reg
+    return _diag_from_chol(chol, t, sigma, scale, block_size)
+
+
+def _regularize_impl(mat, t, sigma):
+    reg = mat + sigma * jnp.matmul(t, t.T, precision="highest")
+    # Jacobi equilibration (see covariance_cholesky)
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+    return reg * scale[:, None] * scale[None, :], scale
+
+
+def _make_staged_jits():
     import jax
 
-    # Staged jits with donated O(m^2) buffers so at most two m x m
-    # arrays are ever live: matrix -> regularized -> Cholesky factor.
-    donated = (0,) if donate else ()
-
-    @functools.partial(jax.jit, donate_argnums=donated)
-    def _regularize(mat, t, sigma):
-        reg = mat + sigma * jnp.matmul(t, t.T, precision='highest')
-        # Jacobi equilibration (see covariance_cholesky)
-        scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
-        return reg * scale[:, None] * scale[None, :], scale
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def _chol(reg):
-        return jnp.linalg.cholesky(reg)
+    regularize_donated = jax.jit(_regularize_impl, donate_argnums=(0,))
+    regularize_plain = jax.jit(_regularize_impl)
+    chol_donated = jax.jit(jnp.linalg.cholesky, donate_argnums=(0,))
 
     @functools.partial(jax.jit, static_argnames=("block",))
-    def _diag_from_chol(chol, t, sigma, scale, block):
+    def diag_from_chol(chol, t, sigma, scale, block):
+        m = chol.shape[0]
         col_ids = jnp.arange(m)
 
         def block_diag(start):
@@ -237,8 +247,9 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,
         diag = jax.lax.map(block_diag, jnp.arange(0, m, block)).reshape(m)
         return diag * scale * scale - jnp.sum(t * t, axis=1) / sigma
 
-    reg, scale = _regularize(matrix, t, sigma)
-    del matrix
-    chol = _chol(reg)
-    del reg
-    return _diag_from_chol(chol, t, sigma, scale, block_size)
+    return regularize_donated, regularize_plain, chol_donated, \
+        diag_from_chol
+
+
+(_regularize_donated, _regularize_plain, _chol_donated,
+ _diag_from_chol) = _make_staged_jits()

@@ -66,8 +66,8 @@ def tridiagonalize(matrix):
         safe = v_norm > eps
         v = jnp.where(safe, v / jnp.where(safe, v_norm, 1.0), 0.0)
 
-        u = a @ v                       # (n,)
-        gamma = v @ u
+        u = jnp.matmul(a, v, precision="highest")  # (n,)
+        gamma = jnp.dot(v, u, precision="highest")
         a = (a - 2.0 * jnp.outer(v, u) - 2.0 * jnp.outer(u, v)
              + 4.0 * gamma * jnp.outer(v, v))
         return a

@@ -78,6 +78,17 @@ def sharded_ensemble_anm_fluctuations(coords, params, mesh, masses=None,
                                               masses=masses, **options)
 
 
+@functools.lru_cache(maxsize=None)
+def _mean_msf_fn(kind):
+    run = pipeline.ensemble_anm if kind == "anm" else pipeline.ensemble_gnm
+
+    @jax.jit
+    def mean_msf(c, params):
+        return run(c, params)["msf"].mean(axis=0)
+
+    return mean_msf
+
+
 def ensemble_mean_msf(coords, params, mesh, kind="anm"):
     """
     Mean MSF profile over a sharded conformer ensemble.
@@ -86,13 +97,7 @@ def ensemble_mean_msf(coords, params, mesh, kind="anm"):
     sharded batch axis lowers to an XLA ``AllReduce`` over ICI.
     """
     coords = _shard_batch(coords, mesh)
-    run = pipeline.ensemble_anm if kind == "anm" else pipeline.ensemble_gnm
-
-    @jax.jit
-    def mean_msf(c):
-        return run(c, params)["msf"].mean(axis=0)
-
-    return mean_msf(coords)
+    return _mean_msf_fn(kind)(coords, params)
 
 
 def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
@@ -170,21 +175,24 @@ def sharded_covariance(coord, params, mesh, dtype=jnp.float32,
 
     hessian = sharded_hessian(coord, params, mesh, dtype=dtype)
     basis = rigid.rigid_modes_anm(coord, layout="atom")
+    sig = (jnp.mean(jnp.diagonal(hessian)) if sigma is None
+           else jnp.asarray(sigma, hessian.dtype))
+    return _sharded_cov_fn(mesh)(hessian, basis, sig)
 
+
+@functools.lru_cache(maxsize=None)
+def _sharded_cov_fn(mesh):
     @jax.jit
-    def solve(h, t):
-        if sigma is None:
-            sig = jnp.mean(jnp.diagonal(h))
-        else:
-            sig = jnp.asarray(sigma, h.dtype)
-        reg = h + sig * jnp.matmul(t, t.T, precision='highest')
+    def solve(h, t, sig):
+        n3 = h.shape[0]
+        n_dev = mesh.size
+        block = n3 // n_dev
+        reg = h + sig * jnp.matmul(t, t.T, precision="highest")
         scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
         reg = reg * scale[:, None] * scale[None, :]
         chol = jnp.linalg.cholesky(reg)
 
-        block = n3 // n_dev
-
-        def col_block(chol_local, t_local, scale_local):
+        def col_block(chol_local, t_local, scale_local, sig_local):
             d = jax.lax.axis_index("ens") * mesh.shape["row"] \
                 + jax.lax.axis_index("row")
             cols = d * block + jnp.arange(block)
@@ -203,19 +211,19 @@ def sharded_covariance(coord, params, mesh, dtype=jnp.float32,
                 jax.lax.dynamic_slice_in_dim(
                     t_local, d * block, block, axis=0
                 ).T,
-                precision='highest',
+                precision="highest",
             )
-            return sol - ttt_cols / sig
+            return sol - ttt_cols / sig_local
 
         fn = shard_map(
             col_block,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=P(None, ("ens", "row")),
         )
-        return fn(chol, t, scale)
+        return fn(chol, t, scale, sig)
 
-    return solve(hessian, basis)
+    return solve
 
 
 def sharded_anm_pipeline(coord, params, mesh, dtype=jnp.float32,

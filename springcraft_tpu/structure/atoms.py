@@ -125,6 +125,10 @@ class AtomArray:
                 raise ValueError(
                     f"Expected coordinates with shape (n,3), got {value.shape}"
                 )
+            if hasattr(self, "_length") and len(value) != self._length:
+                raise IndexError(
+                    f"{len(value)} coordinates for {self._length} atoms"
+                )
             object.__setattr__(self, name, value)
         elif name in _ANNOTATIONS or (
             hasattr(self, "_annot") and name in self._annot

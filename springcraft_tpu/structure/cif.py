@@ -11,7 +11,6 @@ Handles multi-model files, quoted values and comments; everything beyond
 from __future__ import annotations
 
 import gzip
-import shlex
 
 import numpy as np
 
@@ -21,10 +20,35 @@ __all__ = ["CIFFile", "get_structure_cif", "load_structure_cif"]
 
 
 def _tokenize(line):
-    # mmCIF values may be quoted with ' or "
-    if "'" in line or '"' in line:
-        return shlex.split(line)
-    return line.split()
+    """Split an mmCIF data line.  Per the CIF spec a quote only opens a
+    quoted string at the *start* of a token (so unquoted primed atom
+    names like C1' stay intact), and closes it only when followed by
+    whitespace/end."""
+    if "'" not in line and '"' not in line:
+        return line.split()
+    tokens = []
+    i, n = 0, len(line)
+    while i < n:
+        while i < n and line[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        quote = line[i] if line[i] in "'\"" else None
+        if quote:
+            j = i + 1
+            while j < n:
+                if line[j] == quote and (j + 1 >= n or line[j + 1].isspace()):
+                    break
+                j += 1
+            tokens.append(line[i + 1:j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not line[j].isspace():
+                j += 1
+            tokens.append(line[i:j])
+            i = j
+    return tokens
 
 
 class CIFFile:
@@ -118,6 +142,30 @@ def get_structure_cif(cif, model=None):
         raise ValueError(f"Model {model} does not exist in this file")
     if not rows:
         raise ValueError("No atom_site records found")
+
+    # Alternate locations (label_alt_id): first altloc ID per residue
+    # wins; blank-altloc ('.'/'?') atoms always kept — mirrors the PDB
+    # reader so .cif and .pdb of the same structure load identically.
+    alt_idx = cif._column_index("label_alt_id")
+    if alt_idx is not None:
+        chain_ix = _pick(cif, "auth_asym_id", "label_asym_id")
+        seq_ix = _pick(cif, "auth_seq_id", "label_seq_id")
+        residue_altloc = {}
+        for row in rows:
+            alt = row[alt_idx]
+            if alt not in (".", "?", ""):
+                key = (row[chain_ix] if chain_ix is not None else "",
+                       row[seq_ix] if seq_ix is not None else "")
+                residue_altloc.setdefault(key, alt)
+        if residue_altloc:
+            rows = [
+                row for row in rows
+                if row[alt_idx] in (".", "?", "")
+                or row[alt_idx] == residue_altloc[(
+                    row[chain_ix] if chain_ix is not None else "",
+                    row[seq_ix] if seq_ix is not None else "",
+                )]
+            ]
 
     ix = {
         "chain": _pick(cif, "auth_asym_id", "label_asym_id"),

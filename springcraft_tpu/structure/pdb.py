@@ -110,19 +110,21 @@ def get_structure(pdb_file, model=None):
     # residue, pick the first altloc ID that appears and keep only
     # blank-altloc atoms plus atoms with that ID — never mix
     # conformations within a residue.
+    # Key is (chain, resSeq+iCode) only — point microheterogeneity puts
+    # different residue *names* in the same slot and must still resolve
+    # to one conformer.
     residue_altloc = {}
     for line in lines:
         altloc = line[16] if len(line) > 16 else " "
         if altloc not in (" ", ""):
-            res_key = (line[21], line[22:27], line[17:20])
+            res_key = (line[21], line[22:27])
             residue_altloc.setdefault(res_key, altloc)
     if residue_altloc:
         kept = []
         for line in lines:
             altloc = line[16] if len(line) > 16 else " "
             if altloc not in (" ", ""):
-                res_key = (line[21], line[22:27], line[17:20])
-                if altloc != residue_altloc[res_key]:
+                if altloc != residue_altloc[(line[21], line[22:27])]:
                     continue
             kept.append(line)
         lines = kept
@@ -215,20 +217,43 @@ def load_ensemble(path):
         Coordinates of every model — ready for the batched ensemble
         pipelines (``parallel.ensemble_anm``).
     """
+    # Single pass over the file: split atom lines at MODEL boundaries,
+    # then parse annotations once and coordinates per model (an
+    # O(models x lines) re-scan would dwarf the device solve for large
+    # ensembles).
     pdb_file = PDBFile.read(path)
-    n_models = pdb_file.get_model_count()
-    first = get_structure(pdb_file, model=1)
-    coords = np.empty((n_models, first.array_length(), 3),
+    models = []
+    current = None
+    has_models = False
+    for line in pdb_file.lines:
+        if line.startswith("MODEL"):
+            has_models = True
+            current = []
+            models.append(current)
+        elif line.startswith("ENDMDL"):
+            current = None
+        elif line.startswith(("ATOM", "HETATM")):
+            if current is None:
+                if has_models:
+                    continue
+                current = []
+                models.append(current)
+            current.append(line)
+    if not models:
+        raise ValueError("No atom records found")
+
+    first = get_structure(PDBFile(["MODEL     1"] + models[0] + ["ENDMDL"])
+                          if has_models else PDBFile(models[0]), model=1)
+    coords = np.empty((len(models), first.array_length(), 3),
                       dtype=np.float32)
     coords[0] = first.coord
-    for m in range(2, n_models + 1):
-        model = get_structure(pdb_file, model=m)
-        if model.array_length() != first.array_length():
+    for m, lines in enumerate(models[1:], start=1):
+        if len(lines) != len(models[0]):
             raise ValueError(
-                f"Model {m} has {model.array_length()} atoms, expected "
-                f"{first.array_length()}"
+                f"Model {m + 1} has {len(lines)} atom records, expected "
+                f"{len(models[0])}"
             )
-        coords[m - 1] = model.coord
+        coords[m] = _parse_coords(lines)
     return first, coords
 
 

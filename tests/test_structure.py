@@ -263,3 +263,58 @@ def test_pdb_altloc_per_residue(tmp_path):
 def test_bcif_rejected():
     with pytest.raises(NotImplementedError):
         load_structure("foo.bcif")
+
+
+def test_cif_primed_names_and_altloc(tmp_path):
+    """CIF-legal unquoted primed atom names parse, and altlocs resolve
+    to one conformer per residue (first ID wins)."""
+    cif_text = """data_t
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+ATOM 1 C C1' . DA A 1 1.0 2.0 3.0
+ATOM 2 C CA B ASN A 2 4.0 0.0 0.0
+ATOM 3 C CA A ASN A 2 5.0 0.0 0.0
+ATOM 4 N N . ASN A 2 6.0 0.0 0.0
+#
+"""
+    path = tmp_path / "t.cif"
+    path.write_text(cif_text)
+    from springcraft_tpu.structure import load_structure_cif
+
+    atoms = load_structure_cif(path)
+    assert atoms.array_length() == 3
+    assert atoms.atom_name[0] == "C1'"
+    assert atoms.coord[1][0] == 4.0  # altloc B (first ID) kept
+
+
+def test_pdb_microheterogeneity_altloc(tmp_path):
+    """Point microheterogeneity (different res_name per altloc in one
+    slot) resolves to a single conformer."""
+    lines = [
+        "ATOM      1  N  ASER A   1       1.000   0.000   0.000  0.50  0.00           N",
+        "ATOM      2  CA ASER A   1       2.000   0.000   0.000  0.50  0.00           C",
+        "ATOM      3  N  BGLY A   1       3.000   0.000   0.000  0.50  0.00           N",
+        "ATOM      4  CA BGLY A   1       4.000   0.000   0.000  0.50  0.00           C",
+        "END",
+    ]
+    path = tmp_path / "micro.pdb"
+    path.write_text("\n".join(lines) + "\n")
+    atoms = load_structure(path)
+    assert atoms.array_length() == 2
+    assert np.all(atoms.res_name == "SER")
+
+
+def test_atom_array_coord_length_check(ca_1l2y):
+    copy = ca_1l2y.copy()
+    with pytest.raises(IndexError):
+        copy.coord = np.zeros((3, 3))
