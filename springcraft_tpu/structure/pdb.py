@@ -274,6 +274,13 @@ def write_pdb(path, atoms, coord_models=None):
     if coord_models is None:
         coord_models = np.asarray(atoms.coord)[None]
     coord_models = np.asarray(coord_models)
+    if (np.abs(coord_models) >= 10000).any() or (
+        coord_models <= -1000
+    ).any():
+        raise ValueError(
+            "Coordinates exceed the PDB fixed-column range "
+            "[-999.999, 9999.999]"
+        )
     multi = coord_models.shape[0] > 1
 
     with open(path, "w") as f:

@@ -318,3 +318,12 @@ def test_atom_array_coord_length_check(ca_1l2y):
     copy = ca_1l2y.copy()
     with pytest.raises(IndexError):
         copy.coord = np.zeros((3, 3))
+
+
+def test_write_pdb_rejects_out_of_range_coords(ca_1l2y, tmp_path):
+    from springcraft_tpu.structure import write_pdb
+
+    big = ca_1l2y.copy()
+    big.coord = big.coord + np.float32(20000.0)
+    with pytest.raises(ValueError):
+        write_pdb(tmp_path / "big.pdb", big)
