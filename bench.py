@@ -24,10 +24,20 @@ Prints ONE JSON line:
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the remote TPU compiles take minutes;
+# caching amortizes them across bench runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 N_RES = 300
 BATCH = 64
