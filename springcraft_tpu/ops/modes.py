@@ -29,7 +29,7 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 from . import rigid
 
-__all__ = ["lowest_modes", "lowest_modes_anm"]
+__all__ = ["lowest_modes", "lowest_modes_anm", "mode_residuals"]
 
 
 def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
@@ -46,7 +46,10 @@ def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
         Orthonormal basis of the known null space (rigid-body modes);
         deflated out of the search space.
     n_iter : int
-        LOBPCG iteration cap.
+        LOBPCG iteration cap.  Convergence at this cap is not
+        guaranteed for large ill-conditioned systems — check residuals
+        with :func:`mode_residuals` and raise `n_iter` (or use float64)
+        when tight eigenvalues are required.
 
     Returns
     -------
@@ -103,6 +106,18 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
     vals = c - mu
     order = jnp.argsort(vals)
     return vals[order], vecs[:, order].T
+
+
+def mode_residuals(matrix, eig_values, eig_vectors):
+    """
+    Relative eigenpair residuals ``|H u - lambda u| / |lambda|`` —
+    convergence check for :func:`lowest_modes` results.
+    """
+    matrix = jnp.asarray(matrix)
+    u = jnp.asarray(eig_vectors).T  # (m, k)
+    r = jnp.matmul(matrix, u, precision="highest") \
+        - u * jnp.asarray(eig_values)[None, :]
+    return jnp.linalg.norm(r, axis=0) / jnp.abs(jnp.asarray(eig_values))
 
 
 def _dense_lowest(matrix, k, null_basis):

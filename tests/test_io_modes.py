@@ -114,3 +114,15 @@ def test_lowest_modes_gnm(ca_1l2y):
     vals, _ = modes.lowest_modes(jnp.asarray(k_mat), 4, null_basis=basis,
                                  n_iter=300)
     assert np.allclose(np.asarray(vals), ref_vals[1:5], rtol=1e-6)
+
+
+def test_mode_residuals(ca_1l2y):
+    params = ffparams.invariant_params(13.0)
+    coord = ca_1l2y.coord.astype(np.float64)
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="xyz"))
+    vals, vecs = modes.lowest_modes_anm(jnp.asarray(h), coord, k=6,
+                                        n_iter=300)
+    res = np.asarray(modes.mode_residuals(jnp.asarray(h), vals, vecs))
+    assert res.shape == (6,)
+    assert np.all(res < 1e-8)
