@@ -163,17 +163,22 @@ def bench_cpu_baselines():
         msf = (sq_vecs.sum(-1) / vals[6:, None]).sum(0)
         return vals, msf
 
-    t0 = time.perf_counter()
-    for c in coords:
-        fluct_solve(c)
-    fluct_rate = CPU_ITERS / (time.perf_counter() - t0)
+    def best_rate(solve):
+        # Median per-solve time over the coords, repeated twice, for
+        # robustness against transient host load
+        times = []
+        for _ in range(2):
+            for c in coords:
+                t0 = time.perf_counter()
+                solve(c)
+                times.append(time.perf_counter() - t0)
+        times.sort()
+        return 1.0 / times[len(times) // 2]
+
+    fluct_rate = best_rate(fluct_solve)
     log(f"cpu fluctuation baseline (pinv, float64): "
         f"{fluct_rate:.3f} solves/s")
-
-    t0 = time.perf_counter()
-    for c in coords:
-        spectral_solve(c)
-    spectral_rate = CPU_ITERS / (time.perf_counter() - t0)
+    spectral_rate = best_rate(spectral_solve)
     log(f"cpu spectral baseline (eigh, float64): "
         f"{spectral_rate:.3f} solves/s")
     return fluct_rate, spectral_rate
