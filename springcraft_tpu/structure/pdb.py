@@ -217,6 +217,26 @@ def load_ensemble(path):
         Coordinates of every model — ready for the batched ensemble
         pipelines (``parallel.ensemble_anm``).
     """
+    name = str(path)
+    if name.endswith((".cif", ".cif.gz", ".mmcif")):
+        from .cif import CIFFile, get_structure_cif
+
+        cif = CIFFile.read(path)
+        n_models = cif.get_model_count()
+        first = get_structure_cif(cif, model=1)
+        coords = np.empty((n_models, first.array_length(), 3),
+                          dtype=np.float32)
+        coords[0] = first.coord
+        for m in range(2, n_models + 1):
+            model = get_structure_cif(cif, model=m)
+            if model.array_length() != first.array_length():
+                raise ValueError(
+                    f"Model {m} has {model.array_length()} atoms, "
+                    f"expected {first.array_length()}"
+                )
+            coords[m - 1] = model.coord
+        return first, coords
+
     # Single pass over the file: split atom lines at MODEL boundaries,
     # then parse annotations once and coordinates per model (an
     # O(models x lines) re-scan would dwarf the device solve for large

@@ -327,3 +327,33 @@ def test_write_pdb_rejects_out_of_range_coords(ca_1l2y, tmp_path):
     big.coord = big.coord + np.float32(20000.0)
     with pytest.raises(ValueError):
         write_pdb(tmp_path / "big.pdb", big)
+
+
+def test_load_ensemble_cif(tmp_path):
+    from springcraft_tpu.structure import load_ensemble
+
+    cif_text = """data_t
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.pdbx_PDB_model_num
+ATOM 1 C CA ASN A 1 1.0 0.0 0.0 1
+ATOM 2 C CA LEU A 2 2.0 0.0 0.0 1
+ATOM 1 C CA ASN A 1 1.5 0.0 0.0 2
+ATOM 2 C CA LEU A 2 2.5 0.0 0.0 2
+#
+"""
+    path = tmp_path / "ens.cif"
+    path.write_text(cif_text)
+    atoms, coords = load_ensemble(path)
+    assert atoms.array_length() == 2
+    assert coords.shape == (2, 2, 3)
+    assert coords[1, 0, 0] == 1.5
