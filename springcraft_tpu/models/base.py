@@ -15,7 +15,7 @@ import numpy as np
 
 from ..ops import assembly, linalg
 from ..structure import info as struc_info
-from ..structure.atoms import AtomArray, coord as as_coord
+from ..structure.atoms import coord as as_coord
 
 __all__ = ["ElasticNetworkModel"]
 
@@ -48,13 +48,16 @@ class ElasticNetworkModel:
         if masses is None or masses is False:
             return None
         if masses is True:
-            if not isinstance(atoms, AtomArray):
+            # Duck-typed: anything exposing res_name (our AtomArray, a
+            # biotite AtomArray, ...) supports automatic mass inference.
+            res_name = getattr(atoms, "res_name", None)
+            if res_name is None:
                 raise TypeError(
                     "An AtomArray is required to automatically infer masses"
                 )
-            return struc_info.residue_masses(atoms.res_name)
+            return struc_info.residue_masses(np.asarray(res_name))
         masses = np.asarray(masses, dtype=float)
-        n = atoms.array_length() if isinstance(atoms, AtomArray) \
+        n = atoms.array_length() if hasattr(atoms, "array_length") \
             else len(as_coord(atoms))
         if len(masses) != n:
             raise IndexError(f"{len(masses)} masses for {n} atoms given")

@@ -21,7 +21,7 @@ import os
 import numpy as np
 
 from ..ops import ffparams
-from ..structure.atoms import AtomArray, BadStructureError
+from ..structure.atoms import BadStructureError, as_atom_array
 
 __all__ = [
     "ForceField",
@@ -333,10 +333,10 @@ class TabulatedForceField(ForceField):
 
     def __init__(self, atoms, bonded, intra_chain, inter_chain,
                  cutoff_distance):
-        if not isinstance(atoms, AtomArray):
-            raise TypeError(
-                f"Expected 'AtomArray', not {type(atoms).__name__}"
-            )
+        # Duck-typed acceptance: any object with biotite's AtomArray
+        # attribute surface works (e.g. a real biotite AtomArray), so
+        # reference scripts port with only the import line changed.
+        atoms = as_atom_array(atoms)
         if not np.all((atoms.atom_name == "CA") & (atoms.element == "C")):
             raise BadStructureError(
                 "AtomArray does not contain exclusively CA atoms"

@@ -9,6 +9,7 @@ from .atoms import (
     AtomArray,
     BadStructureError,
     array,
+    as_atom_array,
     check_res_id_continuity,
     concatenate,
     coord,
@@ -17,6 +18,7 @@ from .atoms import (
     filter_amino_acids,
     get_chain_count,
     index_displacement,
+    is_atom_array_like,
 )
 from .celllist import CellList
 from .cif import CIFFile, load_structure_cif
@@ -32,6 +34,8 @@ __all__ = [
     "AtomArray",
     "BadStructureError",
     "array",
+    "as_atom_array",
+    "is_atom_array_like",
     "concatenate",
     "coord",
     "displacement",

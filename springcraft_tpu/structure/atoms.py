@@ -28,6 +28,8 @@ __all__ = [
     "AtomArray",
     "BadStructureError",
     "array",
+    "as_atom_array",
+    "is_atom_array_like",
     "coord",
     "displacement",
     "index_displacement",
@@ -224,16 +226,78 @@ def array(atoms):
     return new
 
 
+#: Annotation categories the ENM pipeline relies on; an object exposing
+#: these plus ``coord`` duck-types the biotite ``AtomArray`` surface.
+_REQUIRED_ANNOTATIONS = ("chain_id", "res_id", "res_name", "atom_name",
+                         "element")
+
+
+def is_atom_array_like(obj):
+    """
+    ``True`` if `obj` duck-types the atom-array surface the ENM pipeline
+    needs: an ``(n, 3)`` ``coord`` array plus the five annotation
+    categories (``chain_id``, ``res_id``, ``res_name``, ``atom_name``,
+    ``element``).  A real ``biotite.structure.AtomArray`` qualifies —
+    reference scripts built on biotite work unchanged (cf. reference
+    ``anm.py:63``, ``forcefield.py:438-443``).
+    """
+    if isinstance(obj, AtomArray):
+        return True
+    c = getattr(obj, "coord", None)
+    if c is None:
+        return False
+    c = np.asarray(c)
+    if c.ndim != 2 or c.shape[1] != 3:
+        return False  # e.g. a biotite AtomArrayStack ((m, n, 3))
+    return all(
+        getattr(obj, name, None) is not None
+        for name in _REQUIRED_ANNOTATIONS
+    )
+
+
+def as_atom_array(obj):
+    """
+    Return `obj` as a native :class:`AtomArray` (zero-copy passthrough
+    if it already is one), duck-converting any object with biotite's
+    ``AtomArray`` attribute surface — annotation arrays plus ``coord``.
+
+    Extra annotation categories are carried over when the source exposes
+    biotite's ``get_annotation_categories()`` / ``get_annotation()``.
+    """
+    if isinstance(obj, AtomArray):
+        return obj
+    if not is_atom_array_like(obj):
+        raise TypeError(
+            f"Expected 'AtomArray', not {type(obj).__name__}"
+        )
+    c = np.asarray(obj.coord)
+    new = AtomArray(len(c))
+    new.coord = c
+    for name in _REQUIRED_ANNOTATIONS:
+        new.set_annotation(name, np.asarray(getattr(obj, name)))
+    get_cats = getattr(obj, "get_annotation_categories", None)
+    if callable(get_cats):
+        for name in get_cats():
+            if name not in new._annot:
+                new.set_annotation(
+                    name, np.asarray(obj.get_annotation(name))
+                )
+    return new
+
+
 def coord(item):
     """
     Return the coordinates of `item` as an ``(n, 3)`` ndarray.
 
-    Accepts an :class:`AtomArray` or any array-like of shape ``(n, 3)``
-    (mirrors ``biotite.structure.coord`` used at reference ``anm.py:63``).
+    Accepts an :class:`AtomArray`, any object with an ``(n, 3)``
+    ``coord`` attribute (e.g. a biotite ``AtomArray``), or a plain
+    array-like of shape ``(n, 3)`` (mirrors ``biotite.structure.coord``
+    used at reference ``anm.py:63``).
     """
     if isinstance(item, AtomArray):
         return item.coord
-    arr = np.asarray(item)
+    c = getattr(item, "coord", None)
+    arr = np.asarray(item if c is None else c)
     if arr.ndim != 2 or arr.shape[-1] != 3:
         raise ValueError(f"Expected coordinates with shape (n,3), got {arr.shape}")
     return arr
