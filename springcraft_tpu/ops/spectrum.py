@@ -15,17 +15,31 @@ alternative built from TPU-friendly primitives:
    ``O(iters * n^2)`` fully vectorized ops.
 
 Both stages are jit/vmap-compatible (batched spectra).  Accuracy is
-float32-level (backward-stable reduction + ~45 bisection halvings of
-the Gershgorin interval).  Use :func:`springcraft_tpu.ops.linalg.eigh`
+float32-level (backward-stable reduction + bisection halvings of the
+Gershgorin interval).  Use :func:`springcraft_tpu.ops.linalg.eigh`
 when eigenvectors are needed.
 
-Status: **experimental, not yet faster than XLA's eigh** — the
-unblocked rank-2 reduction rewrites the full matrix every step and is
-HBM-bandwidth-bound (measured 1.63 s vs 1.27 s for XLA ``eigvalsh`` on
-64 x 900-dim f32 on v5e).  The path to a win is a blocked two-stage
-reduction (full -> band via panel QR with matmul-rich updates, then
-band -> tridiagonal); the bisection stage is already cheap.  Kept as a
-correctness-validated building block.
+The production path is the **blocked two-stage solver**
+:func:`eigvalsh_banded`:
+
+1. **Blocked full -> band reduction** (:func:`band_reduce`) — per
+   ``b``-column panel, one self-contained Householder QR of the
+   below-band block (compact WY form) followed by a single symmetric
+   rank-``2b`` trailing update ``A - W V^T - V W^T`` built from three
+   full-size matmuls.  Unlike the rank-2 tridiagonalization above, the
+   matrix is rewritten ``n/b`` times instead of ``n`` times, so the
+   stage is MXU-bound rather than HBM-bound.
+2. **Banded Sturm bisection** (:func:`banded_eigenvalues`) — the
+   LDL^t inertia count generalizes from the scalar tridiagonal
+   recurrence to a ``(b+1, b+1)`` trailing-window scan, evaluated for
+   all ``n`` shifts simultaneously; no bulge-chasing band ->
+   tridiagonal step is needed.
+
+The legacy rank-2 path (`tridiagonalize` + `tridiagonal_eigenvalues`)
+is the ``bandwidth=1`` special case and is kept for reference
+(measured 1.63 s vs 1.27 s for XLA ``eigvalsh`` on 64 x 900-dim f32 on
+v5e; the blocked solver is the one that beats XLA — see
+docs/performance.md).
 """
 
 from __future__ import annotations
@@ -35,7 +49,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tridiagonalize", "tridiagonal_eigenvalues", "eigvalsh_sturm"]
+__all__ = [
+    "tridiagonalize",
+    "tridiagonal_eigenvalues",
+    "eigvalsh_sturm",
+    "band_reduce",
+    "banded_eigenvalues",
+    "eigvalsh_banded",
+]
 
 
 def tridiagonalize(matrix):
@@ -143,3 +164,254 @@ def eigvalsh_sturm(matrix, n_iter=45):
         return tridiagonal_eigenvalues(d, e, n_iter=n_iter)
     fn = jax.vmap(lambda m: eigvalsh_sturm(m, n_iter=n_iter))
     return fn(matrix)
+
+
+# ---------------------------------------------------------------------------
+# Blocked two-stage solver: full -> band (matmul-rich) + banded Sturm
+# ---------------------------------------------------------------------------
+
+
+def _panel_qr(panel, start_row, b):
+    """
+    Compact-WY Householder QR of the below-band block of a panel.
+
+    Parameters
+    ----------
+    panel : ndarray, shape=(n, b)
+        Columns ``c:c+b`` of the matrix; rows above `start_row`
+        (= ``c + b``) are ignored.
+    start_row : int (traced)
+        First row of the block to triangularize.
+
+    Returns
+    -------
+    v : ndarray, shape=(n, b)
+        Unit Householder vectors (``H_j = I - 2 v_j v_j^T``), zero above
+        row ``start_row + j``.
+    t : ndarray, shape=(b, b)
+        Upper-triangular factor with
+        ``Q = H_0 ... H_{b-1} = I - V T V^T``.
+    """
+    n = panel.shape[0]
+    dtype = panel.dtype
+    idx = jnp.arange(n)
+    eps = jnp.asarray(1e-30, dtype)
+
+    def col_step(j, carry):
+        p, v_acc, t_acc = carry
+        pivot = start_row + j
+        x = jnp.where(idx >= pivot, jax.lax.dynamic_slice(
+            p, (0, j), (n, 1)
+        )[:, 0], 0.0)
+        norm_x = jnp.sqrt(jnp.sum(x * x))
+        head = jnp.take(x, pivot, mode="clip")
+        alpha = -jnp.sign(jnp.where(head == 0, 1.0, head)) * norm_x
+        v = jnp.where(idx == pivot, x - alpha, x)
+        v_norm = jnp.sqrt(jnp.sum(v * v))
+        safe = v_norm > eps
+        v = jnp.where(safe, v / jnp.where(safe, v_norm, 1.0), 0.0)
+
+        # Apply H_j to the remaining panel columns
+        proj = jnp.matmul(v, p, precision="highest")  # (b,)
+        p = p - 2.0 * jnp.outer(v, proj)
+
+        # T recurrence: T[:j, j] = -2 T[:j, :j] (V^T v_j); T[j, j] = 2
+        vtv = jnp.matmul(v_acc.T, v, precision="highest")  # (b,)
+        col_mask = jnp.arange(b) < j
+        t_col = -2.0 * jnp.matmul(t_acc, jnp.where(col_mask, vtv, 0.0),
+                                  precision="highest")
+        t_col = jnp.where(jnp.arange(b) == j, 2.0, t_col)
+        t_col = jnp.where(jnp.arange(b) <= j, t_col, 0.0)
+        t_acc = jax.lax.dynamic_update_slice(t_acc, t_col[:, None], (0, j))
+        v_acc = jax.lax.dynamic_update_slice(v_acc, v[:, None], (0, j))
+        return p, v_acc, t_acc
+
+    v0 = jnp.zeros((n, b), dtype)
+    t0 = jnp.zeros((b, b), dtype)
+    _, v, t = jax.lax.fori_loop(0, b, col_step, (panel, v0, t0))
+    return v, t
+
+
+def band_reduce(matrix, bandwidth):
+    """
+    Reduce a symmetric matrix to band form (semi-bandwidth `bandwidth`)
+    by blocked two-sided Householder transforms (eigenvalue-preserving).
+
+    Per panel of `bandwidth` columns: one self-contained QR of the
+    below-band block, then a single symmetric rank-``2b`` update
+    ``A <- A - W V^T - V W^T`` (three full-size matmuls) — the
+    full -> band stage of successive band reduction (SBR).
+
+    Returns
+    -------
+    diags : ndarray, shape=(bandwidth + 1, n)
+        Band diagonals: ``diags[d, i] = A_band[i, i + d]``
+        (zero-padded at the tail).
+    """
+    a = jnp.asarray(matrix)
+    n = a.shape[-1]
+    b = int(bandwidth)
+    if b < 1:
+        raise ValueError("bandwidth must be >= 1")
+    n_panels = max(0, -(-(n - b - 1) // b))  # panels with rows below band
+
+    def panel_step(k, a):
+        c = k * b
+        panel = jax.lax.dynamic_slice(a, (0, c), (n, b))
+        v, t = _panel_qr(panel, c + b, b)
+        # Symmetric rank-2b update: exact similarity transform
+        y = jnp.matmul(a, jnp.matmul(v, t, precision="highest"),
+                       precision="highest")           # (n, b)
+        s = jnp.matmul(t.T, jnp.matmul(v.T, y, precision="highest"),
+                       precision="highest")           # (b, b)
+        w = y - 0.5 * jnp.matmul(v, s, precision="highest")
+        a = (a - jnp.matmul(w, v.T, precision="highest")
+             - jnp.matmul(v, w.T, precision="highest"))
+        return a
+
+    if n_panels > 0:
+        a = jax.lax.fori_loop(0, n_panels, panel_step, a)
+
+    diags = jnp.stack(
+        [
+            jnp.concatenate([jnp.diagonal(a, offset=d),
+                             jnp.zeros(d, a.dtype)])
+            for d in range(b + 1)
+        ]
+    )
+    return diags
+
+
+def banded_eigenvalues(diags, n_iter=40):
+    """
+    All eigenvalues of a symmetric band matrix (ascending) by parallel
+    bisection on the banded LDL^t inertia count.
+
+    Parameters
+    ----------
+    diags : ndarray, shape=(b + 1, n)
+        Band diagonals as returned by :func:`band_reduce`.
+    n_iter : int
+        Bisection iterations (interval halvings of the Gershgorin
+        bound); 40 reaches float32 resolution.
+    """
+    diags = jnp.asarray(diags)
+    b = diags.shape[0] - 1
+    n = diags.shape[1]
+    w = b + 1
+    dtype = diags.dtype
+
+    # Gershgorin interval from the band: row sums of |off-diagonals|
+    radius = jnp.zeros(n, dtype)
+    for d in range(1, w):
+        off = jnp.abs(diags[d, : n - d]) if d < n else jnp.zeros(0, dtype)
+        radius = radius.at[: n - d].add(off)
+        radius = radius.at[d:].add(off)
+    lo0 = jnp.min(diags[0] - radius)
+    hi0 = jnp.max(diags[0] + radius)
+
+    # new_cols[i, p] = A[i - b + p, i] (column i read upwards);
+    # new_cols[i, b] = A[i, i]
+    cols = []
+    for p in range(w):
+        d = b - p  # distance below diagonal
+        vals = diags[d]
+        # A[i - d, i] = diags[d][i - d]: shift right by d, zero-pad head
+        cols.append(jnp.concatenate([jnp.zeros(d, dtype),
+                                     vals[: n - d]]))
+    new_cols = jnp.stack(cols, axis=1)  # (n, w)
+
+    targets = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.full(n, lo0)
+    hi = jnp.full(n, hi0)
+
+    def bisect(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        counts = _banded_sturm_counts_masked(new_cols, mid, n)
+        go_up = counts <= targets
+        lo = jnp.where(go_up, mid, lo)
+        hi = jnp.where(go_up, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, bisect, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def _banded_sturm_counts_masked(new_cols, shifts, n):
+    """
+    Eigenvalue counts strictly below each shift for a symmetric band
+    matrix, via the LDL^t inertia recurrence on a trailing
+    ``(b+1, b+1)`` Schur-complement window, vectorized over `shifts`.
+
+    The window before body step ``i`` holds ``S[i+p, i+q] - shift *
+    (p == q)`` for ``p, q < w`` (S = running Schur complement); each
+    step counts pivot ``S[i, i]``, eliminates it, shifts the window
+    up-left and appends band column ``i + w``.  Seeding appends columns
+    ``0..w-1``; ``w`` zero pad columns flush the final pivots through —
+    the scan ends after exactly `n` eliminations, so pads are never
+    counted.
+    """
+    w = new_cols.shape[1]
+    m = shifts.shape[0]
+    dtype = new_cols.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+
+    pad = jnp.zeros((w, w), dtype)
+    feed = jnp.concatenate([new_cols, pad], axis=0)  # (n + w, w)
+
+    def append(win, col):
+        new = jnp.zeros_like(win)
+        new = new.at[:, : w - 1, : w - 1].set(win[:, 1:, 1:])
+        entry = jnp.broadcast_to(col, (m, w))
+        entry = entry.at[:, w - 1].add(-shifts)
+        new = new.at[:, : w - 1, w - 1].set(entry[:, : w - 1])
+        new = new.at[:, w - 1, : w - 1].set(entry[:, : w - 1])
+        new = new.at[:, w - 1, w - 1].set(entry[:, w - 1])
+        return new
+
+    win0 = jnp.zeros((m, w, w), dtype)
+    for j in range(w):  # static warmup: w appends, no eliminations
+        win0 = append(win0, feed[j])
+
+    def body(carry, col):
+        win, count = carry
+        pivot = win[:, 0, 0]
+        count = count + (pivot < 0).astype(jnp.int32)
+        safe = jnp.where(jnp.abs(pivot) < tiny,
+                         jnp.where(pivot < 0, -tiny, tiny), pivot)
+        row0 = win[:, 0, 1:]
+        l_row = row0 / safe[:, None]
+        sub = win[:, 1:, 1:] - l_row[:, :, None] * row0[:, None, :]
+        # Stage the Schur complement at rows/cols 1..w so append's
+        # up-left shift lands it at 0..w-1 with the new column added
+        staged = win.at[:, 1:, 1:].set(sub)
+        return (append(staged, col), count), None
+
+    count0 = jnp.zeros((m,), jnp.int32)
+    (_, counts), _ = jax.lax.scan(body, (win0, count0), feed[w:])
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "n_iter"))
+def eigvalsh_banded(matrix, bandwidth=8, n_iter=40):
+    """
+    Eigenvalues (ascending) of symmetric `matrix` via the blocked
+    two-stage solver: full -> band reduction (matmul-rich) + banded
+    Sturm bisection.  Supports one leading batch dimension.
+
+    This is the production eigenvalues-only path — unlike
+    :func:`eigvalsh_sturm` it is compute- rather than bandwidth-bound
+    and outperforms XLA's ``eigvalsh`` on TPU (see docs/performance.md).
+    """
+    matrix = jnp.asarray(matrix)
+    if matrix.ndim == 3:
+        return jax.vmap(
+            lambda mm: eigvalsh_banded(mm, bandwidth=bandwidth,
+                                       n_iter=n_iter)
+        )(matrix)
+    n = matrix.shape[-1]
+    if n <= bandwidth + 1:
+        return jnp.linalg.eigvalsh(matrix)
+    diags = band_reduce(matrix, bandwidth)
+    return banded_eigenvalues(diags, n_iter=n_iter)

@@ -209,3 +209,60 @@ def test_tridiagonalize_preserves_spectrum():
          + np.diag(np.asarray(e), -1))
     assert np.allclose(np.linalg.eigvalsh(t), np.linalg.eigvalsh(a),
                        atol=1e-10)
+
+
+@pytest.mark.parametrize("bandwidth", [1, 2, 4, 8])
+def test_band_reduce_preserves_spectrum(bandwidth):
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(2)
+    n = 50
+    a = rng.rand(n, n)
+    a = a + a.T
+    diags = np.asarray(spectrum.band_reduce(jnp.asarray(a), bandwidth))
+    assert diags.shape == (bandwidth + 1, n)
+    band = np.zeros((n, n))
+    for d in range(bandwidth + 1):
+        idx = np.arange(n - d)
+        band[idx, idx + d] = diags[d][: n - d]
+        band[idx + d, idx] = diags[d][: n - d]
+    assert np.allclose(np.linalg.eigvalsh(band), np.linalg.eigvalsh(a),
+                       atol=1e-10)
+
+
+@pytest.mark.parametrize("bandwidth", [1, 2, 4, 8])
+def test_eigvalsh_banded_matches_eigh(bandwidth):
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(3)
+    for n in (13, 40, 100):  # non-divisible and divisible by bandwidth
+        a = rng.randn(n, n)
+        a = (a + a.T) / 2
+        vals = np.asarray(
+            spectrum.eigvalsh_banded(jnp.asarray(a), bandwidth=bandwidth,
+                                     n_iter=60)
+        )
+        assert np.allclose(vals, np.linalg.eigvalsh(a), atol=1e-10)
+
+
+def test_eigvalsh_banded_batched_and_hessian():
+    from springcraft_tpu.ops import assembly, ffparams, spectrum
+
+    rng = np.random.RandomState(4)
+    batch = rng.randn(3, 30, 30)
+    batch = (batch + batch.swapaxes(-1, -2)) / 2
+    vals = np.asarray(spectrum.eigvalsh_banded(jnp.asarray(batch),
+                                               bandwidth=4, n_iter=60))
+    for i in range(3):
+        assert np.allclose(vals[i], np.linalg.eigvalsh(batch[i]),
+                           atol=1e-10)
+
+    # Semi-definite ENM Hessian: six zero modes must come out ~0 and the
+    # nontrivial spectrum must match eigh
+    coord = jnp.asarray(rng.rand(60, 3) * 19)
+    h = assembly.hessian_matrix(coord, ffparams.invariant_params(8.0),
+                                jnp, dtype=jnp.float64, layout="xyz")
+    vals = np.asarray(spectrum.eigvalsh_banded(h, bandwidth=8, n_iter=60))
+    ref = np.linalg.eigvalsh(np.asarray(h))
+    assert np.allclose(vals, ref, atol=1e-9)
+    assert np.all(np.abs(vals[:6]) < 1e-9)
