@@ -8,11 +8,22 @@ protein, batched over a conformer ensemble on one chip.  The TPU path
 uses the analytic-null-space Cholesky covariance; the CPU baseline
 computes the *same observables* the reference way (pair-list assembly
 + `np.linalg.pinv(hermitian=True)`), single-threaded float64 NumPy —
-the reference has no GPU/TPU path and publishes no numbers.
+the reference has no GPU/TPU path and publishes no numbers, so the
+baseline is architecture-equivalent reference code, not literal
+reference code (biotite/springcraft are not installable here).
 
-The full spectral pipeline (eigh: eigenvalues/frequencies/modes) is
-also measured against an eigh-based CPU baseline and reported on
-stderr.
+Secondary stderr metrics:
+
+* full spectral pipeline (eigh) vs an eigh CPU baseline;
+* tabulated sdENM (compact ``(20,20,27)`` tables) batched fluctuation
+  pipeline, XLA vs the fused Pallas assembly kernel;
+* mega-assembly: 10k-residue (30k-dim) sdENM Hessian build + 20 lowest
+  modes (the BASELINE.json north-star config).
+
+``python bench.py --smoke`` runs the TPU regression checks instead:
+compiled-Mosaic Pallas kernels vs XLA parity at two sizes/families and
+the 7cal eANM f32-vs-f64 MSF check (guards the MXU bf16 hazard — see
+CLAUDE.md); exits nonzero on failure.
 
 Timing methodology: every jitted program returns a scalar checksum of
 all outputs and the clock stops on fetching it — plain
@@ -57,6 +68,34 @@ def make_batches(n_batches, batch, n_res, seed=0):
         base[None] + 0.05 * rng.randn(batch, n_res, 3).astype(np.float32)
         for _ in range(n_batches)
     ]
+
+
+#: CA-atom number density of the n=300 batches above (atoms/A^3); used
+#: to size larger random blobs so cutoff connectivity stays realistic.
+_CA_DENSITY = 300 / 34.0**3
+
+_AA20 = [
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+]
+
+
+def make_ca_atoms(n, seed=0, spread=None):
+    """Synthetic all-CA AtomArray (random sequence, one chain) at
+    protein-like density — input for tabulated force fields."""
+    from springcraft_tpu.structure import AtomArray
+
+    rng = np.random.RandomState(seed)
+    if spread is None:
+        spread = (n / _CA_DENSITY) ** (1.0 / 3.0)
+    atoms = AtomArray(n)
+    atoms.coord = (rng.rand(n, 3) * spread).astype(np.float32)
+    atoms.atom_name = np.full(n, "CA")
+    atoms.element = np.full(n, "C")
+    atoms.chain_id = np.full(n, "A")
+    atoms.res_id = np.arange(1, n + 1)
+    atoms.res_name = np.array(_AA20)[rng.randint(0, 20, n)]
+    return atoms
 
 
 def _timed(fn, inputs):
@@ -116,6 +155,182 @@ def bench_tpu():
         f"{spectral_rate:.1f} solves/s")
 
     return fluct_rate, spectral_rate
+
+
+def bench_tabulated_tpu():
+    """Tabulated sdENM (compact type tables) batched fluctuation
+    pipeline — the flagship Pallas path — XLA dense vs Pallas fused."""
+    import jax
+    import jax.numpy as jnp
+
+    from springcraft_tpu.models import TabulatedForceField
+    from springcraft_tpu.parallel import pipeline
+
+    params = TabulatedForceField.sd_enm(
+        make_ca_atoms(N_RES)
+    ).to_compact_params()
+    batches = [
+        jax.device_put(jnp.asarray(b))
+        for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
+    ]
+    solves = TPU_ITERS * BATCH
+
+    rates = {}
+    for use_pallas in (False, True):
+        fluct = jax.vmap(
+            functools.partial(pipeline.anm_fluctuations, params=params,
+                              with_dcc=True, dtype=jnp.float32,
+                              use_pallas=use_pallas)
+        )
+        fn = jax.jit(lambda b: sum(jnp.sum(v) for v in fluct(b).values()))
+        compile_s, elapsed, _ = _timed(fn, batches)
+        rates[use_pallas] = solves / elapsed
+        path = "pallas" if use_pallas else "xla"
+        log(f"tpu tabulated sdENM fluctuation pipeline [{path}]: "
+            f"compile {compile_s:.1f}s; {solves} solves (N={N_RES}) in "
+            f"{elapsed:.3f}s -> {rates[use_pallas]:.1f} solves/s")
+    return rates
+
+
+def bench_mega_tpu(n_res=10_000, k_modes=20):
+    """Mega-assembly north star (BASELINE.json): 10k-residue sdENM —
+    30k-dim Hessian build (Pallas) + 20 lowest non-trivial modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from springcraft_tpu.models import TabulatedForceField
+    from springcraft_tpu.ops import modes, pallas_kernels
+
+    atoms = make_ca_atoms(n_res, seed=2)
+    params = TabulatedForceField.sd_enm(atoms).to_compact_params()
+    coord = jax.device_put(jnp.asarray(atoms.coord))
+
+    build = jax.jit(
+        functools.partial(pallas_kernels.hessian_pallas, params=params,
+                          dtype=jnp.float32)
+    )
+    build_sum = jax.jit(lambda c: jnp.sum(build(c)))
+    t0 = time.perf_counter()
+    float(build_sum(coord))
+    build_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(build_sum(coord))
+    build_s = time.perf_counter() - t0
+
+    hessian = build(coord)
+
+    def modes_sum(h, c):
+        vals, vecs = modes.lowest_modes_anm(h, c, k=k_modes)
+        return jnp.sum(vals) + jnp.sum(vecs)
+
+    modes_fn = jax.jit(modes_sum)
+    t0 = time.perf_counter()
+    float(modes_fn(hessian, coord))
+    modes_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(modes_fn(hessian, coord))
+    modes_s = time.perf_counter() - t0
+
+    total = build_s + modes_s
+    log(f"tpu mega-assembly (n={n_res}, dim={3 * n_res}): Pallas build "
+        f"{build_s:.2f}s (compile {build_compile_s:.1f}s), "
+        f"{k_modes} lowest modes {modes_s:.2f}s (compile "
+        f"{modes_compile_s:.1f}s) -> total {total:.2f}s "
+        f"(north star: <10s)")
+    return total
+
+
+def run_smoke():
+    """TPU regression checks: compiled-Mosaic Pallas vs XLA parity and
+    the 7cal eANM f32-vs-f64 MSF bf16-hazard check.  Returns the number
+    of failures (0 = pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    import springcraft_tpu as sc
+    from springcraft_tpu.ops import assembly, ffparams, pallas_kernels
+    from springcraft_tpu.parallel import pipeline
+    from springcraft_tpu.structure import load_structure
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        log(f"smoke: WARNING backend is {backend!r}; Pallas kernels run "
+            "in interpret mode — this does not validate Mosaic")
+    failures = 0
+
+    def check(name, got, ref, tol):
+        nonlocal failures
+        got = np.asarray(got, dtype=np.float64)
+        ref = np.asarray(ref, dtype=np.float64)
+        scale = np.max(np.abs(ref)) or 1.0
+        rel = float(np.max(np.abs(got - ref)) / scale)
+        status = "ok" if rel <= tol else "FAIL"
+        if rel > tol:
+            failures += 1
+        log(f"smoke: {name}: max rel err {rel:.2e} (tol {tol:.0e}) "
+            f"{status}")
+
+    from springcraft_tpu.models import TabulatedForceField
+
+    for n, seed in ((512, 0), (2048, 1)):
+        rng = np.random.RandomState(seed)
+        spread = (n / _CA_DENSITY) ** (1.0 / 3.0)
+        coord = jnp.asarray(
+            (rng.rand(n, 3) * spread).astype(np.float32)
+        )
+        inv = ffparams.invariant_params(13.0)
+        sdenm = TabulatedForceField.sd_enm(
+            make_ca_atoms(n, seed=seed)
+        ).to_compact_params()
+        for fam, params in (("invariant", inv), ("sdENM", sdenm)):
+            h_xla = jax.jit(
+                lambda c, p=params: assembly.hessian_matrix(
+                    c, p, jnp, dtype=jnp.float32, layout="xyz"
+                )
+            )(coord)
+            h_pal = jax.jit(
+                lambda c, p=params: pallas_kernels.hessian_pallas(
+                    c, p, dtype=jnp.float32
+                )
+            )(coord)
+            check(f"hessian pallas==xla [{fam}, n={n}]", h_pal, h_xla,
+                  5e-5)
+        k_xla = jax.jit(
+            lambda c: assembly.kirchhoff_matrix(c, inv, jnp,
+                                                dtype=jnp.float32)
+        )(coord)
+        k_pal = jax.jit(
+            lambda c: pallas_kernels.kirchhoff_pallas(c, inv,
+                                                      dtype=jnp.float32)
+        )(coord)
+        check(f"kirchhoff pallas==xla [invariant, n={n}]", k_pal, k_xla,
+              5e-5)
+
+    # bf16-hazard regression: production f32 MSF at 7cal scale must
+    # track the f64 host truth at ~1e-5 relative error, not ~1e-2
+    # (dot_general without precision='highest' rounds through bf16).
+    pdb = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                       "tests", "data", "7cal.pdb")
+    atoms = load_structure(pdb, model=1)
+    ca = atoms[(atoms.atom_name == "CA") & (atoms.element == "C")]
+    ff = sc.TabulatedForceField.e_anm(ca)
+    msf64 = sc.ANM(ca, ff).mean_square_fluctuation()  # host f64 (NumPy)
+    out = pipeline.anm_fluctuations(
+        jnp.asarray(ca.coord, dtype=jnp.float32),
+        ff.to_compact_params(), with_dcc=False,
+    )
+    msf32 = np.asarray(out["msf"], dtype=np.float64)
+    rel_rmse = float(
+        np.sqrt(np.mean((msf32 - msf64) ** 2) / np.mean(msf64**2))
+    )
+    status = "ok" if rel_rmse <= 1e-3 else "FAIL"
+    if rel_rmse > 1e-3:
+        failures += 1
+    log(f"smoke: 7cal eANM f32 MSF vs f64 truth: rel RMSE "
+        f"{rel_rmse:.2e} (tol 1e-03, expected ~1e-5) {status}")
+
+    log(f"smoke: {failures} failure(s)")
+    return failures
 
 
 def _cpu_hessian(coord):
@@ -184,10 +399,22 @@ def bench_cpu_baselines():
     return fluct_rate, spectral_rate
 
 
-def main():
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if "--smoke" in argv:
+        sys.exit(1 if run_smoke() else 0)
+
     tpu_fluct, tpu_spectral = bench_tpu()
+    for name, fn in (("tabulated", bench_tabulated_tpu),
+                     ("mega-assembly", bench_mega_tpu)):
+        try:
+            fn()
+        except Exception as exc:  # secondary metrics must not kill the run
+            log(f"tpu {name} bench failed: {type(exc).__name__}: {exc}")
     cpu_fluct, cpu_spectral = bench_cpu_baselines()
-    log(f"speedups: fluctuation {tpu_fluct / cpu_fluct:.1f}x, "
+    log(f"speedups vs architecture-equivalent single-thread CPU "
+        f"reference (literal reference not installable here): "
+        f"fluctuation {tpu_fluct / cpu_fluct:.1f}x, "
         f"spectral {tpu_spectral / cpu_spectral:.1f}x")
     result = {
         "metric": f"anm_fluctuation_nma_solves_per_sec_batched_n{N_RES}",
