@@ -1,6 +1,13 @@
 """Batched (vmap) and multi-chip (mesh/shard_map) execution of ENM
 pipelines."""
 
+from .blocked import (
+    blocked_cholesky,
+    blocked_solve_lower,
+    blocked_solve_lower_t,
+    sharded_all_mode_msf,
+    sharded_covariance_blocked,
+)
 from .mesh import ensemble_sharding, make_mesh
 from .pipeline import (
     anm_fluctuations,
@@ -38,6 +45,11 @@ __all__ = [
     "sharded_hessian",
     "sharded_lowest_modes",
     "sharded_covariance",
+    "sharded_covariance_blocked",
+    "sharded_all_mode_msf",
+    "blocked_cholesky",
+    "blocked_solve_lower",
+    "blocked_solve_lower_t",
     "sharded_anm_pipeline",
     "ensemble_mean_msf",
 ]
