@@ -4,7 +4,8 @@ Minimal mmCIF/PDBx reader producing :class:`AtomArray` objects.
 Covers the ``atom_site`` loop category — the part needed to load
 structures for ENM analysis (the reference gallery loads structures via
 ``biotite.structure.io.pdbx``, cf. ``doc/examples/scripts/basic_nma.py``).
-Handles multi-model files, quoted values and comments; everything beyond
+Handles multi-model files, quoted values, comments, rows wrapping over
+multiple lines, and ``;``-delimited text fields; everything beyond
 ``atom_site`` is ignored.
 """
 
@@ -66,12 +67,38 @@ class CIFFile:
 
         columns = []
         rows = []
+        pending = []  # tokens of a row spanning multiple lines
         in_loop_header = False
         in_atom_site = False
-        for line in lines:
-            stripped = line.strip()
+        i, n_lines = 0, len(lines)
+        while i < n_lines:
+            raw = lines[i]
+            # ';'-delimited text field: opens with ';' in column 1 and
+            # runs (including blank lines) until a line starting with
+            # ';'.  Inside atom_site the whole block is one value; in
+            # any other category it is consumed and ignored so its
+            # content cannot confuse the state machine.
+            if raw.startswith(";"):
+                text = [raw[1:]]
+                i += 1
+                while i < n_lines and not lines[i].startswith(";"):
+                    text.append(lines[i])
+                    i += 1
+                if i >= n_lines:
+                    raise ValueError(
+                        "Unterminated ';'-delimited text field"
+                    )
+                i += 1  # closing ';'
+                if in_atom_site and not in_loop_header:
+                    pending.append("\n".join(text).strip())
+                    if len(pending) == len(columns):
+                        rows.append(pending)
+                        pending = []
+                continue
+            stripped = raw.strip()
+            i += 1
             if not stripped or stripped.startswith("#"):
-                if in_atom_site and rows:
+                if in_atom_site and rows and not pending:
                     in_atom_site = False
                 continue
             if stripped == "loop_":
@@ -92,15 +119,20 @@ class CIFFile:
                 if stripped.startswith(("_", "loop_", "data_")):
                     in_atom_site = False
                     continue
-                values = _tokenize(stripped)
-                if len(values) != len(columns):
+                pending.extend(_tokenize(stripped))
+                if len(pending) == len(columns):
+                    rows.append(pending)
+                    pending = []
+                elif len(pending) > len(columns):
                     raise ValueError(
-                        f"atom_site row has {len(values)} values for "
-                        f"{len(columns)} columns (multi-line or "
-                        f"';'-delimited values are not supported): "
-                        f"{stripped[:60]!r}"
+                        f"atom_site row has {len(pending)} values for "
+                        f"{len(columns)} columns: {stripped[:60]!r}"
                     )
-                rows.append(values)
+        if pending:
+            raise ValueError(
+                f"Incomplete final atom_site row: {len(pending)} values "
+                f"for {len(columns)} columns"
+            )
         return CIFFile(columns, rows)
 
     def get_model_count(self):

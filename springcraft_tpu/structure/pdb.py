@@ -195,7 +195,9 @@ def load_structure(path, model=None):
     name = str(path)
     if name.endswith((".bcif", ".bcif.gz")):
         raise NotImplementedError(
-            "BinaryCIF (.bcif) is not supported; convert to .cif or .pdb"
+            "BinaryCIF (.bcif) is not supported — convert to text mmCIF "
+            "or PDB first (e.g. `gemmi convert in.bcif out.cif`, or "
+            "re-download the .cif/.pdb form from the PDB)"
         )
     if name.endswith((".cif", ".cif.gz", ".mmcif")):
         from .cif import load_structure_cif

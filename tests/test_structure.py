@@ -357,3 +357,52 @@ ATOM 2 C CA LEU A 2 2.5 0.0 0.0 2
     assert atoms.array_length() == 2
     assert coords.shape == (2, 2, 3)
     assert coords[1, 0, 0] == 1.5
+
+
+def test_cif_multiline_and_wrapped_rows(tmp_path):
+    """';'-delimited text fields (in other categories and inside
+    atom_site) and rows wrapped over multiple lines parse correctly."""
+    cif_text = """data_test
+_struct.title
+;A title that spans
+multiple lines, with loop_ and _tag-looking content
+;
+#
+loop_
+_atom_site.group_PDB
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+ATOM N N ASN A 1
+ -8.901 4.127 -0.555
+ATOM C CA
+;ASN
+;
+ A 1 -8.608 3.135 -1.618
+ATOM C CA LEU A 2 -4.923 4.002 -2.452
+#
+"""
+    path = tmp_path / "multi.cif"
+    path.write_text(cif_text)
+
+    from springcraft_tpu.structure import load_structure_cif
+
+    atoms = load_structure_cif(path)
+    assert atoms.array_length() == 3
+    assert list(atoms.res_name) == ["ASN", "ASN", "LEU"]
+    assert np.allclose(atoms.coord[0], [-8.901, 4.127, -0.555])
+    assert np.allclose(atoms.coord[1], [-8.608, 3.135, -1.618])
+
+
+def test_cif_unterminated_text_field(tmp_path):
+    path = tmp_path / "bad.cif"
+    path.write_text("data_x\n_struct.title\n;never closed\n")
+    from springcraft_tpu.structure import CIFFile
+
+    with pytest.raises(ValueError, match="Unterminated"):
+        CIFFile.read(path)
