@@ -29,7 +29,12 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 
 from . import rigid
 
-__all__ = ["lowest_modes", "lowest_modes_anm", "mode_residuals"]
+__all__ = [
+    "lowest_modes",
+    "lowest_modes_anm",
+    "lowest_modes_shift_invert",
+    "mode_residuals",
+]
 
 
 def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
@@ -46,10 +51,12 @@ def lowest_modes(matrix, k, null_basis=None, n_iter=200, seed=0):
         Orthonormal basis of the known null space (rigid-body modes);
         deflated out of the search space.
     n_iter : int
-        LOBPCG iteration cap.  Convergence at this cap is not
-        guaranteed for large ill-conditioned systems — check residuals
-        with :func:`mode_residuals` and raise `n_iter` (or use float64)
-        when tight eigenvalues are required.
+        LOBPCG iteration count.  Convergence is not guaranteed for
+        large ill-conditioned systems — **always** check residuals with
+        :func:`mode_residuals` (the solver's internal stopping test is
+        disabled here because the spectrum reflection makes it
+        trivially true); prefer :func:`lowest_modes_shift_invert` at
+        mega-assembly scale.
 
     Returns
     -------
@@ -102,10 +109,96 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
             precision='highest')
     x0, _ = jnp.linalg.qr(x0)
 
-    mu, vecs, _ = lobpcg_standard(reflected_matvec, x0, m=n_iter)
+    # tol=0 forces the full iteration budget: the library's relative
+    # residual test is evaluated against the *reflected* eigenvalues
+    # (mu ~ c, enormous), so any nonzero tolerance reports convergence
+    # immediately while the true pairs are still O(1) wrong.
+    mu, vecs, _ = lobpcg_standard(reflected_matvec, x0, m=n_iter, tol=0.0)
     vals = c - mu
     order = jnp.argsort(vals)
     return vals[order], vecs[:, order].T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_iter", "oversample", "seed"))
+def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
+                              seed=0):
+    """
+    The `k` smallest non-null eigenpairs by Cholesky shift-invert
+    subspace iteration.
+
+    The regularized matrix ``H + sigma T T^t`` is factored once
+    (Cholesky with Jacobi equilibration — the same kernel as the fast
+    covariance path), then an oversampled block is driven through
+    ``inv(reg)`` with the null space projected out each step; a final
+    Rayleigh-Ritz on the *original* matrix yields the eigenpairs.
+
+    Unlike the reflected-spectrum LOBPCG (:func:`lowest_modes`), whose
+    internal relative-residual test is meaningless after the spectrum
+    shift (``mu ~ c >> lambda`` makes every residual look converged —
+    at 30k dims it exits immediately with O(1) relative residuals),
+    this converges at the inverse-power rate ``(lambda_k /
+    lambda_{k+q})^s`` and is residual-checkable on the true pairs.
+    All heavy ops are matmuls / triangular solves (MXU).
+
+    Parameters
+    ----------
+    matrix : ndarray, shape=(m, m)
+        PSD interaction matrix.
+    t : ndarray, shape=(m, n_null)
+        Orthonormal null-space basis.
+    k : int
+        Number of modes.
+    n_iter : int
+        Inverse-iteration steps (each = one preconditioned solve + QR).
+    oversample : int, optional
+        Extra subspace vectors (default ``max(k, 8)``).
+
+    Returns
+    -------
+    eig_values : ndarray, shape=(k,), ascending
+    eig_vectors : ndarray, shape=(k, m), modes in rows
+    """
+    import jax.scipy.linalg as jsl
+
+    matrix = jnp.asarray(matrix)
+    m = matrix.shape[0]
+    t = jnp.asarray(t, dtype=matrix.dtype)
+    q = max(k, 8) if oversample is None else oversample
+    p = k + q
+
+    sigma = jnp.mean(jnp.diagonal(matrix))
+    reg = matrix + sigma * jnp.matmul(t, t.T, precision="highest")
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+    reg = reg * scale[:, None] * scale[None, :]
+    chol = jnp.linalg.cholesky(reg)
+
+    def deflate(x):
+        return x - jnp.matmul(
+            t, jnp.matmul(t.T, x, precision="highest"),
+            precision="highest")
+
+    def inv_apply(x):
+        y = jsl.cho_solve((chol, True), scale[:, None] * x)
+        return scale[:, None] * y
+
+    key = jnp.arange(m * p, dtype=matrix.dtype).reshape(m, p)
+    x = jnp.cos(key * 0.7 + seed) + 1e-3
+    x, _ = jnp.linalg.qr(deflate(x))
+
+    def step(_, x):
+        y = deflate(inv_apply(x))
+        x, _ = jnp.linalg.qr(y)
+        return x
+
+    x = jax.lax.fori_loop(0, n_iter, step, x)
+
+    # Rayleigh-Ritz on the original matrix
+    hx = jnp.matmul(matrix, x, precision="highest")
+    s = jnp.matmul(x.T, hx, precision="highest")
+    vals, w = jnp.linalg.eigh((s + s.T) / 2)
+    vecs = jnp.matmul(x, w[:, :k], precision="highest")
+    return vals[:k], vecs.T
 
 
 def mode_residuals(matrix, eig_values, eig_vectors):
@@ -127,10 +220,23 @@ def _dense_lowest(matrix, k, null_basis):
     return vals[sel], vecs[:, sel].T
 
 
-def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=200):
+def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
+                     method="shift_invert"):
     """
     The `k` lowest non-trivial ANM modes of an xyz-layout Hessian, with
     the six rigid-body modes deflated analytically.
+
+    `method` is ``"shift_invert"`` (default — Cholesky-preconditioned
+    subspace iteration, reliable at mega-assembly scale; `n_iter` ~ 24)
+    or ``"lobpcg"`` (the reflected-spectrum LOBPCG; only trustworthy
+    with a residual check, `n_iter` ~ 200).
     """
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+    if method == "shift_invert":
+        matrix = jnp.asarray(hessian_xyz)
+        if 2 * max(k, 8) + 2 * k >= matrix.shape[0]:
+            return _dense_lowest(matrix, k, basis)
+        return lowest_modes_shift_invert(
+            matrix, jnp.asarray(basis, matrix.dtype), k=k, n_iter=n_iter
+        )
     return lowest_modes(hessian_xyz, k, null_basis=basis, n_iter=n_iter)

@@ -289,106 +289,128 @@ def banded_eigenvalues(diags, n_iter=40):
 
     Parameters
     ----------
-    diags : ndarray, shape=(b + 1, n)
-        Band diagonals as returned by :func:`band_reduce`.
+    diags : ndarray, shape=(b + 1, n) or (batch, b + 1, n)
+        Band diagonals as returned by :func:`band_reduce`; the batch
+        dimension is vectorized *inside* the count scan (together with
+        the ``n`` shifts) rather than via ``vmap``, so the tiny
+        ``(w, w)`` window dims stay leading and the large batch x shift
+        plane occupies the TPU vector lanes.
     n_iter : int
         Bisection iterations (interval halvings of the Gershgorin
         bound); 40 reaches float32 resolution.
     """
     diags = jnp.asarray(diags)
-    b = diags.shape[0] - 1
-    n = diags.shape[1]
-    w = b + 1
+    squeeze = diags.ndim == 2
+    if squeeze:
+        diags = diags[None]
+    n_batch, w, n = diags.shape
+    b = w - 1
     dtype = diags.dtype
 
     # Gershgorin interval from the band: row sums of |off-diagonals|
-    radius = jnp.zeros(n, dtype)
+    radius = jnp.zeros((n_batch, n), dtype)
     for d in range(1, w):
-        off = jnp.abs(diags[d, : n - d]) if d < n else jnp.zeros(0, dtype)
-        radius = radius.at[: n - d].add(off)
-        radius = radius.at[d:].add(off)
-    lo0 = jnp.min(diags[0] - radius)
-    hi0 = jnp.max(diags[0] + radius)
+        off = jnp.abs(diags[:, d, : n - d])
+        radius = radius.at[:, : n - d].add(off)
+        radius = radius.at[:, d:].add(off)
+    lo0 = jnp.min(diags[:, 0] - radius, axis=1)  # (batch,)
+    hi0 = jnp.max(diags[:, 0] + radius, axis=1)
 
-    # new_cols[i, p] = A[i - b + p, i] (column i read upwards);
-    # new_cols[i, b] = A[i, i]
+    # Column-major band feed: feed[i, p, batch] = A[i - b + p, i]
+    # (column i read upwards, feed[i, b] the diagonal), plus w zero pad
+    # columns that flush the final pivots through the window.
     cols = []
     for p in range(w):
-        d = b - p  # distance below diagonal
-        vals = diags[d]
-        # A[i - d, i] = diags[d][i - d]: shift right by d, zero-pad head
-        cols.append(jnp.concatenate([jnp.zeros(d, dtype),
-                                     vals[: n - d]]))
-    new_cols = jnp.stack(cols, axis=1)  # (n, w)
+        d = b - p  # distance below the diagonal
+        vals = diags[:, d]
+        cols.append(jnp.concatenate(
+            [jnp.zeros((n_batch, d), dtype), vals[:, : n - d]], axis=1
+        ))
+    new_cols = jnp.stack(cols, axis=0)  # (w, batch, n)
+    feed = jnp.concatenate(
+        [jnp.transpose(new_cols, (2, 0, 1)),
+         jnp.zeros((w, w, n_batch), dtype)],
+        axis=0,
+    )  # (n + w, w, batch)
 
-    targets = jnp.arange(n, dtype=jnp.int32)
-    lo = jnp.full(n, lo0)
-    hi = jnp.full(n, hi0)
+    targets = jnp.arange(n, dtype=jnp.int32)[None, :]
+    lo = jnp.broadcast_to(lo0[:, None], (n_batch, n))
+    hi = jnp.broadcast_to(hi0[:, None], (n_batch, n))
 
     def bisect(_, bounds):
         lo, hi = bounds
         mid = 0.5 * (lo + hi)
-        counts = _banded_sturm_counts_masked(new_cols, mid, n)
+        counts = _banded_sturm_counts(feed, mid)
         go_up = counts <= targets
         lo = jnp.where(go_up, mid, lo)
         hi = jnp.where(go_up, hi, mid)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, n_iter, bisect, (lo, hi))
-    return 0.5 * (lo + hi)
+    out = 0.5 * (lo + hi)
+    return out[0] if squeeze else out
 
 
-def _banded_sturm_counts_masked(new_cols, shifts, n):
+def _banded_sturm_counts(feed, shifts):
     """
-    Eigenvalue counts strictly below each shift for a symmetric band
-    matrix, via the LDL^t inertia recurrence on a trailing
-    ``(b+1, b+1)`` Schur-complement window, vectorized over `shifts`.
+    Eigenvalue counts strictly below each shift for symmetric band
+    matrices, via the LDL^t inertia recurrence on a trailing
+    ``(w, w)`` Schur-complement window, vectorized over batch x shifts.
 
     The window before body step ``i`` holds ``S[i+p, i+q] - shift *
     (p == q)`` for ``p, q < w`` (S = running Schur complement); each
     step counts pivot ``S[i, i]``, eliminates it, shifts the window
     up-left and appends band column ``i + w``.  Seeding appends columns
-    ``0..w-1``; ``w`` zero pad columns flush the final pivots through —
-    the scan ends after exactly `n` eliminations, so pads are never
-    counted.
+    ``0..w-1``; the pad columns in `feed` flush the final pivots
+    through — the scan ends after exactly ``n`` eliminations, so pads
+    are never counted.
+
+    Parameters
+    ----------
+    feed : ndarray, shape=(n + w, w, batch)
+    shifts : ndarray, shape=(batch, n_shifts)
+
+    Returns
+    -------
+    counts : ndarray, shape=(batch, n_shifts), int32
     """
-    w = new_cols.shape[1]
-    m = shifts.shape[0]
-    dtype = new_cols.dtype
+    w = feed.shape[1]
+    n_batch, n_shifts = shifts.shape
+    dtype = feed.dtype
     tiny = jnp.asarray(1e-30, dtype)
 
-    pad = jnp.zeros((w, w), dtype)
-    feed = jnp.concatenate([new_cols, pad], axis=0)  # (n + w, w)
-
     def append(win, col):
+        # win: (w, w, batch, shifts); col: (w, batch)
+        entry = jnp.broadcast_to(
+            col[:, :, None], (w, n_batch, n_shifts)
+        )
+        entry = entry.at[w - 1].add(-shifts)
         new = jnp.zeros_like(win)
-        new = new.at[:, : w - 1, : w - 1].set(win[:, 1:, 1:])
-        entry = jnp.broadcast_to(col, (m, w))
-        entry = entry.at[:, w - 1].add(-shifts)
-        new = new.at[:, : w - 1, w - 1].set(entry[:, : w - 1])
-        new = new.at[:, w - 1, : w - 1].set(entry[:, : w - 1])
-        new = new.at[:, w - 1, w - 1].set(entry[:, w - 1])
+        new = new.at[: w - 1, : w - 1].set(win[1:, 1:])
+        new = new.at[: w - 1, w - 1].set(entry[: w - 1])
+        new = new.at[w - 1, : w - 1].set(entry[: w - 1])
+        new = new.at[w - 1, w - 1].set(entry[w - 1])
         return new
 
-    win0 = jnp.zeros((m, w, w), dtype)
+    win0 = jnp.zeros((w, w, n_batch, n_shifts), dtype)
     for j in range(w):  # static warmup: w appends, no eliminations
         win0 = append(win0, feed[j])
 
     def body(carry, col):
         win, count = carry
-        pivot = win[:, 0, 0]
+        pivot = win[0, 0]  # (batch, shifts)
         count = count + (pivot < 0).astype(jnp.int32)
         safe = jnp.where(jnp.abs(pivot) < tiny,
                          jnp.where(pivot < 0, -tiny, tiny), pivot)
-        row0 = win[:, 0, 1:]
-        l_row = row0 / safe[:, None]
-        sub = win[:, 1:, 1:] - l_row[:, :, None] * row0[:, None, :]
+        row0 = win[0, 1:]  # (w - 1, batch, shifts)
+        l_row = row0 / safe
+        sub = win[1:, 1:] - l_row[:, None] * row0[None, :]
         # Stage the Schur complement at rows/cols 1..w so append's
         # up-left shift lands it at 0..w-1 with the new column added
-        staged = win.at[:, 1:, 1:].set(sub)
+        staged = win.at[1:, 1:].set(sub)
         return (append(staged, col), count), None
 
-    count0 = jnp.zeros((m,), jnp.int32)
+    count0 = jnp.zeros((n_batch, n_shifts), jnp.int32)
     (_, counts), _ = jax.lax.scan(body, (win0, count0), feed[w:])
     return counts
 
@@ -405,13 +427,13 @@ def eigvalsh_banded(matrix, bandwidth=8, n_iter=40):
     and outperforms XLA's ``eigvalsh`` on TPU (see docs/performance.md).
     """
     matrix = jnp.asarray(matrix)
-    if matrix.ndim == 3:
-        return jax.vmap(
-            lambda mm: eigvalsh_banded(mm, bandwidth=bandwidth,
-                                       n_iter=n_iter)
-        )(matrix)
     n = matrix.shape[-1]
     if n <= bandwidth + 1:
         return jnp.linalg.eigvalsh(matrix)
-    diags = band_reduce(matrix, bandwidth)
+    if matrix.ndim == 3:
+        # vmap only the matmul-rich reduction; the bisection stage
+        # vectorizes the batch internally (see banded_eigenvalues)
+        diags = jax.vmap(lambda mm: band_reduce(mm, bandwidth))(matrix)
+    else:
+        diags = band_reduce(matrix, bandwidth)
     return banded_eigenvalues(diags, n_iter=n_iter)
