@@ -33,6 +33,7 @@ __all__ = [
     "lowest_modes",
     "lowest_modes_anm",
     "lowest_modes_shift_invert",
+    "shift_invert_from_chol",
     "mode_residuals",
 ]
 
@@ -159,19 +160,32 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
     eig_values : ndarray, shape=(k,), ascending
     eig_vectors : ndarray, shape=(k, m), modes in rows
     """
-    import jax.scipy.linalg as jsl
-
     matrix = jnp.asarray(matrix)
-    m = matrix.shape[0]
     t = jnp.asarray(t, dtype=matrix.dtype)
-    q = max(k, 8) if oversample is None else oversample
-    p = k + q
 
     sigma = jnp.mean(jnp.diagonal(matrix))
     reg = matrix + sigma * jnp.matmul(t, t.T, precision="highest")
     scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
     reg = reg * scale[:, None] * scale[None, :]
     chol = jnp.linalg.cholesky(reg)
+    return shift_invert_from_chol(matrix, chol, scale, t, k=k,
+                                  n_iter=n_iter, oversample=oversample,
+                                  seed=seed)
+
+
+def shift_invert_from_chol(matrix, chol, scale, t, *, k, n_iter=24,
+                           oversample=None, seed=0):
+    """
+    Shift-invert subspace iteration reusing an existing regularized
+    (equilibrated) Cholesky factor — lets one factorization serve both
+    the covariance observables and mode extraction in fused pipelines.
+    """
+    import jax.scipy.linalg as jsl
+
+    matrix = jnp.asarray(matrix)
+    m = matrix.shape[0]
+    q = max(k, 8) if oversample is None else oversample
+    p = k + q
 
     def deflate(x):
         return x - jnp.matmul(

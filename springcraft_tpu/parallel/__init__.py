@@ -12,8 +12,10 @@ from .mesh import ensemble_sharding, make_mesh
 from .pipeline import (
     anm_fluctuations,
     anm_observables,
+    anm_spectral,
     ensemble_anm,
     ensemble_anm_fluctuations,
+    ensemble_anm_spectral,
     ensemble_gnm,
     gnm_fluctuations,
     gnm_observables,
@@ -36,6 +38,8 @@ __all__ = [
     "gnm_fluctuations",
     "ensemble_anm_fluctuations",
     "anm_observables",
+    "anm_spectral",
+    "ensemble_anm_spectral",
     "gnm_observables",
     "ensemble_anm",
     "ensemble_gnm",

@@ -23,10 +23,12 @@ from ..ops import assembly, nma_core, rigid
 
 __all__ = [
     "anm_observables",
+    "anm_spectral",
     "gnm_observables",
     "anm_fluctuations",
     "gnm_fluctuations",
     "ensemble_anm",
+    "ensemble_anm_spectral",
     "ensemble_gnm",
     "ensemble_anm_fluctuations",
 ]
@@ -188,6 +190,87 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
                                       num_dim=1)
         out["dcc"] = nma_core.normalize_dcc(dcc, jnp)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_modes", "with_dcc", "dtype", "use_pallas",
+                     "bandwidth", "n_iter_bisect", "n_iter_modes"),
+)
+def anm_spectral(coord, params, masses=None, *, n_modes=None,
+                 with_dcc=True, dtype=jnp.float32, use_pallas=False,
+                 bandwidth=8, n_iter_bisect=40, n_iter_modes=24):
+    """
+    Full spectral ANM NMA **without a dense eigh** — the TPU-fast
+    route to the same observables:
+
+    * all eigenvalues / frequencies via the blocked two-stage banded
+      solver (:func:`springcraft_tpu.ops.spectrum.eigvalsh_banded`);
+    * all-mode MSF / B-factors / DCC via the regularized Cholesky
+      covariance;
+    * optionally the `n_modes` lowest mode *shapes* by shift-invert
+      subspace iteration **reusing the same Cholesky factor**.
+
+    One factorization serves both the covariance observables and the
+    mode extraction, and every heavy op is a matmul or triangular
+    solve.  Output keys match :func:`anm_observables` (plus
+    ``covariance``), except the full modal matrix ``eig_vectors`` is
+    replaced by the ``n_modes`` requested rows (``mode_vectors`` /
+    ``mode_values``).  Requires a *connected* network (analytic rigid
+    null space), like :func:`anm_fluctuations`.
+    """
+    from ..ops import modes as modes_mod
+    from ..ops import spectrum
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
+    if masses is not None:
+        hessian = _mass_weight_xyz(hessian, masses)
+    basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+    basis = jnp.asarray(basis, dtype=dtype)
+
+    # One regularized, equilibrated factorization for everything
+    sigma = jnp.mean(jnp.diagonal(hessian))
+    ttt = jnp.matmul(basis, basis.T, precision="highest")
+    reg = hessian + sigma * ttt
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+    chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
+
+    import jax.scipy.linalg as jsl
+
+    inv = jsl.cho_solve((chol, True), jnp.eye(3 * n, dtype=dtype))
+    cov = inv * scale[:, None] * scale[None, :] - ttt / sigma
+
+    planes = cov.reshape(3, n, 3, n)
+    traces = sum(planes[a, :, a, :] for a in range(3))
+    vals = spectrum.eigvalsh_banded(hessian, bandwidth=bandwidth,
+                                    n_iter=n_iter_bisect)
+    out = {
+        "covariance": cov,
+        "eig_values": vals,
+        "frequencies": nma_core.frequencies_from_eigenvalues(vals, 6,
+                                                             jnp),
+        "msf": jnp.diagonal(traces),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        out["dcc"] = nma_core.normalize_dcc(traces, jnp)
+    if n_modes is not None:
+        mode_vals, mode_vecs = modes_mod.shift_invert_from_chol(
+            hessian, chol, scale, basis, k=n_modes, n_iter=n_iter_modes
+        )
+        out["mode_values"] = mode_vals
+        out["mode_vectors"] = mode_vecs
+    return out
+
+
+def ensemble_anm_spectral(coords, params, masses=None, **options):
+    """Batched :func:`anm_spectral` over a conformer ensemble."""
+    params = _resolve_params(params)
+    fn = functools.partial(anm_spectral, params=params, masses=masses,
+                           **options)
+    return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
 
 
 @functools.partial(

@@ -304,3 +304,44 @@ def test_blocked_covariance_and_msf_match_pinvh():
     assert np.allclose(np.asarray(out["msf"]), ref_msf, atol=1e-8)
     assert np.allclose(np.asarray(out["bfactor"]),
                        8 * np.pi**2 / 3 * ref_msf, atol=1e-7)
+
+
+def test_anm_spectral_matches_eigh_pipeline(ca_1l2y):
+    """The eigh-free spectral pipeline (banded eigenvalues + Cholesky
+    covariance + shift-invert modes off one factorization) reproduces
+    the dense-eigh pipeline's observables."""
+    from springcraft_tpu.parallel import anm_spectral
+
+    ff = sc.InvariantForceField(13.0)
+    params = ff.to_params()
+    coord = ca_1l2y.coord.astype(np.float64)
+
+    ref = anm_observables(coord, params, dtype=jnp.float64, with_dcc=True)
+    out = anm_spectral(coord, params, dtype=jnp.float64, with_dcc=True,
+                       n_modes=4, n_iter_bisect=60)
+
+    assert np.allclose(out["eig_values"], ref["eig_values"], atol=1e-9)
+    assert np.allclose(out["frequencies"][6:], ref["frequencies"][6:],
+                       rtol=1e-8)
+    assert np.allclose(out["msf"], ref["msf"], atol=1e-9)
+    assert np.allclose(out["bfactor"], ref["bfactor"], atol=1e-8)
+    assert np.allclose(out["dcc"], ref["dcc"], atol=1e-8)
+    # Mode shapes: compare |<u_got, u_ref>| ~ 1 per mode (sign-free)
+    assert np.allclose(out["mode_values"],
+                       np.asarray(ref["eig_values"])[6:10], rtol=1e-9)
+    ref_vecs = np.asarray(ref["eig_vectors"])[6:10]
+    got_vecs = np.asarray(out["mode_vectors"])
+    overlap = np.abs(np.sum(got_vecs * ref_vecs, axis=1))
+    assert np.all(overlap > 1 - 1e-8)
+
+
+def test_ensemble_anm_spectral_shapes():
+    from springcraft_tpu.parallel import ensemble_anm_spectral
+
+    params = ffparams.invariant_params(9.0)
+    coords = _conformers(3, 24, seed=8)
+    out = ensemble_anm_spectral(coords, params, dtype=jnp.float64,
+                                n_modes=2)
+    assert out["eig_values"].shape == (3, 72)
+    assert out["msf"].shape == (3, 24)
+    assert out["mode_vectors"].shape == (3, 2, 72)
