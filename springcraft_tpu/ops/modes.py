@@ -34,6 +34,7 @@ __all__ = [
     "lowest_modes_anm",
     "lowest_modes_shift_invert",
     "shift_invert_from_chol",
+    "modes_from_covariance",
     "mode_residuals",
 ]
 
@@ -208,6 +209,64 @@ def shift_invert_from_chol(matrix, chol, scale, t, *, k, n_iter=24,
     x = jax.lax.fori_loop(0, n_iter, step, x)
 
     # Rayleigh-Ritz on the original matrix
+    hx = jnp.matmul(matrix, x, precision="highest")
+    s = jnp.matmul(x.T, hx, precision="highest")
+    vals, w = jnp.linalg.eigh((s + s.T) / 2)
+    vecs = jnp.matmul(x, w[:, :k], precision="highest")
+    return vals[:k], vecs.T
+
+
+def modes_from_covariance(cov, matrix, t, *, k, n_iter=16,
+                          oversample=None, seed=0):
+    """
+    The `k` smallest non-null eigenpairs of `matrix`, extracted by
+    subspace iteration on its (already-computed) pseudo-inverse
+    covariance — the dominant eigenvectors of ``cov`` *are* the lowest
+    non-trivial modes, so when a pipeline has the covariance in hand
+    the modes cost only ``n_iter`` batched matmuls plus one final
+    Rayleigh-Ritz on `matrix` (no extra factorization, no per-step QR:
+    a single orthonormalization at the end suffices because power
+    iterates stay in the leading invariant subspace).
+
+    Parameters
+    ----------
+    cov : ndarray, shape=(m, m)
+        Pseudo-inverse covariance of `matrix` (null space removed).
+    matrix : ndarray, shape=(m, m)
+    t : ndarray, shape=(m, n_null)
+        Orthonormal null-space basis (deflation + exclusion from
+        Rayleigh-Ritz).
+    """
+    cov = jnp.asarray(cov)
+    matrix = jnp.asarray(matrix)
+    m = cov.shape[0]
+    q = max(k, 8) if oversample is None else oversample
+    p = k + q
+
+    def deflate(x):
+        return x - jnp.matmul(
+            t, jnp.matmul(t.T, x, precision="highest"),
+            precision="highest")
+
+    key = jnp.arange(m * p, dtype=cov.dtype).reshape(m, p)
+    x = jnp.cos(key * 0.7 + seed) + 1e-3
+    x, _ = jnp.linalg.qr(deflate(x))
+
+    def step(i, x):
+        y = deflate(jnp.matmul(cov, x, precision="highest"))
+        # Renormalize columns (cheap) to avoid over/underflow; full QR
+        # only every few steps to restore independence
+        y = y / jnp.linalg.norm(y, axis=0, keepdims=True)
+        return jax.lax.cond(
+            (i % 4) == 3,
+            lambda v: jnp.linalg.qr(v)[0],
+            lambda v: v,
+            y,
+        )
+
+    x = jax.lax.fori_loop(0, n_iter, step, x)
+    x, _ = jnp.linalg.qr(x)
+
     hx = jnp.matmul(matrix, x, precision="highest")
     s = jnp.matmul(x.T, hx, precision="highest")
     vals, w = jnp.linalg.eigh((s + s.T) / 2)

@@ -48,6 +48,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "tridiagonalize",
@@ -55,6 +57,7 @@ __all__ = [
     "eigvalsh_sturm",
     "band_reduce",
     "banded_eigenvalues",
+    "banded_eigenvalues_pallas",
     "eigvalsh_banded",
 ]
 
@@ -265,8 +268,12 @@ def band_reduce(matrix, bandwidth):
         s = jnp.matmul(t.T, jnp.matmul(v.T, y, precision="highest"),
                        precision="highest")           # (b, b)
         w = y - 0.5 * jnp.matmul(v, s, precision="highest")
-        a = (a - jnp.matmul(w, v.T, precision="highest")
-             - jnp.matmul(v, w.T, precision="highest"))
+        # One (n, 2b) @ (2b, n) matmul instead of two rank-b updates —
+        # both pad to the 128-wide MXU anyway, so this halves the
+        # update's matmul passes
+        wv = jnp.concatenate([w, v], axis=1)
+        vw = jnp.concatenate([v, w], axis=1)
+        a = a - jnp.matmul(wv, vw.T, precision="highest")
         return a
 
     if n_panels > 0:
@@ -415,25 +422,189 @@ def _banded_sturm_counts(feed, shifts):
     return counts
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth", "n_iter"))
-def eigvalsh_banded(matrix, bandwidth=8, n_iter=40):
+# ---------------------------------------------------------------------------
+# Pallas bisection kernel: the entire bisection (all iterations x all
+# columns) runs inside one kernel with the window state resident in
+# VMEM/registers — the XLA lowering pays an HBM round-trip plus loop
+# overhead on every one of the n_iter * n scan steps, which dominates
+# its runtime (measured ~0.9 s of a 1.4 s total at (64, 900, 900) on
+# v5e); in-kernel the stage is pure VPU work.
+# ---------------------------------------------------------------------------
+
+
+def _bisect_kernel(w, n, n_iter, *refs):
+    feed_refs = refs[:w]                      # each (n + w, B)
+    lo_ref, hi_ref, targets_ref = refs[w:w + 3]   # (B, S)
+    out_ref = refs[w + 3]
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    targets = targets_ref[...]
+    b_dim, s_dim = lo.shape
+    fzero = jnp.zeros((b_dim, s_dim), lo.dtype)
+    tiny = jnp.asarray(1e-30, lo.dtype)
+
+    def read_col(i, mid):
+        """Band column `i` broadcast to (B, S); diagonal entry shifted
+        by -mid."""
+        vals = []
+        for p in range(w):
+            v = feed_refs[p][0, pl.ds(i, 1), :][0]
+            vals.append(v[:, None] + fzero)
+        vals[w - 1] = vals[w - 1] - mid
+        return vals
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+
+        # Window: w*w (B, S) values, win[p][q] = S[i+p, i+q] - mid*(p==q)
+        win = [[fzero for _ in range(w)] for _ in range(w)]
+        count = jnp.zeros((b_dim, s_dim), jnp.int32)
+
+        def append(win, col):
+            new = [[win[p + 1][q + 1] if (p < w - 1 and q < w - 1)
+                    else None for q in range(w)] for p in range(w)]
+            for p in range(w - 1):
+                new[p][w - 1] = col[p]
+                new[w - 1][p] = col[p]
+            new[w - 1][w - 1] = col[w - 1]
+            return new
+
+        for j in range(w):  # warmup: w appends, no eliminations
+            win = append(win, read_col(j, mid))
+
+        def col_body(i, carry2):
+            flat = list(carry2[:-1])
+            count = carry2[-1]
+            win = [[flat[p * w + q] for q in range(w)] for p in range(w)]
+            pivot = win[0][0]
+            count = count + jnp.where(pivot < 0, 1, 0).astype(jnp.int32)
+            safe = jnp.where(jnp.abs(pivot) < tiny,
+                             jnp.where(pivot < 0, -tiny, tiny), pivot)
+            inv_p = 1.0 / safe
+            # Schur complement of the pivot, staged at rows/cols 1..w
+            staged = [row[:] for row in win]
+            for p in range(1, w):
+                lp = win[0][p] * inv_p
+                for q in range(1, w):
+                    staged[p][q] = win[p][q] - lp * win[0][q]
+            col = read_col(i + w, mid)
+            new = append(staged, col)
+            return tuple(
+                new[p][q] for p in range(w) for q in range(w)
+            ) + (count,)
+
+        flat0 = tuple(win[p][q] for p in range(w) for q in range(w))
+        out = jax.lax.fori_loop(0, n, col_body, flat0 + (count,))
+        counts = out[-1]
+
+        go_up = counts <= targets
+        lo = jnp.where(go_up, mid, lo)
+        hi = jnp.where(go_up, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, bisect_body, (lo, hi))
+    out_ref[...] = 0.5 * (lo + hi)
+
+
+def banded_eigenvalues_pallas(diags, n_iter=40, interpret=None,
+                              vmem_budget=8 * 2**20):
+    """
+    :func:`banded_eigenvalues` as a Pallas TPU kernel (window state in
+    VMEM across all bisection iterations).  `diags` is ``(b + 1, n)``
+    or ``(batch, b + 1, n)``.  The batch is processed in grid chunks
+    sized so the ``(b+1)^2`` live ``(chunk, n)`` window vectors fit
+    `vmem_budget` — large bandwidths trade chunk width for window size.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    diags = jnp.asarray(diags)
+    squeeze = diags.ndim == 2
+    if squeeze:
+        diags = diags[None]
+    n_batch, w, n = diags.shape
+    b = w - 1
+    dtype = diags.dtype
+
+    radius = jnp.zeros((n_batch, n), dtype)
+    for d in range(1, w):
+        off = jnp.abs(diags[:, d, : n - d])
+        radius = radius.at[:, : n - d].add(off)
+        radius = radius.at[:, d:].add(off)
+    lo = jnp.broadcast_to(
+        jnp.min(diags[:, 0] - radius, axis=1)[:, None], (n_batch, n))
+    hi = jnp.broadcast_to(
+        jnp.max(diags[:, 0] + radius, axis=1)[:, None], (n_batch, n))
+    targets = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (n_batch, n))
+
+    # Batch chunking: (w^2 + ~6) live (chunk, n) f32 window vectors per
+    # cell plus the feed blocks (whose chunk dim pads to 128 lanes)
+    feed_bytes = w * (n + w) * 128 * 4
+    bytes_per_row = (w * w + 6) * n * 4
+    chunk = max(1, min(n_batch,
+                       (vmem_budget - feed_bytes) // bytes_per_row))
+    while n_batch % chunk:
+        chunk -= 1
+    n_chunks = n_batch // chunk
+
+    # Chunk-major feed arrays (n_chunks, n + w, chunk):
+    # feed_p[g, i, j] = A[i - b + p, i] of batch g*chunk + j
+    feeds = []
+    for p in range(w):
+        d = b - p
+        col = jnp.concatenate(
+            [jnp.zeros((n_batch, d), dtype), diags[:, d, : n - d],
+             jnp.zeros((n_batch, w), dtype)], axis=1)  # (batch, n + w)
+        feeds.append(
+            col.reshape(n_chunks, chunk, n + w).transpose(0, 2, 1)
+        )
+
+    kernel = functools.partial(_bisect_kernel, w, n, n_iter)
+    feed_spec = pl.BlockSpec((1, n + w, chunk), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((chunk, n), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[feed_spec] * w + [row_spec] * 3,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_batch, n), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*feeds, lo, hi, targets)
+    return out[0] if squeeze else out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bandwidth", "n_iter", "use_pallas"))
+def eigvalsh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None):
     """
     Eigenvalues (ascending) of symmetric `matrix` via the blocked
     two-stage solver: full -> band reduction (matmul-rich) + banded
     Sturm bisection.  Supports one leading batch dimension.
 
-    This is the production eigenvalues-only path — unlike
-    :func:`eigvalsh_sturm` it is compute- rather than bandwidth-bound
-    and outperforms XLA's ``eigvalsh`` on TPU (see docs/performance.md).
+    On TPU the bisection stage runs as a single Pallas kernel by
+    default (`use_pallas=None` auto-selects; requires ``bandwidth <=
+    4`` for VMEM) — the XLA lowering pays loop overhead + an HBM
+    round-trip per scan step and is several times slower.
     """
     matrix = jnp.asarray(matrix)
     n = matrix.shape[-1]
     if n <= bandwidth + 1:
         return jnp.linalg.eigvalsh(matrix)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and bandwidth <= 8
     if matrix.ndim == 3:
         # vmap only the matmul-rich reduction; the bisection stage
         # vectorizes the batch internally (see banded_eigenvalues)
         diags = jax.vmap(lambda mm: band_reduce(mm, bandwidth))(matrix)
     else:
         diags = band_reduce(matrix, bandwidth)
+    if use_pallas:
+        return banded_eigenvalues_pallas(diags, n_iter=n_iter)
     return banded_eigenvalues(diags, n_iter=n_iter)

@@ -257,20 +257,101 @@ def anm_spectral(coord, params, masses=None, *, n_modes=None,
     if with_dcc:
         out["dcc"] = nma_core.normalize_dcc(traces, jnp)
     if n_modes is not None:
-        mode_vals, mode_vecs = modes_mod.shift_invert_from_chol(
-            hessian, chol, scale, basis, k=n_modes, n_iter=n_iter_modes
+        # Subspace iteration on the covariance already in hand — modes
+        # cost only batched matmuls (no extra factorization, no
+        # per-conformer QR chain)
+        mode_vals, mode_vecs = modes_mod.modes_from_covariance(
+            cov, hessian, basis, k=n_modes, n_iter=n_iter_modes
         )
         out["mode_values"] = mode_vals
         out["mode_vectors"] = mode_vecs
     return out
 
 
-def ensemble_anm_spectral(coords, params, masses=None, **options):
-    """Batched :func:`anm_spectral` over a conformer ensemble."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_modes", "with_dcc", "dtype", "use_pallas",
+                     "bandwidth", "n_iter_bisect", "n_iter_modes"),
+)
+def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
+                                with_dcc, dtype, use_pallas, bandwidth,
+                                n_iter_bisect, n_iter_modes):
+    from ..ops import modes as modes_mod
+    from ..ops import spectrum
+
+    import jax.scipy.linalg as jsl
+
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[1]
+
+    def build(coord):
+        h = _build_hessian_xyz(coord, params, dtype, use_pallas)
+        if masses is not None:
+            h = _mass_weight_xyz(h, masses)
+        return h, jnp.asarray(
+            rigid.rigid_modes_anm(coord, masses=masses, layout="xyz"),
+            dtype=dtype)
+
+    hessians, bases = jax.vmap(build)(coords)      # (B, 3n, 3n)
+
+    def cov_of(h, t):
+        sigma = jnp.mean(jnp.diagonal(h))
+        ttt = jnp.matmul(t, t.T, precision="highest")
+        reg = h + sigma * ttt
+        scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+        chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
+        inv = jsl.cho_solve((chol, True), jnp.eye(3 * n, dtype=dtype))
+        return inv * scale[:, None] * scale[None, :] - ttt / sigma
+
+    covs = jax.vmap(cov_of)(hessians, bases)
+
+    planes = covs.reshape(-1, 3, n, 3, n)
+    traces = sum(planes[:, a, :, a, :] for a in range(3))
+    # Native batch through the two-stage solver: the Pallas bisection
+    # vectorizes batch x shifts internally — vmapping it instead would
+    # run one batch row per grid cell at 1/8 sublane utilization
+    vals = spectrum.eigvalsh_banded(hessians, bandwidth=bandwidth,
+                                    n_iter=n_iter_bisect)
+    out = {
+        "covariance": covs,
+        "eig_values": vals,
+        "frequencies": jax.vmap(
+            lambda v: nma_core.frequencies_from_eigenvalues(v, 6, jnp)
+        )(vals),
+        "msf": jnp.diagonal(traces, axis1=1, axis2=2),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        out["dcc"] = jax.vmap(
+            lambda t: nma_core.normalize_dcc(t, jnp))(traces)
+    if n_modes is not None:
+        mode_vals, mode_vecs = jax.vmap(
+            lambda c, h, t: modes_mod.modes_from_covariance(
+                c, h, t, k=n_modes, n_iter=n_iter_modes)
+        )(covs, hessians, bases)
+        out["mode_values"] = mode_vals
+        out["mode_vectors"] = mode_vecs
+    return out
+
+
+def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
+                          with_dcc=True, dtype=jnp.float32,
+                          use_pallas=False, bandwidth=8,
+                          n_iter_bisect=40, n_iter_modes=16):
+    """
+    Batched :func:`anm_spectral` over a conformer ensemble.
+
+    Not a plain ``vmap`` of the single-structure pipeline: the
+    eigenvalue stage flows through :func:`ops.spectrum.eigvalsh_banded`
+    as a native batch so its Pallas bisection kernel keeps full
+    sublane utilization.
+    """
     params = _resolve_params(params)
-    fn = functools.partial(anm_spectral, params=params, masses=masses,
-                           **options)
-    return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
+    return _ensemble_anm_spectral_impl(
+        jnp.asarray(coords), params, masses, n_modes=n_modes,
+        with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
+        bandwidth=bandwidth, n_iter_bisect=n_iter_bisect,
+        n_iter_modes=n_iter_modes)
 
 
 @functools.partial(

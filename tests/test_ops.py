@@ -266,3 +266,42 @@ def test_eigvalsh_banded_batched_and_hessian():
     ref = np.linalg.eigvalsh(np.asarray(h))
     assert np.allclose(vals, ref, atol=1e-9)
     assert np.all(np.abs(vals[:6]) < 1e-9)
+
+
+def test_eigvalsh_banded_degenerate_spectra():
+    from springcraft_tpu.ops import spectrum
+
+    d = np.diag([3.0, 3, 3, 1, 1, 5, 5, 5, 2, 0, 0, 7])
+    got = np.asarray(spectrum.eigvalsh_banded(jnp.asarray(d),
+                                              bandwidth=3, n_iter=60))
+    assert np.allclose(got, np.sort(np.diagonal(d)), atol=1e-12)
+
+    assert np.allclose(
+        spectrum.eigvalsh_banded(jnp.asarray(np.zeros((10, 10))),
+                                 bandwidth=2, n_iter=60), 0.0)
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(6, 6)
+    a = a + a.T
+    k = np.kron(np.eye(3), a)  # exactly triple-degenerate spectrum
+    got = np.asarray(spectrum.eigvalsh_banded(jnp.asarray(k),
+                                              bandwidth=4, n_iter=60))
+    assert np.allclose(got, np.linalg.eigvalsh(k), atol=1e-9)
+
+
+def test_shift_invert_matches_dense():
+    from springcraft_tpu.ops import assembly, ffparams, modes
+    from springcraft_tpu.utils.network import is_connected
+
+    rng = np.random.RandomState(5)
+    coord = jnp.asarray(rng.rand(120, 3) * 18)  # dense -> connected
+    assert is_connected(np.asarray(coord), 9.0)
+    h = assembly.hessian_matrix(coord, ffparams.invariant_params(9.0),
+                                jnp, dtype=jnp.float64, layout="xyz")
+    vals, vecs = modes.lowest_modes_anm(h, coord, k=10)
+    ref = np.linalg.eigvalsh(np.asarray(h))
+    assert np.allclose(np.asarray(vals), ref[6:16], rtol=1e-8)
+    # The last requested modes (nearest the oversampling boundary)
+    # converge slowest — inverse-power rate (lambda_k / lambda_{k+q})^s
+    res = np.asarray(modes.mode_residuals(h, vals, vecs))
+    assert np.all(res < 1e-5)

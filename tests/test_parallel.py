@@ -345,3 +345,21 @@ def test_ensemble_anm_spectral_shapes():
     assert out["eig_values"].shape == (3, 72)
     assert out["msf"].shape == (3, 24)
     assert out["mode_vectors"].shape == (3, 2, 72)
+
+
+def test_ensemble_anm_spectral_matches_single():
+    from springcraft_tpu.parallel import anm_spectral, ensemble_anm_spectral
+
+    params = ffparams.invariant_params(9.0)
+    coords = _conformers(3, 24, seed=9)
+    out = ensemble_anm_spectral(coords, params, dtype=jnp.float64,
+                                n_modes=3, n_iter_bisect=60)
+    for i in range(3):
+        one = anm_spectral(coords[i], params, dtype=jnp.float64,
+                           n_modes=3, n_iter_bisect=60)
+        assert np.allclose(out["eig_values"][i], one["eig_values"],
+                           atol=1e-10)
+        assert np.allclose(out["msf"][i], one["msf"], atol=1e-10)
+        assert np.allclose(out["dcc"][i], one["dcc"], atol=1e-9)
+        assert np.allclose(out["mode_values"][i], one["mode_values"],
+                           rtol=1e-9)
