@@ -19,6 +19,7 @@ from .pipeline import (
     ensemble_gnm,
     gnm_fluctuations,
     gnm_observables,
+    gnm_spectral,
 )
 from .sharded import (
     ensemble_mean_msf,
@@ -41,6 +42,7 @@ __all__ = [
     "anm_spectral",
     "ensemble_anm_spectral",
     "gnm_observables",
+    "gnm_spectral",
     "ensemble_anm",
     "ensemble_gnm",
     "sharded_ensemble_anm",

@@ -24,6 +24,7 @@ from ..ops import assembly, nma_core, rigid
 __all__ = [
     "anm_observables",
     "anm_spectral",
+    "gnm_spectral",
     "gnm_observables",
     "anm_fluctuations",
     "gnm_fluctuations",
@@ -352,6 +353,54 @@ def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
         with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
         bandwidth=bandwidth, n_iter_bisect=n_iter_bisect,
         n_iter_modes=n_iter_modes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_dcc", "dtype", "use_pallas", "bandwidth",
+                     "n_iter_bisect"),
+)
+def gnm_spectral(coord, params, masses=None, *, with_dcc=True,
+                 dtype=jnp.float32, use_pallas=False, bandwidth=8,
+                 n_iter_bisect=40):
+    """
+    GNM analogue of :func:`anm_spectral`: all Kirchhoff eigenvalues /
+    frequencies via the blocked two-stage banded solver, all-mode MSF /
+    B-factors / DCC via the regularized Cholesky covariance (one
+    trivial constant mode) — no dense eigh.  Requires a connected
+    network.
+    """
+    from ..ops import spectrum
+
+    import jax.scipy.linalg as jsl
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
+    kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
+    basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
+
+    sigma = jnp.mean(jnp.diagonal(kirchhoff))
+    ttt = jnp.matmul(basis, basis.T, precision="highest")
+    reg = kirchhoff + sigma * ttt
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+    chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
+    inv = jsl.cho_solve((chol, True), jnp.eye(n, dtype=dtype))
+    cov = inv * scale[:, None] * scale[None, :] - ttt / sigma
+
+    vals = spectrum.eigvalsh_banded(kirchhoff, bandwidth=bandwidth,
+                                    n_iter=n_iter_bisect)
+    out = {
+        "covariance": cov,
+        "eig_values": vals,
+        "frequencies": nma_core.frequencies_from_eigenvalues(vals, 1,
+                                                             jnp),
+        "msf": jnp.diagonal(cov),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        out["dcc"] = nma_core.normalize_dcc(cov, jnp)
+    return out
 
 
 @functools.partial(

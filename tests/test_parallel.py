@@ -363,3 +363,20 @@ def test_ensemble_anm_spectral_matches_single():
         assert np.allclose(out["dcc"][i], one["dcc"], atol=1e-9)
         assert np.allclose(out["mode_values"][i], one["mode_values"],
                            rtol=1e-9)
+
+
+def test_gnm_spectral_matches_eigh_pipeline(ca_1l2y):
+    from springcraft_tpu.parallel import gnm_spectral
+
+    ff = sc.InvariantForceField(7.0)
+    params = ff.to_params()
+    coord = ca_1l2y.coord.astype(np.float64)
+
+    ref = gnm_observables(coord, params, dtype=jnp.float64, with_dcc=True)
+    out = gnm_spectral(coord, params, dtype=jnp.float64, with_dcc=True,
+                       n_iter_bisect=60)
+    assert np.allclose(out["eig_values"], ref["eig_values"], atol=1e-9)
+    assert np.allclose(out["frequencies"][1:], ref["frequencies"][1:],
+                       rtol=1e-8)
+    assert np.allclose(out["msf"], ref["msf"], atol=1e-9)
+    assert np.allclose(out["dcc"], ref["dcc"], atol=1e-8)
