@@ -1,8 +1,9 @@
 """Pure-JAX functional core: force-field parameter pytrees, dense
 interaction-matrix assembly, eigensolves, and NMA observable kernels."""
 
-from . import assembly, ffparams, linalg, modes, nma_core, rigid
+from . import assembly, ffparams, linalg, matfree, modes, nma_core, rigid
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
+from .matfree import hessian_apply, kirchhoff_apply, lowest_modes_matfree
 from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
 from .modes import lowest_modes, lowest_modes_anm
@@ -12,7 +13,11 @@ __all__ = [
     "assembly",
     "ffparams",
     "linalg",
+    "matfree",
     "modes",
+    "hessian_apply",
+    "kirchhoff_apply",
+    "lowest_modes_matfree",
     "nma_core",
     "rigid",
     "lowest_modes",

@@ -1,0 +1,618 @@
+"""
+Matrix-free ENM operators: ``H @ X`` without materializing the Hessian.
+
+The dense pipelines materialize the ``(3n, 3n)`` Hessian — fine up to
+the mega-assembly regime (~10k residues, 3.8 GB f32 at 30k dims on one
+v5e), impossible beyond it (20k residues -> 14.4 GB, 100k residues ->
+360 GB).  The reference has no answer at all at this scale: its dense
+``np.linalg.eigh`` path (reference ``nma.py:61``) is O(n^3) time *and*
+O(n^2) memory.
+
+This module keeps the operator implicit.  An ANM Hessian-vector product
+needs only the coordinates and the force-field rule:
+
+    y_i^a = sum_j g_ij d^a_ij d^b_ij x_j^b  -  (sum_j g_ij d^a_ij d^b_ij) x_i^b
+
+with ``d_ij = r_i - r_j`` and ``g_ij = -k_ij / |d_ij|^2`` — evaluated
+tile-by-tile, O(tile * n) live memory, all contractions on the MXU.
+Two implementations:
+
+* :func:`hessian_apply` — row-blocked XLA (``lax.map``); runs anywhere,
+  reference implementation for tests and the per-shard body of the
+  multi-chip path.
+* :func:`hessian_apply_pallas` — fused Pallas kernel: one grid cell
+  computes the nine ``(T, T)`` component planes of a (row-tile,
+  col-tile) block *in VMEM* and immediately contracts them with the
+  ``X`` column block — the planes never touch HBM.
+
+On top sits :func:`lowest_modes_matfree`: Chebyshev-filtered subspace
+iteration (Zhou & Saad style) with the rigid-body null space shifted
+into the damped band — the ``k`` lowest non-trivial modes of systems
+whose Hessian cannot be stored.  All stages are matmuls / QR on an
+``(m, p)`` block; nothing O(n^2) is ever resident.
+
+Supported force-field families match the Pallas assembly kernels:
+``invariant``, ``hinsen``, ``pfenm``, ``table_compact`` (no overlays) —
+the families whose parameters are O(n).  ``table_pair`` / overlay
+fields are O(n^2)-parameterized by construction, so the dense path is
+the right tool there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import rigid
+from .pallas_kernels import _mask_and_constants, supports_params
+
+__all__ = [
+    "hessian_apply",
+    "hessian_apply_pallas",
+    "kirchhoff_apply",
+    "estimate_lambda_max",
+    "lowest_modes_matfree",
+    "matfree_mode_residuals",
+]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _check_params(params):
+    if not supports_params(params):
+        raise ValueError(
+            f"matrix-free path does not support kind={params.kind!r} "
+            f"with overlays={bool(params.overlays)} (O(n^2) parameters "
+            "— use the dense assembly instead)"
+        )
+
+
+def _pad_compact_meta(params, n, n_pad):
+    """Padded (n_pad,) per-atom metadata for ``table_compact``.
+
+    Chain padding is -1 (never a real chain code) so padded atoms are
+    never same-chain; padded atoms are never bonded.  Padded pairs are
+    masked by index anyway."""
+    type_idx = jnp.zeros(n_pad, jnp.int32).at[:n].set(
+        jnp.asarray(params.type_idx, jnp.int32))
+    chain = jnp.full(n_pad, -1, jnp.int32).at[:n].set(
+        jnp.asarray(params.chain_code, jnp.int32))
+    bonded = jnp.zeros(n_pad, jnp.int32).at[:n].set(
+        jnp.asarray(params.bonded_next).astype(jnp.int32))
+    return type_idx, chain, bonded
+
+
+def _rect_constants(sq, rows, cols, n, params, meta):
+    """Masked force constants for a rectangular (R, C) index block.
+
+    `rows` / `cols` are global atom indices; zeros outside the
+    interaction set (beyond cutoff, self-pairs, padding)."""
+    valid = (rows[:, None] != cols[None, :]) \
+        & (rows < n)[:, None] & (cols < n)[None, :]
+    if params.has_cutoff:
+        valid &= sq <= params.cutoff_sq
+
+    kind = params.kind
+    if kind == "invariant":
+        k = jnp.ones_like(sq)
+    elif kind == "hinsen":
+        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
+        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
+                      1.28e6 / (sq * sq * sq))
+    elif kind == "pfenm":
+        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
+    elif kind == "table_compact":
+        type_idx, chain, bonded = meta
+        ti = type_idx[rows]
+        tj = type_idx[cols]
+        if params.n_bins > 1:
+            edges = jnp.asarray(params.edges_sq, sq.dtype)
+            bins = jnp.clip(jnp.searchsorted(edges, sq), 0,
+                            params.n_bins - 1)
+        else:
+            bins = jnp.zeros(sq.shape, jnp.int32)
+        intra = jnp.asarray(params.intra_table, sq.dtype)[
+            ti[:, None], tj[None, :], bins]
+        inter = jnp.asarray(params.inter_table, sq.dtype)[
+            ti[:, None], tj[None, :], bins]
+        bond = jnp.asarray(params.bonded_table, sq.dtype)[
+            ti[:, None], tj[None, :], bins]
+        same_chain = chain[rows][:, None] == chain[cols][None, :]
+        delta = cols[None, :] - rows[:, None]
+        is_bonded = ((delta == 1) & (bonded[rows][:, None] != 0)) \
+            | ((delta == -1) & (bonded[cols][None, :] != 0))
+        k = jnp.where(is_bonded, bond, jnp.where(same_chain, intra, inter))
+    else:  # pragma: no cover - guarded by _check_params
+        raise NotImplementedError(kind)
+    return jnp.where(valid, k, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# XLA row-blocked applies
+# ---------------------------------------------------------------------------
+
+def _as_block_input(x, n, dtype):
+    """Normalize x to (3, n, k) xyz-plane component layout."""
+    x = jnp.asarray(x, dtype=dtype)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    if x.shape[0] != 3 * n:
+        raise ValueError(
+            f"x has {x.shape[0]} rows, expected 3n = {3 * n}")
+    return x.reshape(3, n, -1), squeeze
+
+
+def _make_row_block(coord_p, x_p, params, meta, n, block):
+    """Closure computing one (3, block, k) output row block of
+    ``H @ x`` at atom-row offset ``r0``; `coord_p` / `x_p` may be
+    padded, `n` is the true atom count."""
+    cols = jnp.arange(coord_p.shape[0])
+    k_vec = x_p.shape[-1]
+    dtype = x_p.dtype
+
+    def one_block(r0):
+        rows = r0 + jnp.arange(block)
+        cr = jax.lax.dynamic_slice(coord_p, (r0, 0), (block, 3))
+        d = cr[:, None, :] - coord_p[None, :, :]        # (B, n_pad, 3)
+        sq = jnp.sum(d * d, axis=-1)
+        kmat = _rect_constants(sq, rows, cols, n, params, meta)
+        g = -kmat / jnp.where(sq == 0, 1.0, sq)
+        xr = jax.lax.dynamic_slice(x_p, (0, r0, 0), (3, block, k_vec))
+        y = jnp.zeros((3, block, k_vec), dtype)
+        for a in range(3):
+            acc = jnp.zeros((block, k_vec), dtype)
+            for b in range(3):
+                plane = g * d[..., a] * d[..., b]       # (B, n_pad)
+                acc = acc + jnp.matmul(plane, x_p[b],
+                                       precision=_HIGHEST)
+                acc = acc - jnp.sum(plane, axis=1)[:, None] * xr[b]
+            y = y.at[a].set(acc)
+        return y
+
+    return one_block
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def hessian_apply(coord, x, params, *, block=512, dtype=jnp.float32):
+    """
+    ``H @ x`` for the xyz-layout ANM Hessian, without materializing it.
+
+    Row-blocked XLA implementation: O(block * n) live memory.  Exactly
+    matches ``assembly.hessian_matrix(coord, params, layout="xyz") @ x``
+    (reference semantics: ``interaction.py:57-111``).
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    x : ndarray, shape=(3n, k) or (3n,)
+        Block of vectors in xyz plane layout.
+    params : FFParams
+        Must have O(n) parameters (see :func:`supports_params`).
+
+    Returns
+    -------
+    y : ndarray, same shape as `x`
+    """
+    _check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    xb, squeeze = _as_block_input(x, n, dtype)
+    k_vec = xb.shape[-1]
+
+    n_pad = _round_up(n, block)
+    coord_p = jnp.zeros((n_pad, 3), dtype).at[:n].set(coord)
+    x_p = jnp.zeros((3, n_pad, k_vec), dtype).at[:, :n].set(xb)
+    meta = (_pad_compact_meta(params, n, n_pad)
+            if params.kind == "table_compact" else None)
+
+    one_block = _make_row_block(coord_p, x_p, params, meta, n, block)
+    starts = jnp.arange(n_pad // block) * block
+    blocks = jax.lax.map(one_block, starts)             # (nb, 3, B, k)
+    y = jnp.moveaxis(blocks, 1, 0).reshape(3, n_pad, k_vec)[:, :n]
+    y = y.reshape(3 * n, k_vec)
+    return y[:, 0] if squeeze else y
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def kirchhoff_apply(coord, x, params, *, block=512, dtype=jnp.float32):
+    """
+    ``K @ x`` for the GNM Kirchhoff matrix, without materializing it
+    (reference semantics: ``interaction.py:14-54``).
+
+    `x` is ``(n, k)`` or ``(n,)``.
+    """
+    _check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    x = jnp.asarray(x, dtype=dtype)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    k_vec = x.shape[-1]
+
+    n_pad = _round_up(n, block)
+    coord_p = jnp.zeros((n_pad, 3), dtype).at[:n].set(coord)
+    x_p = jnp.zeros((n_pad, k_vec), dtype).at[:n].set(x)
+    meta = (_pad_compact_meta(params, n, n_pad)
+            if params.kind == "table_compact" else None)
+    cols = jnp.arange(n_pad)
+
+    def one_block(r0):
+        rows = r0 + jnp.arange(block)
+        cr = jax.lax.dynamic_slice(coord_p, (r0, 0), (block, 3))
+        d = cr[:, None, :] - coord_p[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        kmat = _rect_constants(sq, rows, cols, n, params, meta)
+        xr = jax.lax.dynamic_slice(x_p, (r0, 0), (block, k_vec))
+        return (-jnp.matmul(kmat, x_p, precision=_HIGHEST)
+                + jnp.sum(kmat, axis=1)[:, None] * xr)
+
+    starts = jnp.arange(n_pad // block) * block
+    y = jax.lax.map(one_block, starts).reshape(n_pad, k_vec)[:n]
+    return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas apply
+# ---------------------------------------------------------------------------
+
+def _apply_kernel(params, n, n_tiles, tile, *refs):
+    """Grid cell (i, j): contract the nine component planes of block
+    (row-tile i, col-tile j) with the X column block, accumulating into
+    the output row block (resident in VMEM across the j sweep)."""
+    if params.kind == "table_compact":
+        (coord_row_ref, coord_col_ref, type_row_ref, type_col_ref,
+         chain_row_ref, chain_col_ref, bond_row_ref, bond_col_ref,
+         tables_ref, x_col_ref, x_row_ref) = refs[:11]
+        out_ref = refs[11]
+        dsum_ref = refs[12]
+    else:
+        coord_row_ref, coord_col_ref, x_col_ref, x_row_ref = refs[:4]
+        out_ref = refs[4]
+        dsum_ref = refs[5]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = i * tile
+    col0 = j * tile
+
+    rows = coord_row_ref[:]  # (3, T)
+    cols = coord_col_ref[:]
+    dx = rows[0][:, None] - cols[0][None, :]
+    dy = rows[1][:, None] - cols[1][None, :]
+    dz = rows[2][:, None] - cols[2][None, :]
+    sq = dx * dx + dy * dy + dz * dz
+
+    if params.kind == "table_compact":
+        extra = (
+            type_row_ref[:], type_col_ref[:],
+            chain_row_ref[0], chain_col_ref[0],
+            bond_row_ref[0], bond_col_ref[0],
+            tables_ref[:],
+        )
+    else:
+        extra = None
+    k = _mask_and_constants(sq, row0, col0, n, params, extra)
+    g = -k / jnp.where(sq == 0, 1.0, sq)
+    disp = (dx, dy, dz)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        dsum_ref[:] = jnp.zeros_like(dsum_ref)
+
+    xc = x_col_ref[:]  # (3, T, K)
+    for a in range(3):
+        acc = out_ref[a]
+        for b in range(3):
+            plane = g * disp[a] * disp[b]               # (T, T)
+            acc = acc + jnp.dot(plane, xc[b],
+                                preferred_element_type=jnp.float32,
+                                precision=_HIGHEST)
+            dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
+        out_ref[a] = acc
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        xr = x_row_ref[:]
+        for a in range(3):
+            acc = out_ref[a]
+            for b in range(3):
+                acc = acc - dsum_ref[3 * a + b, :][:, None] * xr[b]
+            out_ref[a] = acc
+
+
+def hessian_apply_pallas(coord, x, params, tile=256, dtype=jnp.float32,
+                         interpret=None):
+    """
+    Fused matrix-free ``H @ x`` on TPU: the nine ``(tile, tile)``
+    component planes of each block are produced and consumed entirely in
+    VMEM — the Hessian never exists in HBM.
+
+    `x` is ``(3n, k)`` or ``(3n,)`` in xyz plane layout; ``k`` is padded
+    to the 128-lane width internally.
+    """
+    _check_params(params)
+    if interpret is None:
+        # Compiled Mosaic kernels need a TPU; interpret elsewhere.
+        interpret = jax.default_backend() != "tpu"
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    xb, squeeze = _as_block_input(x, n, dtype)
+    k_vec = xb.shape[-1]
+    k_pad = _round_up(max(k_vec, 128), 128)
+
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+
+    coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
+    x_p = jnp.zeros((3, n_pad, k_pad), dtype).at[:, :n, :k_vec].set(xb)
+
+    kernel = functools.partial(_apply_kernel, params, n, n_tiles, tile)
+
+    in_specs = [
+        pl.BlockSpec((3, tile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [coord_t, coord_t]
+
+    if params.kind == "table_compact":
+        from .pallas_kernels import _compact_device_inputs
+        onehot, chain, bonded, tables = _compact_device_inputs(
+            params, n, n_pad, dtype)
+        in_specs += [
+            pl.BlockSpec((tile, 32), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+
+    in_specs += [
+        pl.BlockSpec((3, tile, k_pad), lambda i, j: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile, k_pad), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [x_p, x_p]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, tile, k_pad), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad, k_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
+    return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-filtered subspace iteration
+# ---------------------------------------------------------------------------
+
+def estimate_lambda_max(matvec, m, n_iter=50, safety=1.1, seed=0,
+                        dtype=jnp.float32):
+    """
+    Upper bound on the largest eigenvalue of a PSD operator by power
+    iteration (`n_iter` applies of a single vector) with a `safety`
+    factor.  The Chebyshev filter needs ``b >= lambda_max``; modest
+    overshoot only widens the damped band slightly.
+    """
+    v = jnp.cos(jnp.arange(m, dtype=dtype) * 0.7 + seed) + 1e-3
+    v = v / jnp.linalg.norm(v)
+
+    def step(_, v):
+        w = matvec(v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, n_iter, step, v)
+    w = matvec(v)
+    # ||H v|| >= rayleigh(v); still a lower bound on lambda_max, hence
+    # the safety factor.
+    return safety * jnp.linalg.norm(w)
+
+
+def _chebyshev_filter(matvec, x, degree, a, b, a0=0.0):
+    """Scaled Chebyshev filter (Zhou & Saad): amplifies eigencomponents
+    in ``[a0, a]`` relative to the damped band ``[a, b]``."""
+    e = (b - a) / 2.0
+    c = (b + a) / 2.0
+    sigma1 = e / (a0 - c)
+    y = (matvec(x) - c * x) * (sigma1 / e)
+
+    def step(_, carry):
+        x_prev, x_cur, sigma = carry
+        sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+        x_new = (2.0 * sigma_new / e) * (matvec(x_cur) - c * x_cur) \
+            - (sigma * sigma_new) * x_prev
+        return x_cur, x_new, sigma_new
+
+    _, y, _ = jax.lax.fori_loop(0, degree - 1, step, (x, y, sigma1))
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("matvec", "m", "k", "oversample", "degree",
+                     "n_outer", "seed", "dtype"),
+)
+def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
+             seed, dtype):
+    p = k + oversample
+
+    b = jnp.asarray(lam_max, dtype)
+    shift = 0.5 * b  # rigid modes land mid-band -> damped by the filter
+
+    def shifted_matvec(x):
+        return matvec(x) + shift * jnp.matmul(
+            t, jnp.matmul(t.T, x, precision=_HIGHEST),
+            precision=_HIGHEST)
+
+    def deflate(x):
+        return x - jnp.matmul(
+            t, jnp.matmul(t.T, x, precision=_HIGHEST),
+            precision=_HIGHEST)
+
+    key = jnp.arange(m * p, dtype=dtype).reshape(m, p)
+    x = jnp.cos(key * 0.7 + seed) + 1e-3
+    x, _ = jnp.linalg.qr(deflate(x))
+    a_init = b / 10.0
+
+    def outer(_, carry):
+        x, a = carry
+        y = _chebyshev_filter(shifted_matvec, x, degree, a, b)
+        y, _ = jnp.linalg.qr(deflate(y))
+        hy = matvec(y)
+        s = jnp.matmul(y.T, hy, precision=_HIGHEST)
+        theta, w = jnp.linalg.eigh((s + s.T) / 2)
+        x = jnp.matmul(y, w, precision=_HIGHEST)
+        # Next filter cutoff: just above the largest kept Ritz value,
+        # clamped inside the spectrum
+        a = jnp.clip(1.05 * theta[p - 1], b * 1e-4, 0.5 * b)
+        return x, a
+
+    x, _ = jax.lax.fori_loop(0, n_outer, outer, (x, a_init))
+
+    hx = matvec(x)
+    s = jnp.matmul(x.T, hx, precision=_HIGHEST)
+    theta, w = jnp.linalg.eigh((s + s.T) / 2)
+    vecs = jnp.matmul(x, w[:, :k], precision=_HIGHEST)
+    hv = jnp.matmul(hx, w[:, :k], precision=_HIGHEST)
+    res = jnp.linalg.norm(hv - vecs * theta[None, :k], axis=0) \
+        / jnp.maximum(jnp.abs(theta[:k]), 1e-30)
+    return theta[:k], vecs.T, res
+
+
+def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
+                         degree=96, n_outer=10, n_power=50, tile=256,
+                         block=512, use_pallas=None, dtype=jnp.float32,
+                         lambda_max=None, seed=0, matvec=None):
+    """
+    The `k` lowest non-trivial ANM modes **without materializing the
+    Hessian** — Chebyshev-filtered subspace iteration over the
+    matrix-free operator.
+
+    This is the mega-scale path beyond the dense regime: at 20k+
+    residues the ``(3n, 3n)`` Hessian no longer fits one chip, but the
+    operator itself is O(n) parameters.  The filter amplifies the
+    ``[0, a]`` end of the spectrum; the six rigid-body modes are shifted
+    into the damped band (``+ shift * T T^t``) so they cannot surface.
+    Convergence is gap-dependent — **always check the returned
+    residuals** (the same discipline as :func:`ops.modes.lowest_modes`).
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    params : FFParams
+        O(n)-parameter family (see :func:`supports_params`).
+    k : int
+        Number of modes.
+    masses : ndarray, shape=(n,), optional
+        Mass weighting: operates on ``W H W`` with
+        ``W = diag(1/sqrt(m))`` (reference ``anm.py:89-96``).
+    oversample : int, optional
+        Extra subspace vectors (default ``max(k, 8)``).
+    degree : int
+        Chebyshev filter degree per outer iteration.
+    n_outer : int
+        Outer (filter + Rayleigh-Ritz) iterations.
+    lambda_max : float, optional
+        Known spectral upper bound; skips the power-iteration estimate.
+    matvec : callable, optional
+        Override the operator: ``matvec(x)`` with ``x`` of shape
+        ``(3n, p)`` must return ``H @ x`` (e.g. the mesh-sharded
+        :func:`springcraft_tpu.parallel.sharded_hessian_apply`).  Mass
+        weighting still wraps it.
+
+    Returns
+    -------
+    eig_values : ndarray, shape=(k,), ascending
+    eig_vectors : ndarray, shape=(k, 3n), xyz layout, modes in rows
+    residuals : ndarray, shape=(k,)
+        Relative eigenpair residuals ``|H u - lambda u| / lambda``.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    m = 3 * n
+    q = max(k, 8) if oversample is None else int(oversample)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if matvec is not None:
+        base = matvec
+    elif use_pallas:
+        base = functools.partial(hessian_apply_pallas, coord,
+                                 params=params, tile=tile, dtype=dtype)
+    else:
+        base = functools.partial(hessian_apply, coord, params=params,
+                                 block=block, dtype=dtype)
+
+    if masses is not None:
+        w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+        w3 = jnp.tile(w, 3)  # xyz layout: per-component planes
+
+        def matvec(x):
+            wx = x * (w3[:, None] if x.ndim == 2 else w3)
+            y = base(wx)
+            return y * (w3[:, None] if y.ndim == 2 else w3)
+    else:
+        matvec = base
+
+    t = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+    t = jnp.asarray(t, dtype)
+
+    if lambda_max is None:
+        lam_max = estimate_lambda_max(matvec, m, n_iter=n_power,
+                                      seed=seed, dtype=dtype)
+    else:
+        lam_max = jnp.asarray(lambda_max, dtype)
+
+    return _chebfsi(
+        matvec, t, m, lam_max, k=k, oversample=q, degree=degree,
+        n_outer=n_outer, seed=seed, dtype=dtype)
+
+
+def matfree_mode_residuals(coord, params, eig_values, eig_vectors, *,
+                           masses=None, block=512, dtype=jnp.float32):
+    """Relative eigenpair residuals via the matrix-free operator —
+    post-hoc convergence check without the dense Hessian."""
+    coord = jnp.asarray(coord, dtype=dtype)
+    u = jnp.asarray(eig_vectors, dtype).T  # (m, k)
+    if masses is not None:
+        w3 = jnp.tile(1.0 / jnp.sqrt(jnp.asarray(masses, dtype)), 3)
+        hu = w3[:, None] * hessian_apply(
+            coord, w3[:, None] * u, params, block=block, dtype=dtype)
+    else:
+        hu = hessian_apply(coord, u, params, block=block, dtype=dtype)
+    lam = jnp.asarray(eig_values, dtype)
+    r = hu - u * lam[None, :]
+    return jnp.linalg.norm(r, axis=0) / jnp.maximum(jnp.abs(lam), 1e-30)

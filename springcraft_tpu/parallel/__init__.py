@@ -29,7 +29,9 @@ from .sharded import (
     sharded_ensemble_anm_fluctuations,
     sharded_ensemble_gnm,
     sharded_hessian,
+    sharded_hessian_apply,
     sharded_lowest_modes,
+    sharded_lowest_modes_matfree,
 )
 
 __all__ = [
@@ -49,7 +51,9 @@ __all__ = [
     "sharded_ensemble_gnm",
     "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
+    "sharded_hessian_apply",
     "sharded_lowest_modes",
+    "sharded_lowest_modes_matfree",
     "sharded_covariance",
     "sharded_covariance_blocked",
     "sharded_all_mode_msf",

@@ -39,7 +39,9 @@ __all__ = [
     "sharded_ensemble_gnm",
     "sharded_ensemble_anm_fluctuations",
     "sharded_hessian",
+    "sharded_hessian_apply",
     "sharded_lowest_modes",
+    "sharded_lowest_modes_matfree",
     "sharded_covariance",
     "ensemble_mean_msf",
 ]
@@ -133,6 +135,89 @@ def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
         out_specs=P("row", None),
     )
     return jax.jit(fn)(coord)
+
+
+def _matfree_shard_fn(mesh, params, n, k_vec, block, dtype):
+    """shard_map program computing row shards of the matrix-free
+    ``H @ x``; built once per (mesh, params-structure, shapes)."""
+    from ..ops import matfree
+
+    n_dev = mesh.size
+    n_local = n // n_dev
+    block_eff = min(block, n_local)
+    while n_local % block_eff:
+        block_eff -= 1
+    has_meta = params.kind == "table_compact"
+
+    def body(coord_f, x_f, *meta):
+        r = jax.lax.axis_index("ens") * mesh.shape["row"] \
+            + jax.lax.axis_index("row")
+        one_block = matfree._make_row_block(
+            coord_f, x_f, params, meta if has_meta else None, n,
+            block_eff)
+        starts = r * n_local \
+            + jnp.arange(n_local // block_eff) * block_eff
+        blocks = jax.lax.map(one_block, starts)   # (nb, 3, B, k)
+        return jnp.moveaxis(blocks, 1, 0).reshape(3, n_local, k_vec)
+
+    n_meta = 3 if has_meta else 0
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) * (2 + n_meta),
+        out_specs=P(None, ("ens", "row"), None),
+    )
+    return jax.jit(lambda c, x, *m: fn(c, x, *m).reshape(3 * n, k_vec))
+
+
+def sharded_hessian_apply(coord, x, params, mesh, *, block=512,
+                          dtype=jnp.float32):
+    """
+    Matrix-free ``H @ x`` with the atom rows sharded over the whole
+    mesh: each device computes its row block against the replicated
+    coordinates/vectors — zero collectives in the product itself (the
+    output is born row-sharded and gathered only on use).
+
+    This is the multi-chip mega-scale operator: memory per device is
+    O(block * n) workspace, never O(n^2).  ``n`` must be divisible by
+    the mesh size.
+    """
+    from ..ops import matfree
+
+    matfree._check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    if n % mesh.size != 0:
+        raise ValueError(
+            f"n={n} must be divisible by the mesh size {mesh.size}")
+    xb, squeeze = matfree._as_block_input(x, n, dtype)
+    k_vec = xb.shape[-1]
+
+    meta = (matfree._pad_compact_meta(params, n, n)
+            if params.kind == "table_compact" else ())
+    fn = _matfree_shard_fn(mesh, params, n, k_vec, block, dtype)
+    y = fn(coord, xb, *meta)
+    return y[:, 0] if squeeze else y
+
+
+def sharded_lowest_modes_matfree(coord, params, mesh, k, *, masses=None,
+                                 block=512, dtype=jnp.float32, **options):
+    """
+    Lowest non-trivial ANM modes of a system whose Hessian fits *no*
+    single chip: Chebyshev-filtered subspace iteration over the
+    mesh-sharded matrix-free operator (see
+    :func:`springcraft_tpu.ops.matfree.lowest_modes_matfree` for the
+    algorithm and options; returns ``(values, modes, residuals)``).
+    """
+    from ..ops import matfree
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    matvec = functools.partial(sharded_hessian_apply, coord,
+                               params=params, mesh=mesh, block=block,
+                               dtype=dtype)
+    return matfree.lowest_modes_matfree(
+        coord, params, k, masses=masses, dtype=dtype, matvec=matvec,
+        **options)
 
 
 def sharded_lowest_modes(coord, params, mesh, k, dtype=jnp.float32,

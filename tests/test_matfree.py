@@ -1,0 +1,213 @@
+"""
+Matrix-free operator tests: ``hessian_apply`` / ``kirchhoff_apply`` /
+the Pallas fused apply must match the dense assembly exactly, and the
+Chebyshev-filtered mode solver must reproduce the dense eigensolver's
+lowest non-trivial modes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import springcraft_tpu as sc
+from springcraft_tpu.ops import assembly, ffparams, matfree, rigid
+
+from .util import random_coord
+
+
+def _params_for(kind, two_chain_ca=None, n=None):
+    if kind == "invariant":
+        return ffparams.invariant_params(13.0)
+    if kind == "hinsen":
+        return ffparams.hinsen_params(14.0)
+    if kind == "pfenm":
+        return ffparams.pfenm_params(None)
+    if kind == "table_compact":
+        return sc.TabulatedForceField.sd_enm(two_chain_ca)\
+            .to_compact_params()
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", ["invariant", "hinsen", "pfenm"])
+def test_hessian_apply_matches_dense(kind):
+    coord = random_coord(3, 90, box=40.0)
+    params = _params_for(kind)
+    dense = assembly.hessian_matrix(coord, params, jnp,
+                                    dtype=jnp.float64, layout="xyz")
+    rng = np.random.RandomState(0)
+    x = rng.randn(dense.shape[0], 5)
+    # block smaller than n and not dividing it: exercises padding
+    y = matfree.hessian_apply(coord, x, params, block=32,
+                              dtype=jnp.float64)
+    assert np.allclose(np.asarray(y), np.asarray(dense) @ x,
+                       rtol=1e-10, atol=1e-10)
+
+
+def test_hessian_apply_tabulated(two_chain_ca):
+    ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
+    params = ff.to_compact_params()
+    coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    dense = assembly.hessian_matrix(coord, params, jnp,
+                                    dtype=jnp.float64, layout="xyz")
+    rng = np.random.RandomState(1)
+    x = rng.randn(dense.shape[0], 3)
+    y = matfree.hessian_apply(coord, x, params, block=16,
+                              dtype=jnp.float64)
+    assert np.allclose(np.asarray(y), np.asarray(dense) @ x,
+                       rtol=1e-9, atol=1e-9)
+
+
+def test_hessian_apply_single_vector_shape():
+    coord = random_coord(5, 40, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    x = np.random.RandomState(2).randn(120)
+    y = matfree.hessian_apply(coord, x, params, block=16,
+                              dtype=jnp.float64)
+    assert y.shape == (120,)
+    dense = assembly.hessian_matrix(coord, params, jnp,
+                                    dtype=jnp.float64, layout="xyz")
+    assert np.allclose(np.asarray(y), np.asarray(dense) @ x, atol=1e-10)
+
+
+def test_kirchhoff_apply_matches_dense():
+    coord = random_coord(7, 70, box=35.0)
+    params = ffparams.invariant_params(11.0)
+    dense = assembly.kirchhoff_matrix(coord, params, jnp,
+                                      dtype=jnp.float64)
+    x = np.random.RandomState(3).randn(70, 4)
+    y = matfree.kirchhoff_apply(coord, x, params, block=32,
+                                dtype=jnp.float64)
+    assert np.allclose(np.asarray(y), np.asarray(dense) @ x, atol=1e-10)
+
+
+@pytest.mark.parametrize("kind", ["invariant", "table_compact"])
+def test_hessian_apply_pallas_matches_xla(kind, two_chain_ca):
+    if kind == "table_compact":
+        params = sc.TabulatedForceField.sd_enm(two_chain_ca).\
+            to_compact_params()
+        coord = np.asarray(two_chain_ca.coord, dtype=np.float32)
+    else:
+        params = ffparams.invariant_params(13.0)
+        coord = random_coord(11, 75, box=36.0).astype(np.float32)
+    x = np.random.RandomState(4).randn(3 * coord.shape[0], 6)\
+        .astype(np.float32)
+    y_ref = matfree.hessian_apply(coord, x, params, block=32,
+                                  dtype=jnp.float32)
+    # interpret mode on CPU; tile < n exercises the grid accumulation
+    y_pal = matfree.hessian_apply_pallas(coord, x, params, tile=32,
+                                         dtype=jnp.float32)
+    scale = np.max(np.abs(np.asarray(y_ref))) or 1.0
+    assert np.max(np.abs(np.asarray(y_pal) - np.asarray(y_ref))) / scale \
+        < 5e-6
+
+
+def test_matfree_rejects_dense_families(two_chain_ca):
+    ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
+    pair_params = ff.to_params()  # table_pair: O(n^2) parameters
+    coord = np.asarray(two_chain_ca.coord)
+    x = np.zeros(3 * coord.shape[0])
+    with pytest.raises(ValueError, match="matrix-free"):
+        matfree.hessian_apply(coord, x, pair_params)
+
+
+def test_lowest_modes_matfree_matches_dense():
+    coord = random_coord(13, 120, box=30.0)  # dense enough to be connected
+    params = ffparams.invariant_params(12.0)
+    dense = assembly.hessian_matrix(coord, params, jnp,
+                                    dtype=jnp.float64, layout="xyz")
+    ref_vals, ref_vecs = np.linalg.eigh(np.asarray(dense))
+    assert ref_vals[5] < 1e-8 < ref_vals[6]  # connected: exactly 6 nulls
+
+    k = 5
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, k, degree=40, n_outer=12, block=64,
+        use_pallas=False, dtype=jnp.float64)
+    vals = np.asarray(vals)
+    assert np.max(np.asarray(res)) < 1e-6
+    assert np.allclose(vals, ref_vals[6:6 + k], rtol=1e-6)
+    # Mode subspace agreement (sign/rotation free): projector overlap
+    u = np.asarray(vecs).T
+    v = ref_vecs[:, 6:6 + k]
+    overlap = np.linalg.norm(u.T @ v, ord=2)
+    assert overlap > 1 - 1e-6
+
+
+def test_lowest_modes_matfree_mass_weighted():
+    coord = random_coord(17, 100, box=28.0)
+    params = ffparams.invariant_params(12.0)
+    rng = np.random.RandomState(5)
+    masses = 50.0 + 100.0 * rng.rand(100)
+
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    w = 1.0 / np.sqrt(np.repeat(masses[None, :], 3, axis=0).ravel())
+    wh = dense * np.outer(w, w)
+    ref_vals = np.linalg.eigvalsh(wh)
+
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, 4, masses=masses, degree=40, n_outer=12,
+        block=64, use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-6
+    assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
+
+    # residual checker reproduces the in-solver residuals
+    res2 = matfree.matfree_mode_residuals(
+        coord, params, vals, vecs, masses=masses, block=64,
+        dtype=jnp.float64)
+    assert np.max(np.asarray(res2)) < 1e-6
+
+
+def test_sharded_hessian_apply_matches_dense(two_chain_ca):
+    from springcraft_tpu.parallel import make_mesh
+    from springcraft_tpu.parallel.sharded import sharded_hessian_apply
+
+    mesh = make_mesh(8)
+    # n divisible by the mesh size; tabulated family exercises the
+    # metadata plumbing through shard_map
+    ff = sc.TabulatedForceField.sd_enm(two_chain_ca[:40])
+    params = ff.to_compact_params()
+    coord = np.asarray(two_chain_ca.coord[:40], dtype=np.float64)
+    dense = assembly.hessian_matrix(coord, params, jnp,
+                                    dtype=jnp.float64, layout="xyz")
+    x = np.random.RandomState(6).randn(120, 4)
+    y = sharded_hessian_apply(coord, x, params, mesh, block=5,
+                              dtype=jnp.float64)
+    assert np.allclose(np.asarray(y), np.asarray(dense) @ x, atol=1e-9)
+
+
+def test_sharded_lowest_modes_matfree(two_chain_ca):
+    from springcraft_tpu.parallel import make_mesh
+    from springcraft_tpu.parallel.sharded import (
+        sharded_lowest_modes_matfree,
+    )
+
+    mesh = make_mesh(8, row_axis=2)
+    # same configuration as test_lowest_modes_matfree_matches_dense,
+    # verified there to be a connected network (exactly 6 null modes)
+    coord = random_coord(13, 120, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    ref_vals = np.linalg.eigvalsh(dense)
+
+    vals, vecs, res = sharded_lowest_modes_matfree(
+        coord, params, mesh, 4, degree=40, n_outer=12, block=12,
+        dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-6
+    assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
+
+
+def test_estimate_lambda_max_bounds_spectrum():
+    coord = random_coord(19, 80, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    lam_true = np.linalg.eigvalsh(dense)[-1]
+
+    def matvec(x):
+        return matfree.hessian_apply(coord, x, params, block=64,
+                                     dtype=jnp.float64)
+
+    est = float(matfree.estimate_lambda_max(matvec, dense.shape[0],
+                                            dtype=jnp.float64))
+    assert lam_true <= est <= 1.5 * lam_true
