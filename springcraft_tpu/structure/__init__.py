@@ -20,6 +20,7 @@ from .atoms import (
     index_displacement,
     is_atom_array_like,
 )
+from .bcif import load_structure_bcif, read_bcif_as_cif
 from .celllist import CellList
 from .cif import CIFFile, load_structure_cif
 from .pdb import (
@@ -50,6 +51,8 @@ __all__ = [
     "get_structure",
     "load_structure",
     "load_structure_cif",
+    "load_structure_bcif",
+    "read_bcif_as_cif",
     "load_ensemble",
     "write_pdb",
     "info",

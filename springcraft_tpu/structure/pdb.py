@@ -194,11 +194,9 @@ def load_structure(path, model=None):
     :class:`AtomArray`."""
     name = str(path)
     if name.endswith((".bcif", ".bcif.gz")):
-        raise NotImplementedError(
-            "BinaryCIF (.bcif) is not supported — convert to text mmCIF "
-            "or PDB first (e.g. `gemmi convert in.bcif out.cif`, or "
-            "re-download the .cif/.pdb form from the PDB)"
-        )
+        from .bcif import load_structure_bcif
+
+        return load_structure_bcif(path, model=model)
     if name.endswith((".cif", ".cif.gz", ".mmcif")):
         from .cif import load_structure_cif
 
@@ -220,10 +218,15 @@ def load_ensemble(path):
         pipelines (``parallel.ensemble_anm``).
     """
     name = str(path)
-    if name.endswith((".cif", ".cif.gz", ".mmcif")):
+    if name.endswith((".cif", ".cif.gz", ".mmcif", ".bcif", ".bcif.gz")):
         from .cif import CIFFile, get_structure_cif
 
-        cif = CIFFile.read(path)
+        if name.endswith((".bcif", ".bcif.gz")):
+            from .bcif import read_bcif_as_cif
+
+            cif = read_bcif_as_cif(path)
+        else:
+            cif = CIFFile.read(path)
         n_models = cif.get_model_count()
         first = get_structure_cif(cif, model=1)
         coords = np.empty((n_models, first.array_length(), 3),
