@@ -56,6 +56,7 @@ __all__ = [
     "hessian_apply_pallas",
     "kirchhoff_apply",
     "estimate_lambda_max",
+    "hessian_degree_bound",
     "lowest_modes_matfree",
     "matfree_mode_residuals",
 ]
@@ -441,6 +442,51 @@ def estimate_lambda_max(matvec, m, n_iter=50, safety=1.1, seed=0,
     return safety * jnp.linalg.norm(w)
 
 
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def hessian_degree_bound(coord, params, *, masses=None, block=512,
+                         dtype=jnp.float32):
+    """
+    Guaranteed upper bound on the largest eigenvalue of the (optionally
+    mass-weighted) ANM Hessian, by block-row Gershgorin:
+
+        lambda_max <= max_i w_i * (sum_j k_ij w_j + w_i sum_j k_ij)
+
+    (each 3x3 superelement has spectral norm ``k_ij``; the diagonal
+    block is the negated row sum).  With unit weights this is
+    ``2 * max_i degree_i``.  One blocked matrix-free pass, O(block * n)
+    memory.  Unlike power iteration this can never under-estimate, so
+    it is safe as the Chebyshev filter's upper edge.
+    """
+    _check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    if masses is None:
+        w = jnp.ones(n, dtype)
+    else:
+        w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+
+    n_pad = _round_up(n, block)
+    coord_p = jnp.zeros((n_pad, 3), dtype).at[:n].set(coord)
+    w_p = jnp.zeros(n_pad, dtype).at[:n].set(w)
+    meta = (_pad_compact_meta(params, n, n_pad)
+            if params.kind == "table_compact" else None)
+    cols = jnp.arange(n_pad)
+
+    def one_block(r0):
+        rows = r0 + jnp.arange(block)
+        cr = jax.lax.dynamic_slice(coord_p, (r0, 0), (block, 3))
+        d = cr[:, None, :] - coord_p[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        kmat = _rect_constants(sq, rows, cols, n, params, meta)
+        wr = jax.lax.dynamic_slice(w_p, (r0,), (block,))
+        r = wr * (jnp.matmul(kmat, w_p, precision=_HIGHEST)
+                  + wr * jnp.sum(kmat, axis=1))
+        return jnp.max(r)
+
+    starts = jnp.arange(n_pad // block) * block
+    return jnp.max(jax.lax.map(one_block, starts))
+
+
 def _chebyshev_filter(matvec, x, degree, a, b, a0=0.0):
     """Scaled Chebyshev filter (Zhou & Saad): amplifies eigencomponents
     in ``[a0, a]`` relative to the damped band ``[a, b]``."""
@@ -513,7 +559,7 @@ def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
 
 
 def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
-                         degree=96, n_outer=10, n_power=50, tile=256,
+                         degree=96, n_outer=10, tile=256,
                          block=512, use_pallas=None, dtype=jnp.float32,
                          lambda_max=None, seed=0, matvec=None):
     """
@@ -546,7 +592,8 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     n_outer : int
         Outer (filter + Rayleigh-Ritz) iterations.
     lambda_max : float, optional
-        Known spectral upper bound; skips the power-iteration estimate.
+        Known spectral upper bound; skips the Gershgorin degree-bound
+        pass (:func:`hessian_degree_bound`).
     matvec : callable, optional
         Override the operator: ``matvec(x)`` with ``x`` of shape
         ``(3n, p)`` must return ``H @ x`` (e.g. the mesh-sharded
@@ -591,8 +638,10 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     t = jnp.asarray(t, dtype)
 
     if lambda_max is None:
-        lam_max = estimate_lambda_max(matvec, m, n_iter=n_power,
-                                      seed=seed, dtype=dtype)
+        # Guaranteed upper bound (the filter requires b >= lambda_max;
+        # power iteration only approaches it from below)
+        lam_max = hessian_degree_bound(coord, params, masses=masses,
+                                       block=block, dtype=dtype)
     else:
         lam_max = jnp.asarray(lambda_max, dtype)
 

@@ -211,3 +211,21 @@ def test_estimate_lambda_max_bounds_spectrum():
     est = float(matfree.estimate_lambda_max(matvec, dense.shape[0],
                                             dtype=jnp.float64))
     assert lam_true <= est <= 1.5 * lam_true
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_hessian_degree_bound(weighted):
+    coord = random_coord(29, 80, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    masses = (50.0 + 100.0 * np.random.RandomState(8).rand(80)
+              if weighted else None)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    if weighted:
+        w = 1.0 / np.sqrt(np.repeat(masses[None, :], 3, axis=0).ravel())
+        dense = dense * np.outer(w, w)
+    lam_true = np.linalg.eigvalsh(dense)[-1]
+    bound = float(matfree.hessian_degree_bound(
+        coord, params, masses=masses, block=32, dtype=jnp.float64))
+    # a true upper bound, and not absurdly loose
+    assert lam_true <= bound <= 4.0 * lam_true
