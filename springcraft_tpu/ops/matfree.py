@@ -54,9 +54,12 @@ from .pallas_kernels import _mask_and_constants, supports_params
 __all__ = [
     "hessian_apply",
     "hessian_apply_pallas",
+    "hessian_apply_pallas_sparse",
     "kirchhoff_apply",
     "estimate_lambda_max",
     "hessian_degree_bound",
+    "spatial_sort_permutation",
+    "tile_neighbor_lists",
     "lowest_modes_matfree",
     "matfree_mode_residuals",
 ]
@@ -318,7 +321,7 @@ def _apply_kernel(params, n, n_tiles, tile, *refs):
         for b in range(3):
             plane = g * disp[a] * disp[b]               # (T, T)
             acc = acc + jnp.dot(plane, xc[b],
-                                preferred_element_type=jnp.float32,
+                                preferred_element_type=plane.dtype,
                                 precision=_HIGHEST)
             dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
         out_ref[a] = acc
@@ -411,6 +414,311 @@ def hessian_apply_pallas(coord, x, params, tile=256, dtype=jnp.float32,
         ),
         interpret=interpret,
     )(*inputs)
+
+    y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
+    return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Block-sparse apply: spatial sort + tile neighbor lists + scalar-prefetch
+# kernel.  This is the TPU-native successor of the reference's CellList
+# (reference interaction.py:154-159): instead of per-atom neighbor
+# lists (gather/scatter-hostile), atoms are ordered spatially so each
+# 256-atom tile is compact, and the kernel's grid only *visits* tile
+# pairs whose bounding boxes are within the cutoff — O(n * neighbors)
+# compute instead of O(n^2), with the tile list driving the DMA
+# schedule through scalar-prefetched BlockSpec index maps.
+# ---------------------------------------------------------------------------
+
+
+def _part1by2(v):
+    """Spread the lower 21 bits of `v` so consecutive bits are 3 apart
+    (uint64 Morton helper)."""
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def spatial_sort_permutation(coord, cell=8.0):
+    """
+    Permutation ordering atoms along a Morton (Z-order) curve over
+    `cell`-sized grid cells, so that consecutive atoms — and hence the
+    kernel's fixed-size tiles — are spatially compact.  Host-side
+    (NumPy); applied once per structure.
+    """
+    coord = np.asarray(coord, dtype=np.float64)
+    q = np.floor((coord - coord.min(axis=0)) / float(cell))
+    q = np.clip(q, 0, 2**21 - 1).astype(np.uint64)
+    key = (_part1by2(q[:, 0])
+           | (_part1by2(q[:, 1]) << np.uint64(1))
+           | (_part1by2(q[:, 2]) << np.uint64(2)))
+    return np.argsort(key, kind="stable")
+
+
+def tile_neighbor_lists(coord, cutoff, tile=256):
+    """
+    Tile-level neighbor lists: for each row tile, the column tiles whose
+    axis-aligned bounding boxes are within `cutoff` — a conservative
+    superset of the interacting pairs (the kernel still applies the
+    exact per-pair cutoff).  Effective only if atoms are spatially
+    ordered first (:func:`spatial_sort_permutation`).
+
+    Returns
+    -------
+    nbr : ndarray, shape=(n_tiles, max_nbrs), int32
+        Neighbor tile indices, rows padded with the row's own index.
+    counts : ndarray, shape=(n_tiles,), int32
+        Number of valid entries per row.
+    """
+    coord = np.asarray(coord, dtype=np.float64)
+    n = coord.shape[0]
+    n_tiles = _round_up(n, tile) // tile
+    mins = np.empty((n_tiles, 3))
+    maxs = np.empty((n_tiles, 3))
+    for t in range(n_tiles):
+        blk = coord[t * tile:min((t + 1) * tile, n)]
+        mins[t] = blk.min(axis=0)
+        maxs[t] = blk.max(axis=0)
+    # AABB pair gaps per axis: max(0, min_i - max_j, min_j - max_i)
+    gap = np.maximum(
+        mins[:, None, :] - maxs[None, :, :],
+        mins[None, :, :] - maxs[:, None, :],
+    )
+    gap = np.maximum(gap, 0.0)
+    adj = np.sum(gap * gap, axis=-1) <= float(cutoff) ** 2
+    np.fill_diagonal(adj, True)
+    counts = adj.sum(axis=1).astype(np.int32)
+    max_nbrs = int(counts.max())
+    nbr = np.empty((n_tiles, max_nbrs), dtype=np.int32)
+    for t in range(n_tiles):
+        idx = np.where(adj[t])[0]
+        nbr[t, :len(idx)] = idx
+        nbr[t, len(idx):] = t  # padding: self (compute is masked off)
+    return nbr, counts
+
+
+def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
+    """Masked spring constants for one tile pair, with validity/bonding
+    decided by *original* atom ids (``(T,)`` int32; padding slots carry
+    id >= n) — permutation-safe for spatially sorted layouts."""
+    from .pallas_kernels import _compact_tile_constants
+
+    shape = sq.shape
+    rid = jnp.broadcast_to(row_ids[:, None], shape)
+    cid = jnp.broadcast_to(col_ids[None, :], shape)
+    valid = (rid != cid) & (rid < n) & (cid < n)
+    if params.has_cutoff:
+        valid &= sq <= np.float32(params.cutoff_sq)
+
+    kind = params.kind
+    if kind == "invariant":
+        k = jnp.ones_like(sq)
+    elif kind == "hinsen":
+        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
+        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
+                      (1.28e6) / (sq * sq * sq))
+    elif kind == "pfenm":
+        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
+    elif kind == "table_compact":
+        # _compact_tile_constants uses rows/cols only for the bonded
+        # (i, i+1) test — original ids keep peptide bonds intact under
+        # spatial reordering.
+        k = _compact_tile_constants(sq, rid, cid, params, extra)
+    else:  # pragma: no cover - guarded by _check_params
+        raise NotImplementedError(kind)
+    return jnp.where(valid, k, 0.0)
+
+
+def _sparse_apply_kernel(params, n, max_nbrs, tile, nbr_ref, cnt_ref,
+                         *refs):
+    """Grid cell (i, j): j-th *neighbor tile* of row tile i (tile index
+    scalar-prefetched); compute masked off inactive (padding) cells."""
+    if params.kind == "table_compact":
+        (coord_row_ref, coord_col_ref, ids_row_ref, ids_col_ref,
+         type_row_ref, type_col_ref, chain_row_ref, chain_col_ref,
+         bond_row_ref, bond_col_ref, tables_ref,
+         x_col_ref, x_row_ref) = refs[:13]
+        out_ref = refs[13]
+        dsum_ref = refs[14]
+    else:
+        (coord_row_ref, coord_col_ref, ids_row_ref, ids_col_ref,
+         x_col_ref, x_row_ref) = refs[:6]
+        out_ref = refs[6]
+        dsum_ref = refs[7]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        dsum_ref[:] = jnp.zeros_like(dsum_ref)
+
+    @pl.when(j < cnt_ref[i])
+    def _():
+        rows = coord_row_ref[:]
+        cols = coord_col_ref[:]
+        dx = rows[0][:, None] - cols[0][None, :]
+        dy = rows[1][:, None] - cols[1][None, :]
+        dz = rows[2][:, None] - cols[2][None, :]
+        sq = dx * dx + dy * dy + dz * dz
+
+        if params.kind == "table_compact":
+            extra = (
+                type_row_ref[:], type_col_ref[:],
+                chain_row_ref[0], chain_col_ref[0],
+                bond_row_ref[0], bond_col_ref[0],
+                tables_ref[:],
+            )
+        else:
+            extra = None
+        k = _mask_and_constants_ids(sq, ids_row_ref[0], ids_col_ref[0],
+                                    n, params, extra)
+        g = -k / jnp.where(sq == 0, 1.0, sq)
+        disp = (dx, dy, dz)
+
+        xc = x_col_ref[:]
+        for a in range(3):
+            acc = out_ref[a]
+            for b in range(3):
+                plane = g * disp[a] * disp[b]
+                acc = acc + jnp.dot(plane, xc[b],
+                                    preferred_element_type=plane.dtype,
+                                    precision=_HIGHEST)
+                dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
+            out_ref[a] = acc
+
+    @pl.when(j == max_nbrs - 1)
+    def _():
+        xr = x_row_ref[:]
+        for a in range(3):
+            acc = out_ref[a]
+            for b in range(3):
+                acc = acc - dsum_ref[3 * a + b, :][:, None] * xr[b]
+            out_ref[a] = acc
+
+
+def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
+                                orig_ids=None, tile=256,
+                                dtype=jnp.float32, interpret=None):
+    """
+    Block-sparse matrix-free ``H @ x``: the kernel grid only visits the
+    tile pairs listed in `nbr` (from :func:`tile_neighbor_lists`), with
+    the neighbor indices scalar-prefetched into the BlockSpec index
+    maps — compute and DMA are both O(n * neighbor_tiles), the
+    TPU-native analogue of the reference's cell-list pair pruning.
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+        Atom coordinates, ideally spatially sorted
+        (:func:`spatial_sort_permutation`) so tiles are compact.
+    orig_ids : ndarray, shape=(n,), int32, optional
+        Original atom index per (sorted) slot — keeps self-pair masking
+        and ``table_compact`` peptide bonds exact under reordering.
+        Defaults to ``arange(n)`` (unsorted layout).
+    """
+    _check_params(params)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    xb, squeeze = _as_block_input(x, n, dtype)
+    k_vec = xb.shape[-1]
+    k_pad = _round_up(max(k_vec, 128), 128)
+
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+    nbr = jnp.asarray(nbr, jnp.int32)
+    counts = jnp.asarray(counts, jnp.int32)
+    max_nbrs = nbr.shape[1]
+    if nbr.shape[0] != n_tiles:
+        raise ValueError(
+            f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
+            "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
+
+    coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
+    x_p = jnp.zeros((3, n_pad, k_pad), dtype).at[:, :n, :k_vec].set(xb)
+    if orig_ids is None:
+        orig_ids = jnp.arange(n, dtype=jnp.int32)
+    # Padding slots get id = n -> masked everywhere
+    ids = jnp.full((1, n_pad), n, jnp.int32).at[0, :n].set(
+        jnp.asarray(orig_ids, jnp.int32))
+
+    kernel = functools.partial(_sparse_apply_kernel, params, n,
+                               max_nbrs, tile)
+
+    def row_map(i, j, nbr_ref, cnt_ref):
+        return (0, i)
+
+    def col_map(i, j, nbr_ref, cnt_ref):
+        return (0, nbr_ref[i, j])
+
+    in_specs = [
+        pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+    ]
+    inputs = [coord_t, coord_t, ids, ids]
+
+    if params.kind == "table_compact":
+        from .pallas_kernels import _compact_device_inputs
+        onehot, chain, bonded, tables = _compact_device_inputs(
+            params, n, n_pad, dtype)
+
+        def row_map2(i, j, nbr_ref, cnt_ref):
+            return (i, 0)
+
+        def col_map2(i, j, nbr_ref, cnt_ref):
+            return (nbr_ref[i, j], 0)
+
+        in_specs += [
+            pl.BlockSpec((tile, 32), row_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32), col_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+
+    def x_col_map(i, j, nbr_ref, cnt_ref):
+        return (0, nbr_ref[i, j], 0)
+
+    def x_row_map(i, j, nbr_ref, cnt_ref):
+        return (0, i, 0)
+
+    in_specs += [
+        pl.BlockSpec((3, tile, k_pad), x_col_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile, k_pad), x_row_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [x_p, x_p]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, max_nbrs),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, tile, k_pad), x_row_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, n_pad, k_pad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(nbr, counts, *inputs)
 
     y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
     return y[:, 0] if squeeze else y
@@ -560,8 +868,9 @@ def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
 
 def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          degree=96, n_outer=10, tile=256,
-                         block=512, use_pallas=None, dtype=jnp.float32,
-                         lambda_max=None, seed=0, matvec=None):
+                         block=512, use_pallas=None, sparse=None,
+                         dtype=jnp.float32, lambda_max=None, seed=0,
+                         matvec=None):
     """
     The `k` lowest non-trivial ANM modes **without materializing the
     Hessian** — Chebyshev-filtered subspace iteration over the
@@ -591,6 +900,13 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
         Chebyshev filter degree per outer iteration.
     n_outer : int
         Outer (filter + Rayleigh-Ritz) iterations.
+    sparse : bool, optional
+        Use the block-sparse operator: atoms are Morton-sorted, tile
+        neighbor lists built host-side, and the kernel grid only visits
+        interacting tile pairs — O(n * neighbors) per apply.  Default:
+        on whenever the Pallas path is used, the family has a cutoff,
+        and `coord` is concrete (host-side sort).  Results are returned
+        in the original atom order.
     lambda_max : float, optional
         Known spectral upper bound; skips the Gershgorin degree-bound
         pass (:func:`hessian_degree_bound`).
@@ -607,15 +923,47 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     residuals : ndarray, shape=(k,)
         Relative eigenpair residuals ``|H u - lambda u| / lambda``.
     """
+    concrete = not isinstance(coord, jax.core.Tracer)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
     m = 3 * n
     q = max(k, 8) if oversample is None else int(oversample)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if sparse is None:
+        sparse = (use_pallas and params.has_cutoff and matvec is None
+                  and concrete)
 
+    perm = None
     if matvec is not None:
         base = matvec
+    elif sparse:
+        if not concrete:
+            raise ValueError(
+                "sparse=True needs concrete coordinates (the spatial "
+                "sort and tile neighbor lists are built host-side)")
+        host_coord = np.asarray(coord, dtype=np.float64)
+        perm = spatial_sort_permutation(host_coord)
+        cutoff = float(np.sqrt(params.cutoff_sq))
+        sorted_host = host_coord[perm]
+        nbr, counts = tile_neighbor_lists(sorted_host, cutoff, tile)
+        coord = jnp.asarray(sorted_host, dtype=dtype)
+        if params.kind == "table_compact":
+            import dataclasses
+
+            params = dataclasses.replace(
+                params,
+                type_idx=np.asarray(params.type_idx)[perm],
+                chain_code=np.asarray(params.chain_code)[perm],
+                bonded_next=np.asarray(params.bonded_next)[perm],
+            )
+        if masses is not None:
+            masses = np.asarray(masses)[perm]
+        base = functools.partial(
+            hessian_apply_pallas_sparse, coord, params=params,
+            nbr=jnp.asarray(nbr), counts=jnp.asarray(counts),
+            orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
+            dtype=dtype)
     elif use_pallas:
         base = functools.partial(hessian_apply_pallas, coord,
                                  params=params, tile=tile, dtype=dtype)
@@ -645,9 +993,15 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     else:
         lam_max = jnp.asarray(lambda_max, dtype)
 
-    return _chebfsi(
+    vals, vecs, res = _chebfsi(
         matvec, t, m, lam_max, k=k, oversample=q, degree=degree,
         n_outer=n_outer, seed=seed, dtype=dtype)
+    if perm is not None:
+        # Back to the original atom order: sorted slot i is atom perm[i]
+        inv = np.argsort(perm)
+        cols = np.concatenate([a * n + inv for a in range(3)])
+        vecs = vecs[:, cols]
+    return vals, vecs, res
 
 
 def matfree_mode_residuals(coord, params, eig_values, eig_vectors, *,

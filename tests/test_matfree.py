@@ -101,6 +101,91 @@ def test_hessian_apply_pallas_matches_xla(kind, two_chain_ca):
         < 5e-6
 
 
+def test_spatial_sort_is_permutation():
+    coord = random_coord(31, 333, box=60.0)
+    perm = matfree.spatial_sort_permutation(coord)
+    assert sorted(perm) == list(range(333))
+    # sorted layout is more compact: mean distance between consecutive
+    # atoms shrinks
+    def mean_step(c):
+        return np.linalg.norm(np.diff(c, axis=0), axis=1).mean()
+    assert mean_step(coord[perm]) < mean_step(coord)
+
+
+def test_tile_neighbor_lists_conservative():
+    coord = random_coord(37, 200, box=50.0)
+    perm = matfree.spatial_sort_permutation(coord)
+    sc_coord = coord[perm]
+    cutoff = 11.0
+    tile = 16
+    nbr, counts = matfree.tile_neighbor_lists(sc_coord, cutoff, tile)
+    listed = {(t, int(c)) for t in range(nbr.shape[0])
+              for c in nbr[t, :counts[t]]}
+    d = np.linalg.norm(sc_coord[:, None] - sc_coord[None, :], axis=-1)
+    ii, jj = np.where((d <= cutoff) & (d > 0))
+    for i, j in zip(ii, jj):
+        assert (i // tile, j // tile) in listed
+
+
+@pytest.mark.parametrize("kind", ["invariant", "table_compact"])
+def test_hessian_apply_pallas_sparse_matches_dense(kind, two_chain_ca):
+    if kind == "table_compact":
+        params = sc.TabulatedForceField.sd_enm(two_chain_ca)\
+            .to_compact_params()
+        coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    else:
+        params = ffparams.invariant_params(9.0)
+        coord = random_coord(41, 120, box=36.0)
+    n = coord.shape[0]
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    x = np.random.RandomState(9).randn(3 * n, 5)
+
+    # spatially sorted layout with original-id bookkeeping
+    perm = matfree.spatial_sort_permutation(coord)
+    sc_coord = coord[perm]
+    cutoff = float(np.sqrt(params.cutoff_sq))
+    tile = 16
+    nbr, counts = matfree.tile_neighbor_lists(sc_coord, cutoff, tile)
+    if kind == "table_compact":
+        import dataclasses
+
+        params_s = dataclasses.replace(
+            params,
+            type_idx=np.asarray(params.type_idx)[perm],
+            chain_code=np.asarray(params.chain_code)[perm],
+            bonded_next=np.asarray(params.bonded_next)[perm],
+        )
+    else:
+        params_s = params
+    x_sorted = x.reshape(3, n, -1)[:, perm].reshape(3 * n, -1)
+    y = matfree.hessian_apply_pallas_sparse(
+        sc_coord, x_sorted, params_s, nbr, counts,
+        orig_ids=perm.astype(np.int32), tile=tile, dtype=jnp.float64)
+    y_ref = (dense @ x).reshape(3, n, -1)[:, perm].reshape(3 * n, -1)
+    scale = np.max(np.abs(y_ref)) or 1.0
+    assert np.max(np.abs(np.asarray(y) - y_ref)) / scale < 1e-10
+
+
+def test_lowest_modes_matfree_sparse_path():
+    coord = random_coord(13, 120, box=30.0)  # connected (verified above)
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    ref_vals, ref_vecs = np.linalg.eigh(dense)
+
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, 4, degree=40, n_outer=12, tile=16,
+        use_pallas=True, sparse=True, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-6
+    assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
+    # modes come back in the ORIGINAL atom order
+    u = np.asarray(vecs).T
+    v = ref_vecs[:, 6:10]
+    overlap = np.linalg.norm(u.T @ v, ord=2)
+    assert overlap > 1 - 1e-6
+
+
 def test_matfree_rejects_dense_families(two_chain_ca):
     ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
     pair_params = ff.to_params()  # table_pair: O(n^2) parameters
