@@ -93,3 +93,58 @@ class ANM(ElasticNetworkModel):
         prs_mat = nma.prs(self, norm)
         eff, sens = nma.effector_sensor(prs_mat)
         return prs_mat, eff, sens
+
+    def lowest_modes(self, k, matrix_free=False, **options):
+        """
+        The `k` lowest non-trivial modes on device *without* a full
+        eigendecomposition — green-field beyond the reference, which
+        always runs dense ``eigh`` (reference ``nma.py:61``).
+
+        ``matrix_free=False`` (default): dense Hessian on device +
+        Cholesky shift-invert subspace iteration — the mega-assembly
+        path (seconds at 30k dims).  ``matrix_free=True``: the
+        block-sparse Chebyshev solver; the Hessian is never formed, for
+        systems beyond device memory (``ops.matfree``).  Extra
+        `options` pass through to the solver.  Requires a force field
+        with a device parameterization (``to_params``).
+
+        Returns
+        -------
+        eig_values : ndarray, shape=(k,)
+            Smallest non-trivial eigenvalues, ascending.
+        eig_vectors : ndarray, shape=(k, 3n)
+            Modes in rows, atom-interleaved layout (as :meth:`eigen`).
+        residuals : ndarray, shape=(k,)
+            Relative eigenpair residuals — always check convergence.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops import assembly, matfree, modes
+        from ..parallel.pipeline import _resolve_params
+
+        params = _resolve_params(self._ff)
+        coord = self._coord
+        n = coord.shape[0]
+        masses = self._masses
+
+        if matrix_free:
+            vals, vecs, res = matfree.lowest_modes_matfree(
+                coord, params, k, masses=masses, **options)
+        else:
+            dtype = options.pop("dtype", jnp.float32)
+            hessian = assembly.hessian_matrix(
+                coord, params, jnp, dtype=dtype, layout="xyz")
+            if masses is not None:
+                w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+                w3 = jnp.tile(w, 3)
+                hessian = hessian * w3[:, None] * w3[None, :]
+            vals, vecs = modes.lowest_modes_anm(
+                hessian, jnp.asarray(coord, dtype), k, masses=masses,
+                **options)
+            res = modes.mode_residuals(hessian, vals, vecs)
+
+        # xyz plane layout -> the model's atom-interleaved layout
+        inv = (np.arange(3)[None, :] * n
+               + np.arange(n)[:, None]).reshape(-1)
+        return vals, vecs[:, inv], res

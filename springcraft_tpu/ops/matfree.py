@@ -533,10 +533,11 @@ def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
     return jnp.where(valid, k, 0.0)
 
 
-def _sparse_apply_kernel(params, n, max_nbrs, tile, nbr_ref, cnt_ref,
-                         *refs):
-    """Grid cell (i, j): j-th *neighbor tile* of row tile i (tile index
-    scalar-prefetched); compute masked off inactive (padding) cells."""
+def _sparse_apply_kernel(params, n, tile, rows_ref, cols_ref, *refs):
+    """Grid cell ``p``: one interacting (row-tile, col-tile) pair from
+    the flattened pair list (indices scalar-prefetched, sorted by row
+    tile so the output block stays VMEM-resident across its pairs).
+    Every cell does real work — no padding cells."""
     if params.kind == "table_compact":
         (coord_row_ref, coord_col_ref, ids_row_ref, ids_col_ref,
          type_row_ref, type_col_ref, chain_row_ref, chain_col_ref,
@@ -550,49 +551,52 @@ def _sparse_apply_kernel(params, n, max_nbrs, tile, nbr_ref, cnt_ref,
         out_ref = refs[6]
         dsum_ref = refs[7]
 
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    p = pl.program_id(0)
+    n_pairs = pl.num_programs(0)
+    row = rows_ref[p]
+    prev_row = rows_ref[jnp.maximum(p - 1, 0)]
+    next_row = rows_ref[jnp.minimum(p + 1, n_pairs - 1)]
+    first = (p == 0) | (row != prev_row)
+    last = (p == n_pairs - 1) | (row != next_row)
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
         dsum_ref[:] = jnp.zeros_like(dsum_ref)
 
-    @pl.when(j < cnt_ref[i])
-    def _():
-        rows = coord_row_ref[:]
-        cols = coord_col_ref[:]
-        dx = rows[0][:, None] - cols[0][None, :]
-        dy = rows[1][:, None] - cols[1][None, :]
-        dz = rows[2][:, None] - cols[2][None, :]
-        sq = dx * dx + dy * dy + dz * dz
+    rows = coord_row_ref[:]
+    cols = coord_col_ref[:]
+    dx = rows[0][:, None] - cols[0][None, :]
+    dy = rows[1][:, None] - cols[1][None, :]
+    dz = rows[2][:, None] - cols[2][None, :]
+    sq = dx * dx + dy * dy + dz * dz
 
-        if params.kind == "table_compact":
-            extra = (
-                type_row_ref[:], type_col_ref[:],
-                chain_row_ref[0], chain_col_ref[0],
-                bond_row_ref[0], bond_col_ref[0],
-                tables_ref[:],
-            )
-        else:
-            extra = None
-        k = _mask_and_constants_ids(sq, ids_row_ref[0], ids_col_ref[0],
-                                    n, params, extra)
-        g = -k / jnp.where(sq == 0, 1.0, sq)
-        disp = (dx, dy, dz)
+    if params.kind == "table_compact":
+        extra = (
+            type_row_ref[:], type_col_ref[:],
+            chain_row_ref[0], chain_col_ref[0],
+            bond_row_ref[0], bond_col_ref[0],
+            tables_ref[:],
+        )
+    else:
+        extra = None
+    k = _mask_and_constants_ids(sq, ids_row_ref[0], ids_col_ref[0],
+                                n, params, extra)
+    g = -k / jnp.where(sq == 0, 1.0, sq)
+    disp = (dx, dy, dz)
 
-        xc = x_col_ref[:]
-        for a in range(3):
-            acc = out_ref[a]
-            for b in range(3):
-                plane = g * disp[a] * disp[b]
-                acc = acc + jnp.dot(plane, xc[b],
-                                    preferred_element_type=plane.dtype,
-                                    precision=_HIGHEST)
-                dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
-            out_ref[a] = acc
+    xc = x_col_ref[:]
+    for a in range(3):
+        acc = out_ref[a]
+        for b in range(3):
+            plane = g * disp[a] * disp[b]
+            acc = acc + jnp.dot(plane, xc[b],
+                                preferred_element_type=plane.dtype,
+                                precision=_HIGHEST)
+            dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
+        out_ref[a] = acc
 
-    @pl.when(j == max_nbrs - 1)
+    @pl.when(last)
     def _():
         xr = x_row_ref[:]
         for a in range(3):
@@ -606,11 +610,13 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
                                 orig_ids=None, tile=256,
                                 dtype=jnp.float32, interpret=None):
     """
-    Block-sparse matrix-free ``H @ x``: the kernel grid only visits the
-    tile pairs listed in `nbr` (from :func:`tile_neighbor_lists`), with
-    the neighbor indices scalar-prefetched into the BlockSpec index
-    maps — compute and DMA are both O(n * neighbor_tiles), the
-    TPU-native analogue of the reference's cell-list pair pruning.
+    Block-sparse matrix-free ``H @ x``: the kernel grid is the
+    *flattened pair list* of interacting tile pairs (from
+    :func:`tile_neighbor_lists`), with tile indices scalar-prefetched
+    into the BlockSpec index maps — compute and DMA are both
+    O(n * neighbor_tiles) with zero padding cells, the TPU-native
+    analogue of the reference's cell-list pair pruning.  `nbr` /
+    `counts` must be host-concrete (they size the grid).
 
     Parameters
     ----------
@@ -633,13 +639,20 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
 
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
-    nbr = jnp.asarray(nbr, jnp.int32)
-    counts = jnp.asarray(counts, jnp.int32)
-    max_nbrs = nbr.shape[1]
+    # Flatten to a 1D pair list sorted by row tile (host-side: the grid
+    # size is the pair count) — every grid cell does real work, unlike a
+    # (n_tiles, max_nbrs) grid padded to the worst row.
+    nbr = np.asarray(nbr)
+    counts = np.asarray(counts)
     if nbr.shape[0] != n_tiles:
         raise ValueError(
             f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
             "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
+    pair_rows = np.repeat(np.arange(n_tiles, dtype=np.int32),
+                          counts.astype(np.int64))
+    pair_cols = np.concatenate(
+        [nbr[t, :counts[t]] for t in range(n_tiles)]).astype(np.int32)
+    n_pairs = int(pair_rows.shape[0])
 
     coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
     x_p = jnp.zeros((3, n_pad, k_pad), dtype).at[:, :n, :k_vec].set(xb)
@@ -649,14 +662,13 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     ids = jnp.full((1, n_pad), n, jnp.int32).at[0, :n].set(
         jnp.asarray(orig_ids, jnp.int32))
 
-    kernel = functools.partial(_sparse_apply_kernel, params, n,
-                               max_nbrs, tile)
+    kernel = functools.partial(_sparse_apply_kernel, params, n, tile)
 
-    def row_map(i, j, nbr_ref, cnt_ref):
-        return (0, i)
+    def row_map(p, rows_ref, cols_ref):
+        return (0, rows_ref[p])
 
-    def col_map(i, j, nbr_ref, cnt_ref):
-        return (0, nbr_ref[i, j])
+    def col_map(p, rows_ref, cols_ref):
+        return (0, cols_ref[p])
 
     in_specs = [
         pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
@@ -671,11 +683,11 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         onehot, chain, bonded, tables = _compact_device_inputs(
             params, n, n_pad, dtype)
 
-        def row_map2(i, j, nbr_ref, cnt_ref):
-            return (i, 0)
+        def row_map2(p, rows_ref, cols_ref):
+            return (rows_ref[p], 0)
 
-        def col_map2(i, j, nbr_ref, cnt_ref):
-            return (nbr_ref[i, j], 0)
+        def col_map2(p, rows_ref, cols_ref):
+            return (cols_ref[p], 0)
 
         in_specs += [
             pl.BlockSpec((tile, 32), row_map2, memory_space=pltpu.VMEM),
@@ -688,11 +700,11 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         ]
         inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
 
-    def x_col_map(i, j, nbr_ref, cnt_ref):
-        return (0, nbr_ref[i, j], 0)
+    def x_col_map(p, rows_ref, cols_ref):
+        return (0, cols_ref[p], 0)
 
-    def x_row_map(i, j, nbr_ref, cnt_ref):
-        return (0, i, 0)
+    def x_row_map(p, rows_ref, cols_ref):
+        return (0, rows_ref[p], 0)
 
     in_specs += [
         pl.BlockSpec((3, tile, k_pad), x_col_map,
@@ -704,7 +716,7 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, max_nbrs),
+        grid=(n_pairs,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((3, tile, k_pad), x_row_map,
                                memory_space=pltpu.VMEM),
@@ -715,10 +727,10 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, n_pad, k_pad), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(nbr, counts, *inputs)
+    )(jnp.asarray(pair_rows), jnp.asarray(pair_cols), *inputs)
 
     y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
     return y[:, 0] if squeeze else y

@@ -282,6 +282,25 @@ def test_sharded_lowest_modes_matfree(two_chain_ca):
     assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
 
 
+@pytest.mark.parametrize("matrix_free", [False, True])
+@pytest.mark.parametrize("masses", [None, True])
+def test_anm_lowest_modes_matches_eigen(ca_1l2y, matrix_free, masses):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0), masses=masses)
+    ref_vals, ref_vecs = anm.eigen()
+    k = 3
+    options = (dict(degree=40, n_outer=12, dtype=jnp.float64)
+               if matrix_free else dict(dtype=jnp.float64))
+    vals, vecs, res = anm.lowest_modes(k, matrix_free=matrix_free,
+                                       **options)
+    assert np.max(np.asarray(res)) < 1e-5
+    assert np.allclose(np.asarray(vals), np.asarray(ref_vals[6:6 + k]),
+                       rtol=1e-5)
+    u = np.asarray(vecs).T
+    v = np.asarray(ref_vecs[6:6 + k]).T
+    overlap = np.linalg.norm(u.T @ v, ord=2)
+    assert overlap > 1 - 1e-5
+
+
 def test_estimate_lambda_max_bounds_spectrum():
     coord = random_coord(19, 80, box=30.0)
     params = ffparams.invariant_params(12.0)
