@@ -72,3 +72,40 @@ class GNM(ElasticNetworkModel):
     def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
         """Dynamic cross-correlation between nodes."""
         return nma.dcc(self, mode_subset, norm, tem, tem_factors)
+
+    def lowest_modes(self, k, matrix_free=False, **options):
+        """
+        The `k` lowest non-trivial GNM modes on device without a full
+        eigendecomposition (see :meth:`ANM.lowest_modes`): dense
+        Cholesky shift-invert by default, or the matrix-free Chebyshev
+        solver (`matrix_free=True`) when the Kirchhoff matrix exceeds
+        device memory.  Returns ``(values, modes (k, n), residuals)``.
+        """
+        import jax.numpy as jnp
+
+        from ..ops import assembly, matfree, modes, rigid
+        from ..parallel.pipeline import _resolve_params
+
+        params = _resolve_params(self._ff)
+        coord = self._coord
+        masses = self._masses
+
+        if matrix_free:
+            return matfree.lowest_modes_matfree_gnm(
+                coord, params, k, masses=masses, **options)
+
+        dtype = options.pop("dtype", jnp.float32)
+        kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp,
+                                              dtype=dtype)
+        if masses is not None:
+            w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+            kirchhoff = kirchhoff * w[:, None] * w[None, :]
+        basis = rigid.null_mode_gnm(coord.shape[0], masses=masses,
+                                    dtype=dtype)
+        if 2 * max(k, 8) + 2 * k >= kirchhoff.shape[0]:
+            vals, vecs = modes._dense_lowest(kirchhoff, k, basis)
+        else:
+            vals, vecs = modes.lowest_modes_shift_invert(
+                kirchhoff, basis, k=k, **options)
+        res = modes.mode_residuals(kirchhoff, vals, vecs)
+        return vals, vecs, res

@@ -3,7 +3,12 @@ interaction-matrix assembly, eigensolves, and NMA observable kernels."""
 
 from . import assembly, ffparams, linalg, matfree, modes, nma_core, rigid
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
-from .matfree import hessian_apply, kirchhoff_apply, lowest_modes_matfree
+from .matfree import (
+    hessian_apply,
+    kirchhoff_apply,
+    lowest_modes_matfree,
+    lowest_modes_matfree_gnm,
+)
 from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
 from .modes import lowest_modes, lowest_modes_anm
@@ -18,6 +23,7 @@ __all__ = [
     "hessian_apply",
     "kirchhoff_apply",
     "lowest_modes_matfree",
+    "lowest_modes_matfree_gnm",
     "nma_core",
     "rigid",
     "lowest_modes",

@@ -56,11 +56,13 @@ __all__ = [
     "hessian_apply_pallas",
     "hessian_apply_pallas_sparse",
     "kirchhoff_apply",
+    "kirchhoff_apply_pallas_sparse",
     "estimate_lambda_max",
     "hessian_degree_bound",
     "spatial_sort_permutation",
     "tile_neighbor_lists",
     "lowest_modes_matfree",
+    "lowest_modes_matfree_gnm",
     "matfree_mode_residuals",
 ]
 
@@ -736,6 +738,177 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     return y[:, 0] if squeeze else y
 
 
+def _sparse_kirchhoff_kernel(params, n, tile, rows_ref, cols_ref, *refs):
+    """GNM variant of :func:`_sparse_apply_kernel`: one ``(T, T)``
+    force-constant plane per pair, ``y = -K_off @ x + deg * x``."""
+    if params.kind == "table_compact":
+        (coord_row_ref, coord_col_ref, ids_row_ref, ids_col_ref,
+         type_row_ref, type_col_ref, chain_row_ref, chain_col_ref,
+         bond_row_ref, bond_col_ref, tables_ref,
+         x_col_ref, x_row_ref) = refs[:13]
+        out_ref = refs[13]
+        dsum_ref = refs[14]
+    else:
+        (coord_row_ref, coord_col_ref, ids_row_ref, ids_col_ref,
+         x_col_ref, x_row_ref) = refs[:6]
+        out_ref = refs[6]
+        dsum_ref = refs[7]
+
+    p = pl.program_id(0)
+    n_pairs = pl.num_programs(0)
+    row = rows_ref[p]
+    prev_row = rows_ref[jnp.maximum(p - 1, 0)]
+    next_row = rows_ref[jnp.minimum(p + 1, n_pairs - 1)]
+    first = (p == 0) | (row != prev_row)
+    last = (p == n_pairs - 1) | (row != next_row)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        dsum_ref[:] = jnp.zeros_like(dsum_ref)
+
+    rows_c = coord_row_ref[:]
+    cols_c = coord_col_ref[:]
+    dx = rows_c[0][:, None] - cols_c[0][None, :]
+    dy = rows_c[1][:, None] - cols_c[1][None, :]
+    dz = rows_c[2][:, None] - cols_c[2][None, :]
+    sq = dx * dx + dy * dy + dz * dz
+
+    if params.kind == "table_compact":
+        extra = (
+            type_row_ref[:], type_col_ref[:],
+            chain_row_ref[0], chain_col_ref[0],
+            bond_row_ref[0], bond_col_ref[0],
+            tables_ref[:],
+        )
+    else:
+        extra = None
+    k = _mask_and_constants_ids(sq, ids_row_ref[0], ids_col_ref[0],
+                                n, params, extra)
+
+    out_ref[:] += -jnp.dot(k, x_col_ref[:],
+                           preferred_element_type=k.dtype,
+                           precision=_HIGHEST)
+    dsum_ref[0, :] += jnp.sum(k, axis=1)
+
+    @pl.when(last)
+    def _():
+        out_ref[:] += dsum_ref[0, :][:, None] * x_row_ref[:]
+
+
+def kirchhoff_apply_pallas_sparse(coord, x, params, nbr, counts,
+                                  orig_ids=None, tile=256,
+                                  dtype=jnp.float32, interpret=None):
+    """
+    Block-sparse matrix-free ``K @ x`` for the GNM Kirchhoff operator
+    (see :func:`hessian_apply_pallas_sparse`; `x` is ``(n, k)`` or
+    ``(n,)``).
+    """
+    _check_params(params)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    x = jnp.asarray(x, dtype=dtype)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    k_vec = x.shape[-1]
+    k_pad = _round_up(max(k_vec, 128), 128)
+
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+    nbr = np.asarray(nbr)
+    counts = np.asarray(counts)
+    if nbr.shape[0] != n_tiles:
+        raise ValueError(
+            f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
+            "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
+    pair_rows = np.repeat(np.arange(n_tiles, dtype=np.int32),
+                          counts.astype(np.int64))
+    pair_cols = np.concatenate(
+        [nbr[t, :counts[t]] for t in range(n_tiles)]).astype(np.int32)
+    n_pairs = int(pair_rows.shape[0])
+
+    coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
+    x_p = jnp.zeros((n_pad, k_pad), dtype).at[:n, :k_vec].set(x)
+    if orig_ids is None:
+        orig_ids = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.full((1, n_pad), n, jnp.int32).at[0, :n].set(
+        jnp.asarray(orig_ids, jnp.int32))
+
+    kernel = functools.partial(_sparse_kirchhoff_kernel, params, n, tile)
+
+    def row_map(p, rows_ref, cols_ref):
+        return (0, rows_ref[p])
+
+    def col_map(p, rows_ref, cols_ref):
+        return (0, cols_ref[p])
+
+    in_specs = [
+        pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+    ]
+    inputs = [coord_t, coord_t, ids, ids]
+
+    if params.kind == "table_compact":
+        from .pallas_kernels import _compact_device_inputs
+        onehot, chain, bonded, tables = _compact_device_inputs(
+            params, n, n_pad, dtype)
+
+        def row_map2(p, rows_ref, cols_ref):
+            return (rows_ref[p], 0)
+
+        def col_map2(p, rows_ref, cols_ref):
+            return (cols_ref[p], 0)
+
+        in_specs += [
+            pl.BlockSpec((tile, 32), row_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32), col_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+
+    def x_col_map(p, rows_ref, cols_ref):
+        return (cols_ref[p], 0)
+
+    def x_row_map(p, rows_ref, cols_ref):
+        return (rows_ref[p], 0)
+
+    in_specs += [
+        pl.BlockSpec((tile, k_pad), x_col_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, k_pad), x_row_map, memory_space=pltpu.VMEM),
+    ]
+    inputs += [x_p, x_p]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pairs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, k_pad), x_row_map,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(pair_rows), jnp.asarray(pair_cols), *inputs)
+
+    y = out[:n, :k_vec]
+    return y[:, 0] if squeeze else y
+
+
 # ---------------------------------------------------------------------------
 # Chebyshev-filtered subspace iteration
 # ---------------------------------------------------------------------------
@@ -1013,6 +1186,96 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
         inv = np.argsort(perm)
         cols = np.concatenate([a * n + inv for a in range(3)])
         vecs = vecs[:, cols]
+    return vals, vecs, res
+
+
+def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
+                             oversample=None, degree=96, n_outer=10,
+                             tile=256, block=512, use_pallas=None,
+                             sparse=None, dtype=jnp.float32,
+                             lambda_max=None, seed=0, matvec=None):
+    """
+    The `k` lowest non-trivial GNM modes without materializing the
+    Kirchhoff matrix — the GNM counterpart of
+    :func:`lowest_modes_matfree` (same Chebyshev machinery over the
+    matrix-free Kirchhoff operator, with the constant vector as the
+    deflated null space).
+
+    Returns ``(eig_values (k,), eig_vectors (k, n), residuals (k,))``
+    in the original atom order.
+    """
+    concrete = not isinstance(coord, jax.core.Tracer)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    q = max(k, 8) if oversample is None else int(oversample)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sparse is None:
+        sparse = (use_pallas and params.has_cutoff and matvec is None
+                  and concrete)
+
+    perm = None
+    if matvec is not None:
+        base = matvec
+    elif sparse:
+        if not concrete:
+            raise ValueError(
+                "sparse=True needs concrete coordinates (the spatial "
+                "sort and tile neighbor lists are built host-side)")
+        host_coord = np.asarray(coord, dtype=np.float64)
+        perm = spatial_sort_permutation(host_coord)
+        cutoff = float(np.sqrt(params.cutoff_sq))
+        sorted_host = host_coord[perm]
+        nbr, counts = tile_neighbor_lists(sorted_host, cutoff, tile)
+        coord = jnp.asarray(sorted_host, dtype=dtype)
+        if params.kind == "table_compact":
+            import dataclasses
+
+            params = dataclasses.replace(
+                params,
+                type_idx=np.asarray(params.type_idx)[perm],
+                chain_code=np.asarray(params.chain_code)[perm],
+                bonded_next=np.asarray(params.bonded_next)[perm],
+            )
+        if masses is not None:
+            masses = np.asarray(masses)[perm]
+        base = functools.partial(
+            kirchhoff_apply_pallas_sparse, coord, params=params,
+            nbr=nbr, counts=counts,
+            orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
+            dtype=dtype)
+    else:
+        # XLA row-blocked fallback (no dense-grid Pallas variant: the
+        # Kirchhoff product is one plane and XLA handles it well)
+        base = functools.partial(kirchhoff_apply, coord, params=params,
+                                 block=block, dtype=dtype)
+
+    if masses is not None:
+        w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+
+        def matvec_fn(x):
+            wx = x * (w[:, None] if x.ndim == 2 else w)
+            y = base(wx)
+            return y * (w[:, None] if y.ndim == 2 else w)
+    else:
+        matvec_fn = base
+
+    t = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
+
+    if lambda_max is None:
+        # Identical block-row Gershgorin bound (the Hessian's 3x3
+        # superelements have spectral norm k_ij, the Kirchhoff entries
+        # are k_ij — the formula coincides)
+        lam_max = hessian_degree_bound(coord, params, masses=masses,
+                                       block=block, dtype=dtype)
+    else:
+        lam_max = jnp.asarray(lambda_max, dtype)
+
+    vals, vecs, res = _chebfsi(
+        matvec_fn, t, n, lam_max, k=k, oversample=q, degree=degree,
+        n_outer=n_outer, seed=seed, dtype=dtype)
+    if perm is not None:
+        vecs = vecs[:, np.argsort(perm)]
     return vals, vecs, res
 
 

@@ -186,6 +186,65 @@ def test_lowest_modes_matfree_sparse_path():
     assert overlap > 1 - 1e-6
 
 
+def test_kirchhoff_apply_pallas_sparse_matches_dense(two_chain_ca):
+    params = sc.TabulatedForceField.sd_enm(two_chain_ca)\
+        .to_compact_params()
+    coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    n = coord.shape[0]
+    dense = np.asarray(assembly.kirchhoff_matrix(
+        coord, params, jnp, dtype=jnp.float64))
+    x = np.random.RandomState(10).randn(n, 4)
+
+    perm = matfree.spatial_sort_permutation(coord)
+    sc_coord = coord[perm]
+    cutoff = float(np.sqrt(params.cutoff_sq))
+    tile = 16
+    nbr, counts = matfree.tile_neighbor_lists(sc_coord, cutoff, tile)
+    import dataclasses
+
+    params_s = dataclasses.replace(
+        params,
+        type_idx=np.asarray(params.type_idx)[perm],
+        chain_code=np.asarray(params.chain_code)[perm],
+        bonded_next=np.asarray(params.bonded_next)[perm],
+    )
+    y = matfree.kirchhoff_apply_pallas_sparse(
+        sc_coord, x[perm], params_s, nbr, counts,
+        orig_ids=perm.astype(np.int32), tile=tile, dtype=jnp.float64)
+    y_ref = (dense @ x)[perm]
+    scale = np.max(np.abs(y_ref)) or 1.0
+    assert np.max(np.abs(np.asarray(y) - y_ref)) / scale < 1e-10
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_lowest_modes_matfree_gnm(sparse):
+    coord = random_coord(13, 120, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.kirchhoff_matrix(
+        coord, params, jnp, dtype=jnp.float64))
+    ref_vals = np.linalg.eigvalsh(dense)
+    assert ref_vals[0] < 1e-8 < ref_vals[1]  # connected: one null mode
+
+    vals, vecs, res = matfree.lowest_modes_matfree_gnm(
+        coord, params, 4, degree=40, n_outer=12, tile=16, block=64,
+        use_pallas=sparse, sparse=sparse, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-6
+    assert np.allclose(np.asarray(vals), ref_vals[1:5], rtol=1e-6)
+
+
+def test_gnm_model_lowest_modes(ca_1l2y):
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0), masses=True)
+    ref_vals, ref_vecs = gnm.eigen()
+    for matrix_free in (False, True):
+        options = (dict(degree=40, n_outer=12, dtype=jnp.float64)
+                   if matrix_free else dict(dtype=jnp.float64))
+        vals, vecs, res = gnm.lowest_modes(3, matrix_free=matrix_free,
+                                           **options)
+        assert np.max(np.asarray(res)) < 1e-5
+        assert np.allclose(np.asarray(vals), np.asarray(ref_vals[1:4]),
+                           rtol=1e-5)
+
+
 def test_matfree_rejects_dense_families(two_chain_ca):
     ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
     pair_params = ff.to_params()  # table_pair: O(n^2) parameters
