@@ -261,6 +261,59 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
     return total
 
 
+def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
+    """Matrix-free mega-scale (beyond the dense regime — the Hessian
+    would need 32 GB at this size): block-sparse ``H @ X`` and the
+    Chebyshev lowest-mode solver."""
+    import jax
+    import jax.numpy as jnp
+
+    from springcraft_tpu.ops import ffparams, matfree
+
+    rng = np.random.RandomState(4)
+    spread = (n_atoms / _CA_DENSITY) ** (1.0 / 3.0)
+    coord = (rng.rand(n_atoms, 3) * spread).astype(np.float32)
+    params = ffparams.invariant_params(13.0)
+
+    perm = matfree.spatial_sort_permutation(coord)
+    sorted_c = coord[perm]
+    nbr, counts = matfree.tile_neighbor_lists(sorted_c, 13.0, 256)
+    x = jax.device_put(jnp.asarray(
+        rng.randn(3 * n_atoms, 20).astype(np.float32)))
+    sorted_d = jax.device_put(jnp.asarray(sorted_c))
+    ids = jax.device_put(jnp.asarray(perm, dtype=jnp.int32))
+
+    apply_fn = jax.jit(lambda c, v, oi: jnp.sum(
+        matfree.hessian_apply_pallas_sparse(
+            c, v, params, nbr, counts, orig_ids=oi)))
+    t0 = time.perf_counter()
+    float(apply_fn(sorted_d, x, ids))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(apply_fn(sorted_d, x, ids))
+    apply_ms = (time.perf_counter() - t0) / 5 * 1e3
+    log(f"tpu matrix-free (n={n_atoms}, dim={3 * n_atoms}; dense "
+        f"Hessian would be {(3 * n_atoms) ** 2 * 4 / 2**30:.0f} GB): "
+        f"block-sparse H@X(20) {apply_ms:.1f} ms "
+        f"(compile {compile_s:.1f}s; "
+        f"{counts.mean():.0f}/{nbr.shape[0]} mean tile neighbors)")
+
+    t0 = time.perf_counter()
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, k_modes, degree=96, n_outer=8)
+    float(jnp.sum(vals))
+    total_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, k_modes, degree=96, n_outer=8)
+    float(jnp.sum(vals))
+    steady_s = time.perf_counter() - t0
+    log(f"tpu matrix-free Chebyshev modes (k={k_modes}, deg=96 x 8): "
+        f"{steady_s:.1f}s steady (first run {total_s:.1f}s), max rel "
+        f"residual {float(jnp.max(res)):.1e}")
+
+
 def run_smoke():
     """TPU regression checks: compiled-Mosaic Pallas vs XLA parity and
     the 7cal eANM f32-vs-f64 MSF bf16-hazard check.  Returns the number
@@ -427,7 +480,8 @@ def main(argv=None):
 
     tpu_fluct, tpu_spectral = bench_tpu()
     for name, fn in (("tabulated", bench_tabulated_tpu),
-                     ("mega-assembly", bench_mega_tpu)):
+                     ("mega-assembly", bench_mega_tpu),
+                     ("matrix-free", bench_matfree_tpu)):
         try:
             fn()
         except Exception as exc:  # secondary metrics must not kill the run
