@@ -1112,9 +1112,17 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
     m = 3 * n
-    q = max(k, 8) if oversample is None else int(oversample)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if oversample is None:
+        # The Pallas kernels pad the vector block to the 128-lane
+        # width, so extra subspace vectors are free compute there — a
+        # larger buffer widens the wanted-vs-excluded eigenvalue gap
+        # and speeds convergence.
+        q = (max(k, 8, 48 - k) if (use_pallas and matvec is None)
+             else max(k, 8))
+    else:
+        q = int(oversample)
     if sparse is None:
         sparse = (use_pallas and params.has_cutoff and matvec is None
                   and concrete)
@@ -1207,9 +1215,17 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
     concrete = not isinstance(coord, jax.core.Tracer)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
-    q = max(k, 8) if oversample is None else int(oversample)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if oversample is None:
+        # The Pallas kernels pad the vector block to the 128-lane
+        # width, so extra subspace vectors are free compute there — a
+        # larger buffer widens the wanted-vs-excluded eigenvalue gap
+        # and speeds convergence.
+        q = (max(k, 8, 48 - k) if (use_pallas and matvec is None)
+             else max(k, 8))
+    else:
+        q = int(oversample)
     if sparse is None:
         sparse = (use_pallas and params.has_cutoff and matvec is None
                   and concrete)
