@@ -535,7 +535,8 @@ def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
     return jnp.where(valid, k, 0.0)
 
 
-def _sparse_apply_kernel(params, n, tile, rows_ref, cols_ref, *refs):
+def _sparse_apply_kernel(params, n, tile, fast_math, rows_ref, cols_ref,
+                         *refs):
     """Grid cell ``p``: one interacting (row-tile, col-tile) pair from
     the flattened pair list (indices scalar-prefetched, sorted by row
     tile so the output block stays VMEM-resident across its pairs).
@@ -588,13 +589,14 @@ def _sparse_apply_kernel(params, n, tile, rows_ref, cols_ref, *refs):
     disp = (dx, dy, dz)
 
     xc = x_col_ref[:]
+    prec = None if fast_math else _HIGHEST
     for a in range(3):
         acc = out_ref[a]
         for b in range(3):
             plane = g * disp[a] * disp[b]
             acc = acc + jnp.dot(plane, xc[b],
                                 preferred_element_type=plane.dtype,
-                                precision=_HIGHEST)
+                                precision=prec)
             dsum_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
         out_ref[a] = acc
 
@@ -610,7 +612,8 @@ def _sparse_apply_kernel(params, n, tile, rows_ref, cols_ref, *refs):
 
 def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
                                 orig_ids=None, tile=256,
-                                dtype=jnp.float32, interpret=None):
+                                dtype=jnp.float32, interpret=None,
+                                fast_math=False):
     """
     Block-sparse matrix-free ``H @ x``: the kernel grid is the
     *flattened pair list* of interacting tile pairs (from
@@ -629,6 +632,12 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         Original atom index per (sorted) slot — keeps self-pair masking
         and ``table_compact`` peptide bonds exact under reordering.
         Defaults to ``arange(n)`` (unsorted layout).
+    fast_math : bool
+        Run the nine plane contractions at default MXU precision (one
+        bf16 pass) instead of ``precision=HIGHEST`` — the operator is
+        perturbed at the bf16 level (~4e-3 relative; see the bf16
+        hazard note in CLAUDE.md).  Only for iterative solvers that
+        re-verify residuals against the exact operator.
     """
     _check_params(params)
     if interpret is None:
@@ -664,7 +673,8 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     ids = jnp.full((1, n_pad), n, jnp.int32).at[0, :n].set(
         jnp.asarray(orig_ids, jnp.int32))
 
-    kernel = functools.partial(_sparse_apply_kernel, params, n, tile)
+    kernel = functools.partial(_sparse_apply_kernel, params, n, tile,
+                               bool(fast_math))
 
     def row_map(p, rows_ref, cols_ref):
         return (0, rows_ref[p])
@@ -999,63 +1009,71 @@ def _chebyshev_filter(matvec, x, degree, a, b, a0=0.0):
     return y
 
 
+def _deflate(t, x):
+    return x - jnp.matmul(
+        t, jnp.matmul(t.T, x, precision=_HIGHEST),
+        precision=_HIGHEST)
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=("matvec", "m", "k", "oversample", "degree",
-                     "n_outer", "seed", "dtype"),
-)
-def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
-             seed, dtype):
-    p = k + oversample
-
-    b = jnp.asarray(lam_max, dtype)
-    shift = 0.5 * b  # rigid modes land mid-band -> damped by the filter
-
-    def shifted_matvec(x):
-        return matvec(x) + shift * jnp.matmul(
-            t, jnp.matmul(t.T, x, precision=_HIGHEST),
-            precision=_HIGHEST)
-
-    def deflate(x):
-        return x - jnp.matmul(
-            t, jnp.matmul(t.T, x, precision=_HIGHEST),
-            precision=_HIGHEST)
-
+    jax.jit, static_argnames=("m", "p", "seed", "dtype"))
+def _chebfsi_init(t, m, *, p, seed, dtype):
     key = jnp.arange(m * p, dtype=dtype).reshape(m, p)
     x = jnp.cos(key * 0.7 + seed) + 1e-3
-    x, _ = jnp.linalg.qr(deflate(x))
-    a_init = b / 10.0
+    x, _ = jnp.linalg.qr(_deflate(t, x))
+    return x
 
-    def outer(_, carry):
-        x, a = carry
-        y = _chebyshev_filter(shifted_matvec, x, degree, a, b)
-        y, _ = jnp.linalg.qr(deflate(y))
-        hy = matvec(y)
-        s = jnp.matmul(y.T, hy, precision=_HIGHEST)
-        theta, w = jnp.linalg.eigh((s + s.T) / 2)
-        x = jnp.matmul(y, w, precision=_HIGHEST)
-        # Next filter cutoff: just above the largest kept Ritz value,
-        # clamped inside the spectrum
-        a = jnp.clip(1.05 * theta[p - 1], b * 1e-4, 0.5 * b)
-        return x, a
 
-    x, _ = jax.lax.fori_loop(0, n_outer, outer, (x, a_init))
+@functools.partial(
+    jax.jit, static_argnames=("matvec", "degree", "k"))
+def _chebfsi_outer(matvec, t, x, a, b, *, degree, k):
+    """One filter + Rayleigh-Ritz pass; returns the rotated block, the
+    next filter cutoff, the Ritz values, and the wanted-mode residuals.
+    Runs as its own program execution so long solves are split into
+    bounded device calls (and the host can stop early on `tol`)."""
+    p = x.shape[1]
+    shift = 0.5 * b  # rigid modes land mid-band -> damped by the filter
 
-    hx = matvec(x)
-    s = jnp.matmul(x.T, hx, precision=_HIGHEST)
+    def shifted_matvec(v):
+        return matvec(v) + shift * jnp.matmul(
+            t, jnp.matmul(t.T, v, precision=_HIGHEST),
+            precision=_HIGHEST)
+
+    y = _chebyshev_filter(shifted_matvec, x, degree, a, b)
+    y, _ = jnp.linalg.qr(_deflate(t, y))
+    hy = matvec(y)
+    s = jnp.matmul(y.T, hy, precision=_HIGHEST)
     theta, w = jnp.linalg.eigh((s + s.T) / 2)
-    vecs = jnp.matmul(x, w[:, :k], precision=_HIGHEST)
-    hv = jnp.matmul(hx, w[:, :k], precision=_HIGHEST)
-    res = jnp.linalg.norm(hv - vecs * theta[None, :k], axis=0) \
+    x = jnp.matmul(y, w, precision=_HIGHEST)
+    hx = jnp.matmul(hy, w[:, :k], precision=_HIGHEST)
+    res = jnp.linalg.norm(hx - x[:, :k] * theta[None, :k], axis=0) \
         / jnp.maximum(jnp.abs(theta[:k]), 1e-30)
-    return theta[:k], vecs.T, res
+    # Next filter cutoff: just above the largest kept Ritz value,
+    # clamped inside the spectrum
+    a = jnp.clip(1.05 * theta[p - 1], b * 1e-4, 0.5 * b)
+    return x, a, theta, res
+
+
+def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
+             seed, dtype, tol=None):
+    p = k + oversample
+    b = jnp.asarray(lam_max, dtype)
+    x = _chebfsi_init(t, m, p=p, seed=seed, dtype=dtype)
+    a = b / 10.0
+    theta = None
+    for _ in range(n_outer):
+        x, a, theta, res = _chebfsi_outer(matvec, t, x, a, b,
+                                          degree=degree, k=k)
+        if tol is not None and float(jnp.max(res)) < tol:
+            break
+    return theta[:k], x[:, :k].T, res
 
 
 def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          degree=96, n_outer=10, tile=256,
                          block=512, use_pallas=None, sparse=None,
                          dtype=jnp.float32, lambda_max=None, seed=0,
-                         matvec=None):
+                         matvec=None, fast_math=False, tol=None):
     """
     The `k` lowest non-trivial ANM modes **without materializing the
     Hessian** — Chebyshev-filtered subspace iteration over the
@@ -1095,6 +1113,10 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     lambda_max : float, optional
         Known spectral upper bound; skips the Gershgorin degree-bound
         pass (:func:`hessian_degree_bound`).
+    tol : float, optional
+        Early exit: stop outer iterations once the max wanted-mode
+        relative residual falls below `tol` (checked host-side between
+        the per-iteration device programs).
     matvec : callable, optional
         Override the operator: ``matvec(x)`` with ``x`` of shape
         ``(3n, p)`` must return ``H @ x`` (e.g. the mesh-sharded
@@ -1156,7 +1178,7 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
             hessian_apply_pallas_sparse, coord, params=params,
             nbr=jnp.asarray(nbr), counts=jnp.asarray(counts),
             orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
-            dtype=dtype)
+            dtype=dtype, fast_math=fast_math)
     elif use_pallas:
         base = functools.partial(hessian_apply_pallas, coord,
                                  params=params, tile=tile, dtype=dtype)
@@ -1188,7 +1210,7 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
 
     vals, vecs, res = _chebfsi(
         matvec, t, m, lam_max, k=k, oversample=q, degree=degree,
-        n_outer=n_outer, seed=seed, dtype=dtype)
+        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol)
     if perm is not None:
         # Back to the original atom order: sorted slot i is atom perm[i]
         inv = np.argsort(perm)
@@ -1201,7 +1223,8 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
                              oversample=None, degree=96, n_outer=10,
                              tile=256, block=512, use_pallas=None,
                              sparse=None, dtype=jnp.float32,
-                             lambda_max=None, seed=0, matvec=None):
+                             lambda_max=None, seed=0, matvec=None,
+                             tol=None):
     """
     The `k` lowest non-trivial GNM modes without materializing the
     Kirchhoff matrix — the GNM counterpart of
@@ -1289,7 +1312,7 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
 
     vals, vecs, res = _chebfsi(
         matvec_fn, t, n, lam_max, k=k, oversample=q, degree=degree,
-        n_outer=n_outer, seed=seed, dtype=dtype)
+        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol)
     if perm is not None:
         vecs = vecs[:, np.argsort(perm)]
     return vals, vecs, res
