@@ -1,7 +1,16 @@
 """Pure-JAX functional core: force-field parameter pytrees, dense
 interaction-matrix assembly, eigensolves, and NMA observable kernels."""
 
-from . import assembly, ffparams, linalg, matfree, modes, nma_core, rigid
+from . import (
+    assembly,
+    ffparams,
+    linalg,
+    matfree,
+    modes,
+    nma_core,
+    rigid,
+    spectrum,
+)
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
 from .matfree import (
     hessian_apply,
@@ -13,6 +22,7 @@ from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
 from .modes import lowest_modes, lowest_modes_anm
 from .rigid import covariance_cholesky, null_mode_gnm, rigid_modes_anm
+from .spectrum import eigh_banded, eigvalsh_banded
 
 __all__ = [
     "assembly",
@@ -26,6 +36,9 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "nma_core",
     "rigid",
+    "spectrum",
+    "eigh_banded",
+    "eigvalsh_banded",
     "lowest_modes",
     "lowest_modes_anm",
     "covariance_cholesky",

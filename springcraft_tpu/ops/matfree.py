@@ -634,10 +634,11 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         Defaults to ``arange(n)`` (unsorted layout).
     fast_math : bool
         Run the nine plane contractions at default MXU precision (one
-        bf16 pass) instead of ``precision=HIGHEST`` — the operator is
-        perturbed at the bf16 level (~4e-3 relative; see the bf16
-        hazard note in CLAUDE.md).  Only for iterative solvers that
-        re-verify residuals against the exact operator.
+        bf16 pass) instead of ``precision=HIGHEST``.  **Measured
+        unusable for mode extraction**: the bf16 operator noise
+        (~4e-3 ||H||) swamps the soft modes (~3e-4 ||H|| at mega
+        scale) — Chebyshev solves stall at ~0.2 relative residuals.
+        Kept for operator experiments only.
     """
     _check_params(params)
     if interpret is None:
@@ -1073,7 +1074,7 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          degree=96, n_outer=10, tile=256,
                          block=512, use_pallas=None, sparse=None,
                          dtype=jnp.float32, lambda_max=None, seed=0,
-                         matvec=None, fast_math=False, tol=None):
+                         matvec=None, tol=None):
     """
     The `k` lowest non-trivial ANM modes **without materializing the
     Hessian** — Chebyshev-filtered subspace iteration over the
@@ -1178,7 +1179,7 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
             hessian_apply_pallas_sparse, coord, params=params,
             nbr=jnp.asarray(nbr), counts=jnp.asarray(counts),
             orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
-            dtype=dtype, fast_math=fast_math)
+            dtype=dtype)
     elif use_pallas:
         base = functools.partial(hessian_apply_pallas, coord,
                                  params=params, tile=tile, dtype=dtype)

@@ -56,9 +56,13 @@ __all__ = [
     "tridiagonal_eigenvalues",
     "eigvalsh_sturm",
     "band_reduce",
+    "band_reduce_with_reflectors",
     "banded_eigenvalues",
     "banded_eigenvalues_pallas",
+    "banded_eigenvectors",
+    "back_transform",
     "eigvalsh_banded",
+    "eigh_banded",
 ]
 
 
@@ -289,6 +293,83 @@ def band_reduce(matrix, bandwidth):
     return diags
 
 
+def band_reduce_with_reflectors(matrix, bandwidth):
+    """
+    :func:`band_reduce` variant that also returns the compact-WY panel
+    reflectors, enabling the eigenvector back-transform.
+
+    Returns
+    -------
+    diags : ndarray, shape=(bandwidth + 1, n)
+    v_all : ndarray, shape=(n_panels, n, bandwidth)
+        Panel Householder vectors (``Q_k = I - V_k T_k V_k^T``).
+    t_all : ndarray, shape=(n_panels, bandwidth, bandwidth)
+    """
+    a = jnp.asarray(matrix)
+    n = a.shape[-1]
+    b = int(bandwidth)
+    if b < 1:
+        raise ValueError("bandwidth must be >= 1")
+    n_panels = max(0, -(-(n - b - 1) // b))
+    dtype = a.dtype
+
+    v_all0 = jnp.zeros((max(n_panels, 1), n, b), dtype)
+    t_all0 = jnp.zeros((max(n_panels, 1), b, b), dtype)
+
+    def panel_step(k, carry):
+        a, v_all, t_all = carry
+        c = k * b
+        panel = jax.lax.dynamic_slice(a, (0, c), (n, b))
+        v, t = _panel_qr(panel, c + b, b)
+        y = jnp.matmul(a, jnp.matmul(v, t, precision="highest"),
+                       precision="highest")
+        s = jnp.matmul(t.T, jnp.matmul(v.T, y, precision="highest"),
+                       precision="highest")
+        w = y - 0.5 * jnp.matmul(v, s, precision="highest")
+        wv = jnp.concatenate([w, v], axis=1)
+        vw = jnp.concatenate([v, w], axis=1)
+        a = a - jnp.matmul(wv, vw.T, precision="highest")
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (k, 0, 0))
+        t_all = jax.lax.dynamic_update_slice(t_all, t[None], (k, 0, 0))
+        return a, v_all, t_all
+
+    if n_panels > 0:
+        a, v_all, t_all = jax.lax.fori_loop(
+            0, n_panels, panel_step, (a, v_all0, t_all0))
+    else:
+        v_all, t_all = v_all0, t_all0
+
+    diags = jnp.stack(
+        [
+            jnp.concatenate([jnp.diagonal(a, offset=d),
+                             jnp.zeros(d, a.dtype)])
+            for d in range(b + 1)
+        ]
+    )
+    return diags, v_all, t_all
+
+
+def back_transform(v_all, t_all, u):
+    """
+    Map band-space vectors to original-space: ``u <- Q_1 ... Q_L u``
+    with ``Q_k = I - V_k T_k V_k^T`` (reflectors from
+    :func:`band_reduce_with_reflectors`), applied last panel first.
+    `u` is ``(n, k)`` columns.
+    """
+    n_panels = v_all.shape[0]
+
+    def step(i, u):
+        k = n_panels - 1 - i
+        v = v_all[k]
+        t = t_all[k]
+        return u - jnp.matmul(
+            v, jnp.matmul(t, jnp.matmul(v.T, u, precision="highest"),
+                          precision="highest"),
+            precision="highest")
+
+    return jax.lax.fori_loop(0, n_panels, step, u)
+
+
 def banded_eigenvalues(diags, n_iter=40):
     """
     All eigenvalues of a symmetric band matrix (ascending) by parallel
@@ -420,6 +501,234 @@ def _banded_sturm_counts(feed, shifts):
     count0 = jnp.zeros((n_batch, n_shifts), jnp.int32)
     (_, counts), _ = jax.lax.scan(body, (win0, count0), feed[w:])
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Band eigenvectors: factored inverse iteration, vectorized over shifts
+# ---------------------------------------------------------------------------
+
+
+def _band_feed(diags):
+    """Column-major band feed (see :func:`banded_eigenvalues`):
+    ``feed[i, p, batch] = A[i - b + p, i]`` plus ``w`` zero pad
+    columns.  `diags` is ``(batch, w, n)``."""
+    n_batch, w, n = diags.shape
+    b = w - 1
+    dtype = diags.dtype
+    cols = []
+    for p in range(w):
+        d = b - p
+        vals = diags[:, d]
+        cols.append(jnp.concatenate(
+            [jnp.zeros((n_batch, d), dtype), vals[:, : n - d]], axis=1
+        ))
+    new_cols = jnp.stack(cols, axis=0)  # (w, batch, n)
+    return jnp.concatenate(
+        [jnp.transpose(new_cols, (2, 0, 1)),
+         jnp.zeros((w, w, n_batch), dtype)],
+        axis=0,
+    )  # (n + w, w, batch)
+
+
+def _banded_factorize(feed, shifts):
+    """
+    LDL^t factors of ``B - s I`` for a plane of shifts simultaneously
+    (same trailing-window elimination as :func:`_banded_sturm_counts`,
+    but storing the factors).
+
+    Parameters
+    ----------
+    feed : ndarray, shape=(n + w, w, batch)
+    shifts : ndarray, shape=(batch, S)
+
+    Returns
+    -------
+    d : ndarray, shape=(n, batch, S)
+        Pivots.
+    l : ndarray, shape=(n, w - 1, batch, S)
+        ``l[j, p] = L[j + 1 + p, j]`` (unit lower triangular, band).
+    """
+    w = feed.shape[1]
+    n_batch, n_shifts = shifts.shape
+    dtype = feed.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def append(win, col):
+        entry = jnp.broadcast_to(
+            col[:, :, None], (w, n_batch, n_shifts))
+        entry = entry.at[w - 1].add(-shifts)
+        new = jnp.zeros_like(win)
+        new = new.at[: w - 1, : w - 1].set(win[1:, 1:])
+        new = new.at[: w - 1, w - 1].set(entry[: w - 1])
+        new = new.at[w - 1, : w - 1].set(entry[: w - 1])
+        new = new.at[w - 1, w - 1].set(entry[w - 1])
+        return new
+
+    win0 = jnp.zeros((w, w, n_batch, n_shifts), dtype)
+    for j in range(w):
+        win0 = append(win0, feed[j])
+
+    def body(win, col):
+        pivot = win[0, 0]
+        safe = jnp.where(jnp.abs(pivot) < tiny,
+                         jnp.where(pivot < 0, -tiny, tiny), pivot)
+        row0 = win[0, 1:]                  # (w - 1, batch, S)
+        l_row = row0 / safe
+        sub = win[1:, 1:] - l_row[:, None] * row0[None, :]
+        staged = win.at[1:, 1:].set(sub)
+        return append(staged, col), (safe, l_row)
+
+    _, (d, l) = jax.lax.scan(body, win0, feed[w:])
+    return d, l
+
+
+def _banded_solve(d, l, rhs):
+    """Solve ``(L D L^t) x = rhs`` with factors from
+    :func:`_banded_factorize`; everything vectorized over the trailing
+    (batch, S) plane.  `rhs` is ``(n, batch, S)``-broadcastable."""
+    n, bw = l.shape[0], l.shape[1]
+    plane = d.shape[1:]
+    dtype = d.dtype
+    rhs = jnp.broadcast_to(rhs, (n,) + plane)
+
+    # forward: z_j = rhs_j - sum_p L[j, j-1-p] z_{j-1-p}, carried as a
+    # sliding accumulator of future contributions
+    def fwd(acc, inp):
+        rhs_j, l_j = inp
+        z_j = rhs_j - acc[0]
+        acc = jnp.concatenate([acc[1:], jnp.zeros_like(acc[:1])], axis=0)
+        acc = acc + l_j * z_j[None]
+        return acc, z_j
+
+    acc0 = jnp.zeros((bw,) + plane, dtype)
+    _, z = jax.lax.scan(fwd, acc0, (rhs, l))
+
+    y = z / d
+
+    # backward: x_j = y_j - sum_p L[j+1+p, j] x_{j+1+p}
+    def bwd(xwin, inp):
+        y_j, l_j = inp
+        x_j = y_j - jnp.sum(l_j * xwin, axis=0)
+        xwin = jnp.concatenate([x_j[None], xwin[:-1]], axis=0)
+        return xwin, x_j
+
+    _, x = jax.lax.scan(bwd, acc0, (y, l), reverse=True)
+    return x
+
+
+def _separate_shifts(eigvals, sep):
+    """Strictly increasing inverse-iteration shifts:
+    ``s_i = max(lam_i, s_{i-1} + sep)`` vectorized as a running max."""
+    idx = jnp.arange(eigvals.shape[-1], dtype=eigvals.dtype)
+    adj = eigvals - sep * idx
+    run = jax.lax.associative_scan(jnp.maximum, adj, axis=-1)
+    return run + sep * idx
+
+
+def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
+                        window=8, seed=1):
+    """
+    Eigenvectors of a symmetric band matrix at the given eigenvalues,
+    by factored inverse iteration (shifts separated xSTEIN-style so
+    clustered eigenvalues get distinct factorizations) followed by a
+    windowed Gram-Schmidt sweep in eigenvalue order.
+
+    Parameters
+    ----------
+    diags : ndarray, shape=(b + 1, n) or (batch, b + 1, n)
+    eigvals : ndarray, shape=(n_ev,) or (batch, n_ev), ascending
+    n_solves : int
+        Inverse-iteration steps per shift (factors reused; 2 reaches
+        working precision for separated eigenvalues).
+    shift_chunk : int
+        Shifts factored simultaneously — bounds the live factor storage
+        at ``n * b * batch * shift_chunk`` floats.
+    window : int
+        Gram-Schmidt window: each vector is orthogonalized against this
+        many predecessors (covers clusters; distant pairs are already
+        orthogonal).
+
+    Returns
+    -------
+    u : ndarray, shape=([batch,] n, n_ev)
+        Eigenvector columns (unit norm), ordered as `eigvals`.
+    """
+    diags = jnp.asarray(diags)
+    squeeze = diags.ndim == 2
+    if squeeze:
+        diags = diags[None]
+        eigvals = jnp.asarray(eigvals)[None]
+    eigvals = jnp.asarray(eigvals, diags.dtype)
+    n_batch, w, n = diags.shape
+    n_ev = eigvals.shape[-1]
+    dtype = diags.dtype
+    eps = jnp.finfo(dtype).eps
+
+    # Gershgorin span sets the separation scale
+    radius = jnp.zeros((n_batch, n), dtype)
+    for dd in range(1, w):
+        off = jnp.abs(diags[:, dd, : n - dd])
+        radius = radius.at[:, : n - dd].add(off)
+        radius = radius.at[:, dd:].add(off)
+    span = jnp.max(diags[:, 0] + radius, axis=1) \
+        - jnp.min(diags[:, 0] - radius, axis=1)   # (batch,)
+    sep = (span * (100.0 * eps))[:, None]
+    shifts = _separate_shifts(eigvals, sep)
+
+    feed = _band_feed(diags)
+
+    chunk = max(1, min(int(shift_chunk), n_ev))
+    n_pad = -(-n_ev // chunk) * chunk
+    shifts_p = jnp.concatenate(
+        [shifts, jnp.broadcast_to(shifts[:, -1:],
+                                  (n_batch, n_pad - n_ev))], axis=1)
+    shifts_c = shifts_p.reshape(n_batch, n_pad // chunk, chunk)
+    idx_c = jnp.arange(n_pad, dtype=dtype).reshape(n_pad // chunk, chunk)
+
+    def solve_chunk(inp):
+        shift_plane, idx = inp  # (batch, chunk), (chunk,)
+        d, l = _banded_factorize(feed, shift_plane)
+        # A distinct pseudo-random start per shift: within an exactly
+        # degenerate cluster the resolvent amplifies the whole
+        # eigenspace identically, so a shared start would collapse all
+        # cluster vectors onto one direction and Gram-Schmidt would be
+        # left with pure noise.
+        row = jnp.arange(n, dtype=dtype)[:, None, None]
+        x = jnp.cos(row * 0.7 + seed + 2.347 * idx[None, None, :]) + 1e-3
+        x = jnp.broadcast_to(x, (n, n_batch, chunk))
+        for _ in range(n_solves):
+            x = _banded_solve(d, l, x)
+            x = x / jnp.linalg.norm(x, axis=0, keepdims=True)
+        return x  # (n, batch, chunk)
+
+    x = jax.lax.map(solve_chunk,
+                    (jnp.transpose(shifts_c, (1, 0, 2)), idx_c))
+    # (n_chunks, n, batch, chunk) -> (batch, n, n_pad)
+    x = jnp.transpose(x, (2, 1, 0, 3)).reshape(n_batch, n, n_pad)
+    x = x[:, :, :n_ev]
+
+    # Windowed Gram-Schmidt in eigenvalue order (scan over columns)
+    cw = max(1, min(int(window), n_ev))
+
+    def mgs(win, x_i):
+        # win: (cw, batch, n); x_i: (batch, n).  Two projection passes
+        # ("twice is enough"): after the first subtraction the
+        # remainder of a near-parallel cluster vector is small, and a
+        # single pass would leave O(eps / |remainder|) overlap after
+        # normalization.
+        for _ in range(2):
+            dots = jnp.sum(win * x_i[None], axis=-1)     # (cw, batch)
+            x_i = x_i - jnp.sum(win * dots[:, :, None], axis=0)
+        x_i = x_i / jnp.maximum(
+            jnp.linalg.norm(x_i, axis=-1, keepdims=True), 1e-30)
+        win = jnp.concatenate([win[1:], x_i[None]], axis=0)
+        return win, x_i
+
+    cols = jnp.transpose(x, (2, 0, 1))                   # (n_ev, batch, n)
+    win0 = jnp.zeros((cw, n_batch, n), dtype)
+    _, cols = jax.lax.scan(mgs, win0, cols)
+    u = jnp.transpose(cols, (1, 2, 0))                   # (batch, n, n_ev)
+    return u[0] if squeeze else u
 
 
 # ---------------------------------------------------------------------------
@@ -608,3 +917,56 @@ def eigvalsh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None):
     if use_pallas:
         return banded_eigenvalues_pallas(diags, n_iter=n_iter)
     return banded_eigenvalues(diags, n_iter=n_iter)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bandwidth", "n_iter", "use_pallas", "n_solves",
+                     "shift_chunk", "window"),
+)
+def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
+                n_solves=2, shift_chunk=256, window=8):
+    """
+    Full eigensystem (ascending values, **modes in rows**) via the
+    blocked two-stage solver:
+
+    1. full -> band reduction with stored compact-WY reflectors
+       (:func:`band_reduce_with_reflectors` — matmul-rich);
+    2. all eigenvalues by banded Sturm bisection (Pallas kernel on TPU);
+    3. band-space eigenvectors by factored inverse iteration with
+       separated shifts + windowed Gram-Schmidt
+       (:func:`banded_eigenvectors`);
+    4. back-transform through the panel reflectors
+       (:func:`back_transform` — three matmuls per panel).
+
+    Every stage is matmuls/scans — no XLA ``eigh``.  Accuracy is
+    iterative-solver level: f32 residuals ~1e-5 relative for
+    well-separated spectra; tightly clustered eigenvalues rely on the
+    Gram-Schmidt window (raise `window` for pathological spectra), so
+    verify residuals when in doubt.  Supports one leading batch dim.
+    """
+    matrix = jnp.asarray(matrix)
+    squeeze = matrix.ndim == 2
+    if squeeze:
+        matrix = matrix[None]
+    n = matrix.shape[-1]
+    if n <= bandwidth + 1:
+        vals, vecs = jnp.linalg.eigh(matrix)
+        vals_ = vals[0] if squeeze else vals
+        vecs_ = (vecs[0].T if squeeze
+                 else jnp.swapaxes(vecs, -1, -2))
+        return vals_, vecs_
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and bandwidth <= 8
+
+    diags, v_all, t_all = jax.vmap(
+        lambda mm: band_reduce_with_reflectors(mm, bandwidth))(matrix)
+    if use_pallas:
+        vals = banded_eigenvalues_pallas(diags, n_iter=n_iter)
+    else:
+        vals = banded_eigenvalues(diags, n_iter=n_iter)
+    u_band = banded_eigenvectors(diags, vals, n_solves=n_solves,
+                                 shift_chunk=shift_chunk, window=window)
+    u = jax.vmap(back_transform)(v_all, t_all, u_band)
+    vecs = jnp.swapaxes(u, -1, -2)  # modes in rows
+    return (vals[0], vecs[0]) if squeeze else (vals, vecs)

@@ -305,3 +305,91 @@ def test_shift_invert_matches_dense():
     # converge slowest — inverse-power rate (lambda_k / lambda_{k+q})^s
     res = np.asarray(modes.mode_residuals(h, vals, vecs))
     assert np.all(res < 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage full eigensystem (eigh_banded)
+# ---------------------------------------------------------------------------
+
+
+def _eigh_banded_checks(a, vals, vecs, atol_res, atol_orth):
+    n = a.shape[-1]
+    vals = np.asarray(vals)
+    vecs = np.asarray(vecs)
+    assert np.all(np.diff(vals) >= -atol_res)
+    res = np.linalg.norm(a @ vecs.T - vecs.T * vals[None, :], axis=0)
+    assert res.max() < atol_res, res.max()
+    gram = vecs @ vecs.T
+    assert np.max(np.abs(gram - np.eye(n))) < atol_orth
+
+
+@pytest.mark.parametrize("bandwidth", [1, 4, 8])
+def test_eigh_banded_matches_eigh(bandwidth):
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(90, 90)
+    a = (a + a.T) / 2
+    vals, vecs = spectrum.eigh_banded(jnp.asarray(a),
+                                      bandwidth=bandwidth)
+    assert np.allclose(np.asarray(vals), np.linalg.eigvalsh(a),
+                       atol=1e-9)
+    _eigh_banded_checks(a, vals, vecs, 1e-8, 1e-9)
+
+
+def test_eigh_banded_batched():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(8)
+    batch = rng.randn(3, 70, 70)
+    batch = (batch + np.swapaxes(batch, 1, 2)) / 2
+    vals, vecs = spectrum.eigh_banded(jnp.asarray(batch), bandwidth=4)
+    for i in range(3):
+        assert np.allclose(np.asarray(vals[i]),
+                           np.linalg.eigvalsh(batch[i]), atol=1e-9)
+        _eigh_banded_checks(batch[i], vals[i], vecs[i], 1e-8, 1e-9)
+
+
+def test_eigh_banded_degenerate_clusters():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(9)
+    q, _ = np.linalg.qr(rng.randn(80, 80))
+    lam = np.sort(np.concatenate(
+        [np.full(10, 2.0), np.full(5, 2.0 + 1e-9), rng.rand(65) * 10]))
+    a = (q * lam) @ q.T
+    a = (a + a.T) / 2
+    vals, vecs = spectrum.eigh_banded(jnp.asarray(a), bandwidth=4,
+                                      window=16)
+    assert np.allclose(np.asarray(vals), lam, atol=1e-9)
+    _eigh_banded_checks(a, vals, vecs, 1e-7, 1e-7)
+
+
+def test_eigh_banded_anm_hessian_zero_cluster():
+    from springcraft_tpu.ops import ffparams, spectrum
+    from springcraft_tpu.ops import assembly as asm
+
+    coord = random_coord(13, 50, box=22.0)
+    params = ffparams.invariant_params(12.0)
+    h = np.asarray(asm.hessian_matrix(coord, params, jnp,
+                                      dtype=jnp.float64, layout="xyz"))
+    vals, vecs = spectrum.eigh_banded(jnp.asarray(h), bandwidth=4)
+    assert np.allclose(np.asarray(vals), np.linalg.eigvalsh(h),
+                       atol=1e-9)
+    _eigh_banded_checks(h, vals, vecs, 1e-8, 1e-9)
+
+
+def test_eigh_banded_float32():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(96, 96).astype(np.float32)
+    a = (a + a.T) / 2
+    vals, vecs = spectrum.eigh_banded(jnp.asarray(a), bandwidth=4)
+    scale = np.linalg.norm(a, 2)
+    res = np.linalg.norm(a @ np.asarray(vecs).T
+                         - np.asarray(vecs).T * np.asarray(vals)[None],
+                         axis=0)
+    assert res.max() / scale < 5e-4
+    gram = np.asarray(vecs) @ np.asarray(vecs).T
+    assert np.max(np.abs(gram - np.eye(96))) < 1e-3

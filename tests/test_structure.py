@@ -260,9 +260,11 @@ def test_pdb_altloc_per_residue(tmp_path):
     assert np.allclose(atoms.coord[:, 0], [1.0, 4.0])
 
 
-def test_bcif_rejected():
-    with pytest.raises(NotImplementedError):
-        load_structure("foo.bcif")
+def test_bcif_dispatches_to_binary_reader():
+    # .bcif is parsed by the BinaryCIF reader (tests/test_bcif.py);
+    # the loader must route there, not the text parsers
+    with pytest.raises(FileNotFoundError):
+        load_structure("nonexistent.bcif")
 
 
 def test_cif_primed_names_and_altloc(tmp_path):
