@@ -301,17 +301,17 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
 
     t0 = time.perf_counter()
     vals, vecs, res = matfree.lowest_modes_matfree(
-        coord, params, k_modes, degree=96, n_outer=8)
+        coord, params, k_modes, degree=96, n_outer=10, tol=2e-4)
     float(jnp.sum(vals))
     total_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     vals, vecs, res = matfree.lowest_modes_matfree(
-        coord, params, k_modes, degree=96, n_outer=8)
+        coord, params, k_modes, degree=96, n_outer=10, tol=2e-4)
     float(jnp.sum(vals))
     steady_s = time.perf_counter() - t0
-    log(f"tpu matrix-free Chebyshev modes (k={k_modes}, deg=96 x 8): "
-        f"{steady_s:.1f}s steady (first run {total_s:.1f}s), max rel "
-        f"residual {float(jnp.max(res)):.1e}")
+    log(f"tpu matrix-free Chebyshev modes (k={k_modes}, deg=96, "
+        f"tol=2e-4): {steady_s:.1f}s steady (first run {total_s:.1f}s), "
+        f"max rel residual {float(jnp.max(res)):.1e}")
 
 
 def run_smoke():
