@@ -14,6 +14,7 @@ from .pipeline import (
     anm_observables,
     anm_spectral,
     ensemble_anm,
+    ensemble_anm_banded,
     ensemble_anm_fluctuations,
     ensemble_anm_spectral,
     ensemble_gnm,
@@ -46,6 +47,7 @@ __all__ = [
     "gnm_observables",
     "gnm_spectral",
     "ensemble_anm",
+    "ensemble_anm_banded",
     "ensemble_gnm",
     "sharded_ensemble_anm",
     "sharded_ensemble_gnm",

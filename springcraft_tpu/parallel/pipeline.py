@@ -95,7 +95,15 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
 
     vals, vecs = jnp.linalg.eigh(hessian)
     vecs = vecs.T  # modes in rows
+    return _anm_observables_from_eigensystem(
+        vals, vecs, n, with_dcc=with_dcc,
+        with_covariance=with_covariance, n_modes=n_modes, tem=tem,
+        tem_factors=tem_factors)
 
+
+def _anm_observables_from_eigensystem(vals, vecs, n, *, with_dcc,
+                                      with_covariance, n_modes, tem,
+                                      tem_factors):
     n_trivial = 6
     if n_modes is not None and not (
         0 < n_modes <= 3 * n - n_trivial
@@ -131,6 +139,49 @@ def anm_observables(coord, params, masses=None, *, with_dcc=False,
             "ki,k,kj->ij", vecs, inv_vals, vecs, precision="highest"
         )
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_dcc", "with_covariance", "n_modes", "dtype",
+                     "use_pallas", "bandwidth", "n_iter_bisect"),
+)
+def ensemble_anm_banded(coords, params, masses=None, *, with_dcc=False,
+                        with_covariance=False, n_modes=None,
+                        dtype=jnp.float32, use_pallas=False,
+                        bandwidth=8, n_iter_bisect=40, tem=None,
+                        tem_factors=nma_core.K_B):
+    """
+    Ensemble ANM with the **full eigensystem from the two-stage banded
+    solver** (``ops.spectrum.eigh_banded`` — no XLA ``eigh``; 1.6x
+    faster at (64, 900) f32 on v5e): Hessians assembled per conformer
+    via vmap, one natively batched two-stage eigensolve (batch x shifts
+    ride the vector lanes — do NOT vmap it), observables via vmap.
+
+    Same outputs as :func:`ensemble_anm`; f32 accuracy is
+    iterative-solver level (~1e-5 relative residuals after the built-in
+    polish + windowed Rayleigh-Ritz refinement).
+    """
+    from ..ops import spectrum
+
+    params = _resolve_params(params)
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[-2]
+
+    def build(coord):
+        hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
+        if masses is not None:
+            hessian = _mass_weight_xyz(hessian, masses)
+        return hessian
+
+    hessians = jax.vmap(build)(coords)
+    vals, vecs = spectrum.eigh_banded(hessians, bandwidth=bandwidth,
+                                      n_iter=n_iter_bisect)
+    return jax.vmap(
+        lambda v, u: _anm_observables_from_eigensystem(
+            v, u, n, with_dcc=with_dcc, with_covariance=with_covariance,
+            n_modes=n_modes, tem=tem, tem_factors=tem_factors)
+    )(vals, vecs)
 
 
 def _mass_weight_xyz(hessian, masses):

@@ -392,3 +392,21 @@ def test_hessian_degree_bound(weighted):
         coord, params, masses=masses, block=32, dtype=jnp.float64))
     # a true upper bound, and not absurdly loose
     assert lam_true <= bound <= 4.0 * lam_true
+
+
+def test_ensemble_anm_banded_matches_eigh_pipeline():
+    from springcraft_tpu.parallel import ensemble_anm, ensemble_anm_banded
+
+    rng = np.random.RandomState(21)
+    base = rng.rand(40, 3) * 18.0
+    coords = base[None] + 0.05 * rng.randn(6, 40, 3)
+    params = ffparams.invariant_params(12.0)
+
+    ref = ensemble_anm(coords, params, dtype=jnp.float64, with_dcc=True)
+    got = ensemble_anm_banded(coords, params, dtype=jnp.float64,
+                              with_dcc=True, bandwidth=4)
+    assert np.allclose(np.asarray(got["eig_values"]),
+                       np.asarray(ref["eig_values"]), atol=1e-8)
+    for key in ("msf", "bfactor", "dcc", "frequencies"):
+        assert np.allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                           rtol=1e-6, atol=1e-8), key
