@@ -18,6 +18,7 @@ from .pipeline import (
     ensemble_anm_fluctuations,
     ensemble_anm_spectral,
     ensemble_gnm,
+    ensemble_gnm_banded,
     gnm_fluctuations,
     gnm_observables,
     gnm_spectral,
@@ -49,6 +50,7 @@ __all__ = [
     "ensemble_anm",
     "ensemble_anm_banded",
     "ensemble_gnm",
+    "ensemble_gnm_banded",
     "sharded_ensemble_anm",
     "sharded_ensemble_gnm",
     "sharded_ensemble_anm_fluctuations",

@@ -216,7 +216,13 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
 
     vals, vecs = jnp.linalg.eigh(kirchhoff)
     vecs = vecs.T
+    return _gnm_observables_from_eigensystem(
+        vals, vecs, n, with_dcc=with_dcc, n_modes=n_modes, tem=tem,
+        tem_factors=tem_factors)
 
+
+def _gnm_observables_from_eigensystem(vals, vecs, n, *, with_dcc,
+                                      n_modes, tem, tem_factors):
     n_trivial = 1
     if n_modes is not None and not (0 < n_modes <= n - n_trivial):
         raise ValueError(
@@ -242,6 +248,38 @@ def gnm_observables(coord, params, masses=None, *, with_dcc=False,
                                       num_dim=1)
         out["dcc"] = nma_core.normalize_dcc(dcc, jnp)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas",
+                     "bandwidth", "n_iter_bisect"),
+)
+def ensemble_gnm_banded(coords, params, masses=None, *, with_dcc=False,
+                        n_modes=None, dtype=jnp.float32,
+                        use_pallas=False, bandwidth=8, n_iter_bisect=40,
+                        tem=None, tem_factors=nma_core.K_B):
+    """GNM analogue of :func:`ensemble_anm_banded`: full eigensystems
+    of the Kirchhoff ensemble from the natively batched two-stage
+    banded solver (no XLA ``eigh``)."""
+    from ..ops import spectrum
+
+    params = _resolve_params(params)
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[-2]
+
+    def build(coord):
+        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
+        return _mass_weight(kirchhoff, masses, repeat3=False)
+
+    matrices = jax.vmap(build)(coords)
+    vals, vecs = spectrum.eigh_banded(matrices, bandwidth=bandwidth,
+                                      n_iter=n_iter_bisect)
+    return jax.vmap(
+        lambda v, u: _gnm_observables_from_eigensystem(
+            v, u, n, with_dcc=with_dcc, n_modes=n_modes, tem=tem,
+            tem_factors=tem_factors)
+    )(vals, vecs)
 
 
 @functools.partial(

@@ -410,3 +410,24 @@ def test_ensemble_anm_banded_matches_eigh_pipeline():
     for key in ("msf", "bfactor", "dcc", "frequencies"):
         assert np.allclose(np.asarray(got[key]), np.asarray(ref[key]),
                            rtol=1e-6, atol=1e-8), key
+
+
+def test_ensemble_gnm_banded_matches_eigh_pipeline():
+    from springcraft_tpu.parallel import ensemble_gnm, ensemble_gnm_banded
+
+    rng = np.random.RandomState(22)
+    base = rng.rand(50, 3) * 20.0
+    coords = base[None] + 0.05 * rng.randn(5, 50, 3)
+    params = ffparams.invariant_params(11.0)
+    masses = 50.0 + 100.0 * rng.rand(50)
+
+    ref = ensemble_gnm(coords, params, masses=masses,
+                       dtype=jnp.float64, with_dcc=True)
+    got = ensemble_gnm_banded(coords, params, masses=masses,
+                              dtype=jnp.float64, with_dcc=True,
+                              bandwidth=4)
+    assert np.allclose(np.asarray(got["eig_values"]),
+                       np.asarray(ref["eig_values"]), atol=1e-8)
+    for key in ("msf", "bfactor", "dcc", "frequencies"):
+        assert np.allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                           rtol=1e-6, atol=1e-8), key
