@@ -49,7 +49,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import rigid
-from .pallas_kernels import _mask_and_constants, supports_params
+from .pallas_kernels import (
+    _analytic_constants,
+    _mask_and_constants,
+    supports_params,
+)
 
 __all__ = [
     "hessian_apply",
@@ -83,7 +87,10 @@ def _check_params(params):
 
 
 def _pad_compact_meta(params, n, n_pad):
-    """Padded (n_pad,) per-atom metadata for ``table_compact``.
+    """Padded (n_pad,) per-atom metadata plus the type tables for
+    ``table_compact`` — everything array-valued the blocked evaluators
+    need, passed as *arguments* (not closures) so callers can route
+    them through jit/shard_map boundaries without baking constants.
 
     Chain padding is -1 (never a real chain code) so padded atoms are
     never same-chain; padded atoms are never bonded.  Padded pairs are
@@ -94,7 +101,10 @@ def _pad_compact_meta(params, n, n_pad):
         jnp.asarray(params.chain_code, jnp.int32))
     bonded = jnp.zeros(n_pad, jnp.int32).at[:n].set(
         jnp.asarray(params.bonded_next).astype(jnp.int32))
-    return type_idx, chain, bonded
+    return (type_idx, chain, bonded,
+            jnp.asarray(params.intra_table),
+            jnp.asarray(params.inter_table),
+            jnp.asarray(params.bonded_table))
 
 
 def _rect_constants(sq, rows, cols, n, params, meta):
@@ -108,16 +118,10 @@ def _rect_constants(sq, rows, cols, n, params, meta):
         valid &= sq <= params.cutoff_sq
 
     kind = params.kind
-    if kind == "invariant":
-        k = jnp.ones_like(sq)
-    elif kind == "hinsen":
-        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
-        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
-                      1.28e6 / (sq * sq * sq))
-    elif kind == "pfenm":
-        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
-    elif kind == "table_compact":
-        type_idx, chain, bonded = meta
+    if kind != "table_compact":
+        k = _analytic_constants(kind, sq)
+    else:
+        type_idx, chain, bonded, intra_t, inter_t, bond_t = meta
         ti = type_idx[rows]
         tj = type_idx[cols]
         if params.n_bins > 1:
@@ -126,19 +130,14 @@ def _rect_constants(sq, rows, cols, n, params, meta):
                             params.n_bins - 1)
         else:
             bins = jnp.zeros(sq.shape, jnp.int32)
-        intra = jnp.asarray(params.intra_table, sq.dtype)[
-            ti[:, None], tj[None, :], bins]
-        inter = jnp.asarray(params.inter_table, sq.dtype)[
-            ti[:, None], tj[None, :], bins]
-        bond = jnp.asarray(params.bonded_table, sq.dtype)[
-            ti[:, None], tj[None, :], bins]
+        intra = intra_t.astype(sq.dtype)[ti[:, None], tj[None, :], bins]
+        inter = inter_t.astype(sq.dtype)[ti[:, None], tj[None, :], bins]
+        bond = bond_t.astype(sq.dtype)[ti[:, None], tj[None, :], bins]
         same_chain = chain[rows][:, None] == chain[cols][None, :]
         delta = cols[None, :] - rows[:, None]
         is_bonded = ((delta == 1) & (bonded[rows][:, None] != 0)) \
             | ((delta == -1) & (bonded[cols][None, :] != 0))
         k = jnp.where(is_bonded, bond, jnp.where(same_chain, intra, inter))
-    else:  # pragma: no cover - guarded by _check_params
-        raise NotImplementedError(kind)
     return jnp.where(valid, k, 0.0)
 
 
@@ -516,22 +515,13 @@ def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
     if params.has_cutoff:
         valid &= sq <= np.float32(params.cutoff_sq)
 
-    kind = params.kind
-    if kind == "invariant":
-        k = jnp.ones_like(sq)
-    elif kind == "hinsen":
-        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
-        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
-                      (1.28e6) / (sq * sq * sq))
-    elif kind == "pfenm":
-        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
-    elif kind == "table_compact":
+    if params.kind == "table_compact":
         # _compact_tile_constants uses rows/cols only for the bonded
         # (i, i+1) test — original ids keep peptide bonds intact under
         # spatial reordering.
         k = _compact_tile_constants(sq, rid, cid, params, extra)
-    else:  # pragma: no cover - guarded by _check_params
-        raise NotImplementedError(kind)
+    else:
+        k = _analytic_constants(params.kind, sq)
     return jnp.where(valid, k, 0.0)
 
 
@@ -1070,6 +1060,35 @@ def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
     return theta[:k], x[:, :k].T, res
 
 
+def _sparse_setup(coord, params, masses, tile, dtype, concrete):
+    """Host-side setup shared by the sparse mode solvers: Morton sort,
+    tile neighbor lists, and permutation of the per-atom parameter /
+    mass arrays.  Returns (sorted coord, permuted params, permuted
+    masses, nbr, counts, perm)."""
+    if not concrete:
+        raise ValueError(
+            "sparse=True needs concrete coordinates (the spatial "
+            "sort and tile neighbor lists are built host-side)")
+    host_coord = np.asarray(coord, dtype=np.float64)
+    perm = spatial_sort_permutation(host_coord)
+    cutoff = float(np.sqrt(params.cutoff_sq))
+    sorted_host = host_coord[perm]
+    nbr, counts = tile_neighbor_lists(sorted_host, cutoff, tile)
+    coord = jnp.asarray(sorted_host, dtype=dtype)
+    if params.kind == "table_compact":
+        import dataclasses
+
+        params = dataclasses.replace(
+            params,
+            type_idx=np.asarray(params.type_idx)[perm],
+            chain_code=np.asarray(params.chain_code)[perm],
+            bonded_next=np.asarray(params.bonded_next)[perm],
+        )
+    if masses is not None:
+        masses = np.asarray(masses)[perm]
+    return coord, params, masses, nbr, counts, perm
+
+
 def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          degree=96, n_outer=10, tile=256,
                          block=512, use_pallas=None, sparse=None,
@@ -1150,31 +1169,24 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
         sparse = (use_pallas and params.has_cutoff and matvec is None
                   and concrete)
 
+    if lambda_max is None:
+        # Guaranteed upper bound (the filter requires b >= lambda_max;
+        # power iteration only approaches it from below).  Computed on
+        # the ORIGINAL ordering: lambda_max is permutation-invariant,
+        # but hessian_degree_bound's bonded test is positional — on
+        # Morton-permuted tabulated params it would classify the wrong
+        # pairs as peptide bonds and could under-estimate.
+        lam_max = hessian_degree_bound(coord, params, masses=masses,
+                                       block=block, dtype=dtype)
+    else:
+        lam_max = jnp.asarray(lambda_max, dtype)
+
     perm = None
     if matvec is not None:
         base = matvec
     elif sparse:
-        if not concrete:
-            raise ValueError(
-                "sparse=True needs concrete coordinates (the spatial "
-                "sort and tile neighbor lists are built host-side)")
-        host_coord = np.asarray(coord, dtype=np.float64)
-        perm = spatial_sort_permutation(host_coord)
-        cutoff = float(np.sqrt(params.cutoff_sq))
-        sorted_host = host_coord[perm]
-        nbr, counts = tile_neighbor_lists(sorted_host, cutoff, tile)
-        coord = jnp.asarray(sorted_host, dtype=dtype)
-        if params.kind == "table_compact":
-            import dataclasses
-
-            params = dataclasses.replace(
-                params,
-                type_idx=np.asarray(params.type_idx)[perm],
-                chain_code=np.asarray(params.chain_code)[perm],
-                bonded_next=np.asarray(params.bonded_next)[perm],
-            )
-        if masses is not None:
-            masses = np.asarray(masses)[perm]
+        coord, params, masses, nbr, counts, perm = _sparse_setup(
+            coord, params, masses, tile, dtype, concrete)
         base = functools.partial(
             hessian_apply_pallas_sparse, coord, params=params,
             nbr=jnp.asarray(nbr), counts=jnp.asarray(counts),
@@ -1200,14 +1212,6 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
 
     t = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
     t = jnp.asarray(t, dtype)
-
-    if lambda_max is None:
-        # Guaranteed upper bound (the filter requires b >= lambda_max;
-        # power iteration only approaches it from below)
-        lam_max = hessian_degree_bound(coord, params, masses=masses,
-                                       block=block, dtype=dtype)
-    else:
-        lam_max = jnp.asarray(lambda_max, dtype)
 
     vals, vecs, res = _chebfsi(
         matvec, t, m, lam_max, k=k, oversample=q, degree=degree,
@@ -1254,31 +1258,22 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
         sparse = (use_pallas and params.has_cutoff and matvec is None
                   and concrete)
 
+    if lambda_max is None:
+        # Identical block-row Gershgorin bound (the Hessian's 3x3
+        # superelements have spectral norm k_ij, the Kirchhoff entries
+        # are k_ij — the formula coincides).  Computed on the ORIGINAL
+        # ordering (see lowest_modes_matfree).
+        lam_max = hessian_degree_bound(coord, params, masses=masses,
+                                       block=block, dtype=dtype)
+    else:
+        lam_max = jnp.asarray(lambda_max, dtype)
+
     perm = None
     if matvec is not None:
         base = matvec
     elif sparse:
-        if not concrete:
-            raise ValueError(
-                "sparse=True needs concrete coordinates (the spatial "
-                "sort and tile neighbor lists are built host-side)")
-        host_coord = np.asarray(coord, dtype=np.float64)
-        perm = spatial_sort_permutation(host_coord)
-        cutoff = float(np.sqrt(params.cutoff_sq))
-        sorted_host = host_coord[perm]
-        nbr, counts = tile_neighbor_lists(sorted_host, cutoff, tile)
-        coord = jnp.asarray(sorted_host, dtype=dtype)
-        if params.kind == "table_compact":
-            import dataclasses
-
-            params = dataclasses.replace(
-                params,
-                type_idx=np.asarray(params.type_idx)[perm],
-                chain_code=np.asarray(params.chain_code)[perm],
-                bonded_next=np.asarray(params.bonded_next)[perm],
-            )
-        if masses is not None:
-            masses = np.asarray(masses)[perm]
+        coord, params, masses, nbr, counts, perm = _sparse_setup(
+            coord, params, masses, tile, dtype, concrete)
         base = functools.partial(
             kirchhoff_apply_pallas_sparse, coord, params=params,
             nbr=nbr, counts=counts,
@@ -1301,15 +1296,6 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
         matvec_fn = base
 
     t = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
-
-    if lambda_max is None:
-        # Identical block-row Gershgorin bound (the Hessian's 3x3
-        # superelements have spectral norm k_ij, the Kirchhoff entries
-        # are k_ij — the formula coincides)
-        lam_max = hessian_degree_bound(coord, params, masses=masses,
-                                       block=block, dtype=dtype)
-    else:
-        lam_max = jnp.asarray(lambda_max, dtype)
 
     vals, vecs, res = _chebfsi(
         matvec_fn, t, n, lam_max, k=k, oversample=q, degree=degree,

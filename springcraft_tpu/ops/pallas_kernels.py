@@ -56,6 +56,22 @@ def _round_up(x, m):
 # In-kernel force-constant rules
 # ---------------------------------------------------------------------------
 
+def _analytic_constants(kind, sq):
+    """Unmasked spring constants for the analytic families — the single
+    source of the per-family rules, shared by the assembly kernels and
+    the matrix-free evaluators (``ops.matfree``).  Semantics match the
+    reference (``forcefield.py:264-366``)."""
+    if kind == "invariant":
+        return jnp.ones_like(sq)
+    if kind == "hinsen":
+        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
+        return jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
+                         (1.28e6) / (sq * sq * sq))
+    if kind == "pfenm":
+        return 1.0 / jnp.where(sq == 0, 1.0, sq)
+    raise NotImplementedError(kind)
+
+
 def _mask_and_constants(sq, row0, col0, n, params, extra):
     """Masked spring constants for one (TI, TJ) tile.
 
@@ -68,19 +84,10 @@ def _mask_and_constants(sq, row0, col0, n, params, extra):
     if params.has_cutoff:
         valid &= sq <= np.float32(params.cutoff_sq)
 
-    kind = params.kind
-    if kind == "invariant":
-        k = jnp.ones_like(sq)
-    elif kind == "hinsen":
-        dist = jnp.maximum(jnp.sqrt(sq), 2.9)
-        k = jnp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
-                      (1.28e6) / (sq * sq * sq))
-    elif kind == "pfenm":
-        k = 1.0 / jnp.where(sq == 0, 1.0, sq)
-    elif kind == "table_compact":
+    if params.kind == "table_compact":
         k = _compact_tile_constants(sq, rows, cols, params, extra)
     else:
-        raise NotImplementedError(kind)
+        k = _analytic_constants(params.kind, sq)
     return jnp.where(valid, k, 0.0)
 
 

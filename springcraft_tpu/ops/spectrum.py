@@ -293,6 +293,21 @@ def band_reduce(matrix, bandwidth):
     return diags
 
 
+def _gershgorin_bounds(diags):
+    """Per-batch Gershgorin interval (lo, hi) of band matrices given as
+    ``(batch, w, n)`` diagonals."""
+    n_batch, w, n = diags.shape
+    dtype = diags.dtype
+    radius = jnp.zeros((n_batch, n), dtype)
+    for d in range(1, w):
+        off = jnp.abs(diags[:, d, : n - d])
+        radius = radius.at[:, : n - d].add(off)
+        radius = radius.at[:, d:].add(off)
+    lo = jnp.min(diags[:, 0] - radius, axis=1)
+    hi = jnp.max(diags[:, 0] + radius, axis=1)
+    return lo, hi
+
+
 def band_reduce_with_reflectors(matrix, bandwidth):
     """
     :func:`band_reduce` variant that also returns the compact-WY panel
@@ -395,31 +410,8 @@ def banded_eigenvalues(diags, n_iter=40):
     b = w - 1
     dtype = diags.dtype
 
-    # Gershgorin interval from the band: row sums of |off-diagonals|
-    radius = jnp.zeros((n_batch, n), dtype)
-    for d in range(1, w):
-        off = jnp.abs(diags[:, d, : n - d])
-        radius = radius.at[:, : n - d].add(off)
-        radius = radius.at[:, d:].add(off)
-    lo0 = jnp.min(diags[:, 0] - radius, axis=1)  # (batch,)
-    hi0 = jnp.max(diags[:, 0] + radius, axis=1)
-
-    # Column-major band feed: feed[i, p, batch] = A[i - b + p, i]
-    # (column i read upwards, feed[i, b] the diagonal), plus w zero pad
-    # columns that flush the final pivots through the window.
-    cols = []
-    for p in range(w):
-        d = b - p  # distance below the diagonal
-        vals = diags[:, d]
-        cols.append(jnp.concatenate(
-            [jnp.zeros((n_batch, d), dtype), vals[:, : n - d]], axis=1
-        ))
-    new_cols = jnp.stack(cols, axis=0)  # (w, batch, n)
-    feed = jnp.concatenate(
-        [jnp.transpose(new_cols, (2, 0, 1)),
-         jnp.zeros((w, w, n_batch), dtype)],
-        axis=0,
-    )  # (n + w, w, batch)
+    lo0, hi0 = _gershgorin_bounds(diags)  # (batch,) each
+    feed = _band_feed(diags)
 
     targets = jnp.arange(n, dtype=jnp.int32)[None, :]
     lo = jnp.broadcast_to(lo0[:, None], (n_batch, n))
@@ -672,13 +664,8 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
     eps = jnp.finfo(dtype).eps
 
     # Gershgorin span sets the separation scale
-    radius = jnp.zeros((n_batch, n), dtype)
-    for dd in range(1, w):
-        off = jnp.abs(diags[:, dd, : n - dd])
-        radius = radius.at[:, : n - dd].add(off)
-        radius = radius.at[:, dd:].add(off)
-    span = jnp.max(diags[:, 0] + radius, axis=1) \
-        - jnp.min(diags[:, 0] - radius, axis=1)   # (batch,)
+    lo, hi = _gershgorin_bounds(diags)
+    span = hi - lo                                 # (batch,)
     sep = (span * (100.0 * eps))[:, None]
     shifts = _separate_shifts(eigvals, sep)
 
@@ -846,15 +833,9 @@ def banded_eigenvalues_pallas(diags, n_iter=40, interpret=None,
     b = w - 1
     dtype = diags.dtype
 
-    radius = jnp.zeros((n_batch, n), dtype)
-    for d in range(1, w):
-        off = jnp.abs(diags[:, d, : n - d])
-        radius = radius.at[:, : n - d].add(off)
-        radius = radius.at[:, d:].add(off)
-    lo = jnp.broadcast_to(
-        jnp.min(diags[:, 0] - radius, axis=1)[:, None], (n_batch, n))
-    hi = jnp.broadcast_to(
-        jnp.max(diags[:, 0] + radius, axis=1)[:, None], (n_batch, n))
+    lo0, hi0 = _gershgorin_bounds(diags)
+    lo = jnp.broadcast_to(lo0[:, None], (n_batch, n))
+    hi = jnp.broadcast_to(hi0[:, None], (n_batch, n))
     targets = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None, :], (n_batch, n))
 
@@ -908,9 +889,10 @@ def eigvalsh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None):
     Sturm bisection.  Supports one leading batch dimension.
 
     On TPU the bisection stage runs as a single Pallas kernel by
-    default (`use_pallas=None` auto-selects; requires ``bandwidth <=
-    4`` for VMEM) — the XLA lowering pays loop overhead + an HBM
-    round-trip per scan step and is several times slower.
+    default (`use_pallas=None` auto-selects for ``bandwidth <= 8``;
+    the kernel sizes its batch chunks to the VMEM budget) — the XLA
+    lowering pays loop overhead + an HBM round-trip per scan step and
+    is several times slower.
     """
     matrix = jnp.asarray(matrix)
     n = matrix.shape[-1]

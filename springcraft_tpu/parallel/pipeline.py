@@ -298,12 +298,13 @@ def anm_spectral(coord, params, masses=None, *, n_modes=None,
       solver (:func:`springcraft_tpu.ops.spectrum.eigvalsh_banded`);
     * all-mode MSF / B-factors / DCC via the regularized Cholesky
       covariance;
-    * optionally the `n_modes` lowest mode *shapes* by shift-invert
-      subspace iteration **reusing the same Cholesky factor**.
+    * optionally the `n_modes` lowest mode *shapes* by subspace
+      iteration **on the covariance already in hand**
+      (:func:`springcraft_tpu.ops.modes.modes_from_covariance`).
 
-    One factorization serves both the covariance observables and the
-    mode extraction, and every heavy op is a matmul or triangular
-    solve.  Output keys match :func:`anm_observables` (plus
+    One regularized Cholesky solve serves both the covariance
+    observables and the mode extraction, and every heavy op is a
+    matmul or triangular solve.  Output keys match :func:`anm_observables` (plus
     ``covariance``), except the full modal matrix ``eig_vectors`` is
     replaced by the ``n_modes`` requested rows (``mode_vectors`` /
     ``mode_values``).  Requires a *connected* network (analytic rigid
@@ -320,17 +321,9 @@ def anm_spectral(coord, params, masses=None, *, n_modes=None,
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
     basis = jnp.asarray(basis, dtype=dtype)
 
-    # One regularized, equilibrated factorization for everything
-    sigma = jnp.mean(jnp.diagonal(hessian))
-    ttt = jnp.matmul(basis, basis.T, precision="highest")
-    reg = hessian + sigma * ttt
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
-    chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
-
-    import jax.scipy.linalg as jsl
-
-    inv = jsl.cho_solve((chol, True), jnp.eye(3 * n, dtype=dtype))
-    cov = inv * scale[:, None] * scale[None, :] - ttt / sigma
+    # One regularized, equilibrated Cholesky pseudo-inverse (shared
+    # implementation with the fluctuation pipelines)
+    cov = rigid.covariance_cholesky(hessian, basis)
 
     planes = cov.reshape(3, n, 3, n)
     traces = sum(planes[a, :, a, :] for a in range(3))
@@ -369,7 +362,6 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
     from ..ops import modes as modes_mod
     from ..ops import spectrum
 
-    import jax.scipy.linalg as jsl
 
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
@@ -383,17 +375,7 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
             dtype=dtype)
 
     hessians, bases = jax.vmap(build)(coords)      # (B, 3n, 3n)
-
-    def cov_of(h, t):
-        sigma = jnp.mean(jnp.diagonal(h))
-        ttt = jnp.matmul(t, t.T, precision="highest")
-        reg = h + sigma * ttt
-        scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
-        chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
-        inv = jsl.cho_solve((chol, True), jnp.eye(3 * n, dtype=dtype))
-        return inv * scale[:, None] * scale[None, :] - ttt / sigma
-
-    covs = jax.vmap(cov_of)(hessians, bases)
+    covs = jax.vmap(rigid.covariance_cholesky)(hessians, bases)
 
     planes = covs.reshape(-1, 3, n, 3, n)
     traces = sum(planes[:, a, :, a, :] for a in range(3))
@@ -461,21 +443,13 @@ def gnm_spectral(coord, params, masses=None, *, with_dcc=True,
     """
     from ..ops import spectrum
 
-    import jax.scipy.linalg as jsl
 
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
     kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
     kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
-
-    sigma = jnp.mean(jnp.diagonal(kirchhoff))
-    ttt = jnp.matmul(basis, basis.T, precision="highest")
-    reg = kirchhoff + sigma * ttt
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
-    chol = jnp.linalg.cholesky(reg * scale[:, None] * scale[None, :])
-    inv = jsl.cho_solve((chol, True), jnp.eye(n, dtype=dtype))
-    cov = inv * scale[:, None] * scale[None, :] - ttt / sigma
+    cov = rigid.covariance_cholesky(kirchhoff, basis)
 
     vals = spectrum.eigvalsh_banded(kirchhoff, bandwidth=bandwidth,
                                     n_iter=n_iter_bisect)

@@ -137,17 +137,25 @@ def sharded_hessian(coord, params, mesh, dtype=jnp.float32):
     return jax.jit(fn)(coord)
 
 
-def _matfree_shard_fn(mesh, params, n, k_vec, block, dtype):
+@functools.lru_cache(maxsize=None)
+def _matfree_shard_fn(mesh, params_key, n, k_vec, block, dtype):
     """shard_map program computing row shards of the matrix-free
-    ``H @ x``; built once per (mesh, params-structure, shapes)."""
-    from ..ops import matfree
+    ``H @ x``, cached per (mesh, static force-field key, shapes) — the
+    parameter *arrays* flow through as jit arguments (remote TPU
+    compiles take minutes; rebuilding the jit wrapper per call would
+    recompile every time).  `params_key` carries only the static fields
+    (kind, cutoff, bin edges)."""
+    from ..ops import ffparams, matfree
 
+    kind, cutoff_sq, edges_sq, n_bins = params_key
+    params = ffparams.FFParams(kind=kind, n_bins=n_bins,
+                               cutoff_sq=cutoff_sq, edges_sq=edges_sq)
     n_dev = mesh.size
     n_local = n // n_dev
     block_eff = min(block, n_local)
     while n_local % block_eff:
         block_eff -= 1
-    has_meta = params.kind == "table_compact"
+    has_meta = kind == "table_compact"
 
     def body(coord_f, x_f, *meta):
         r = jax.lax.axis_index("ens") * mesh.shape["row"] \
@@ -160,7 +168,7 @@ def _matfree_shard_fn(mesh, params, n, k_vec, block, dtype):
         blocks = jax.lax.map(one_block, starts)   # (nb, 3, B, k)
         return jnp.moveaxis(blocks, 1, 0).reshape(3, n_local, k_vec)
 
-    n_meta = 3 if has_meta else 0
+    n_meta = 6 if has_meta else 0
     fn = shard_map(
         body,
         mesh=mesh,
@@ -195,7 +203,9 @@ def sharded_hessian_apply(coord, x, params, mesh, *, block=512,
 
     meta = (matfree._pad_compact_meta(params, n, n)
             if params.kind == "table_compact" else ())
-    fn = _matfree_shard_fn(mesh, params, n, k_vec, block, dtype)
+    params_key = (params.kind, params.cutoff_sq, params.edges_sq,
+                  params.n_bins)
+    fn = _matfree_shard_fn(mesh, params_key, n, k_vec, block, dtype)
     y = fn(coord, xb, *meta)
     return y[:, 0] if squeeze else y
 

@@ -245,6 +245,30 @@ def test_gnm_model_lowest_modes(ca_1l2y):
                            rtol=1e-5)
 
 
+def test_lowest_modes_matfree_sparse_tabulated(two_chain_ca):
+    """Sparse path with a tabulated FF: the spectral bound must be
+    taken on the ORIGINAL ordering (a Morton-permuted bonded test
+    misclassifies peptide bonds and can under-estimate lambda_max,
+    which the Chebyshev filter cannot tolerate)."""
+    ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
+    params = ff.to_compact_params()
+    coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    ref_vals = np.linalg.eigvalsh(dense)
+    assert ref_vals[5] < 1e-6 < ref_vals[6]  # connected
+
+    bound = float(matfree.hessian_degree_bound(coord, params,
+                                               dtype=jnp.float64))
+    assert ref_vals[-1] <= bound
+
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, 3, degree=40, n_outer=14, tile=16,
+        use_pallas=True, sparse=True, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-5
+    assert np.allclose(np.asarray(vals), ref_vals[6:9], rtol=1e-5)
+
+
 def test_matfree_rejects_dense_families(two_chain_ca):
     ff = sc.TabulatedForceField.sd_enm(two_chain_ca)
     pair_params = ff.to_params()  # table_pair: O(n^2) parameters
