@@ -71,6 +71,12 @@ __all__ = [
 ]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+#: Mosaic supports only the two extremes in-kernel (lax.Precision.HIGH
+#: fails to lower): exact 6-pass f32, or one bf16 pass.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": None,
+}
 
 
 def _round_up(x, m):
@@ -525,7 +531,7 @@ def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
     return jnp.where(valid, k, 0.0)
 
 
-def _sparse_apply_kernel(params, n, tile, fast_math, rows_ref, cols_ref,
+def _sparse_apply_kernel(params, n, tile, precision, rows_ref, cols_ref,
                          *refs):
     """Grid cell ``p``: one interacting (row-tile, col-tile) pair from
     the flattened pair list (indices scalar-prefetched, sorted by row
@@ -579,7 +585,7 @@ def _sparse_apply_kernel(params, n, tile, fast_math, rows_ref, cols_ref,
     disp = (dx, dy, dz)
 
     xc = x_col_ref[:]
-    prec = None if fast_math else _HIGHEST
+    prec = _PRECISIONS[precision]
     for a in range(3):
         acc = out_ref[a]
         for b in range(3):
@@ -603,7 +609,7 @@ def _sparse_apply_kernel(params, n, tile, fast_math, rows_ref, cols_ref,
 def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
                                 orig_ids=None, tile=256,
                                 dtype=jnp.float32, interpret=None,
-                                fast_math=False):
+                                precision="highest"):
     """
     Block-sparse matrix-free ``H @ x``: the kernel grid is the
     *flattened pair list* of interacting tile pairs (from
@@ -622,13 +628,14 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         Original atom index per (sorted) slot — keeps self-pair masking
         and ``table_compact`` peptide bonds exact under reordering.
         Defaults to ``arange(n)`` (unsorted layout).
-    fast_math : bool
-        Run the nine plane contractions at default MXU precision (one
-        bf16 pass) instead of ``precision=HIGHEST``.  **Measured
-        unusable for mode extraction**: the bf16 operator noise
-        (~4e-3 ||H||) swamps the soft modes (~3e-4 ||H|| at mega
-        scale) — Chebyshev solves stall at ~0.2 relative residuals.
-        Kept for operator experiments only.
+    precision : {"highest", "default"}
+        MXU precision of the nine plane contractions (Mosaic lowers
+        only the two extremes; ``lax.Precision.HIGH`` is unsupported
+        in-kernel).  ``"highest"`` (6-pass f32) is exact and the
+        production setting.  ``"default"`` (one bf16 pass) is
+        **measured unusable for mode extraction**: bf16 operator noise
+        (~4e-3 ||H||) swamps the soft modes — solves stall at ~0.2
+        relative residuals; operator experiments only.
     """
     _check_params(params)
     if interpret is None:
@@ -665,7 +672,7 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         jnp.asarray(orig_ids, jnp.int32))
 
     kernel = functools.partial(_sparse_apply_kernel, params, n, tile,
-                               bool(fast_math))
+                               precision)
 
     def row_map(p, rows_ref, cols_ref):
         return (0, rows_ref[p])
@@ -1093,7 +1100,8 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          degree=96, n_outer=10, tile=256,
                          block=512, use_pallas=None, sparse=None,
                          dtype=jnp.float32, lambda_max=None, seed=0,
-                         matvec=None, tol=None):
+                         matvec=None, tol=None,
+                         matvec_precision="highest"):
     """
     The `k` lowest non-trivial ANM modes **without materializing the
     Hessian** — Chebyshev-filtered subspace iteration over the
@@ -1142,6 +1150,11 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
         ``(3n, p)`` must return ``H @ x`` (e.g. the mesh-sharded
         :func:`springcraft_tpu.parallel.sharded_hessian_apply`).  Mass
         weighting still wraps it.
+    matvec_precision : {"highest"}
+        MXU precision of the sparse operator's contractions; only the
+        exact 6-pass setting is supported in-kernel (Mosaic cannot
+        lower ``lax.Precision.HIGH``, and one bf16 pass is measured
+        unusable for mode extraction).
 
     Returns
     -------
@@ -1191,7 +1204,7 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
             hessian_apply_pallas_sparse, coord, params=params,
             nbr=jnp.asarray(nbr), counts=jnp.asarray(counts),
             orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
-            dtype=dtype)
+            dtype=dtype, precision=matvec_precision)
     elif use_pallas:
         base = functools.partial(hessian_apply_pallas, coord,
                                  params=params, tile=tile, dtype=dtype)
