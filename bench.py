@@ -168,8 +168,8 @@ def bench_tpu():
         f"{elapsed:.3f}s -> {fast_rate:.1f} solves/s "
         f"({fast_rate / spectral_rate:.1f}x the eigh pipeline)")
 
-    # Full eigensystem via the two-stage banded solver (no XLA eigh):
-    # same outputs as the eigh pipeline
+    # Full eigensystem via the two-stage banded solver (no dense
+    # eigh): same outputs as the eigh pipeline
     banded_fn = jax.jit(
         lambda b: sum(jnp.sum(v) for v in pipeline.ensemble_anm_banded(
             b, params, dtype=jnp.float32).values())

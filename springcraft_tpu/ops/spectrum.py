@@ -1002,7 +1002,8 @@ def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
     4. back-transform through the panel reflectors
        (:func:`back_transform` — three matmuls per panel).
 
-    Every stage is matmuls/scans — no XLA ``eigh``.  Accuracy is
+    No O(n^3) dense eigensolve anywhere — the only ``eigh`` calls are
+    the tiny batched ``(W, W)`` window diagonalizations.  Accuracy is
     iterative-solver level: f32 residuals ~1e-5 relative for
     well-separated spectra; tightly clustered eigenvalues rely on the
     Gram-Schmidt window (raise `window` for pathological spectra), so

@@ -153,7 +153,7 @@ def ensemble_anm_banded(coords, params, masses=None, *, with_dcc=False,
                         tem_factors=nma_core.K_B):
     """
     Ensemble ANM with the **full eigensystem from the two-stage banded
-    solver** (``ops.spectrum.eigh_banded`` — no XLA ``eigh``; 1.6x
+    solver** (``ops.spectrum.eigh_banded`` — no O(n^3) dense eigh; 1.6x
     faster at (64, 900) f32 on v5e): Hessians assembled per conformer
     via vmap, one natively batched two-stage eigensolve (batch x shifts
     ride the vector lanes — do NOT vmap it), observables via vmap.
@@ -261,7 +261,7 @@ def ensemble_gnm_banded(coords, params, masses=None, *, with_dcc=False,
                         tem=None, tem_factors=nma_core.K_B):
     """GNM analogue of :func:`ensemble_anm_banded`: full eigensystems
     of the Kirchhoff ensemble from the natively batched two-stage
-    banded solver (no XLA ``eigh``)."""
+    banded solver (no O(n^3) dense eigh)."""
     from ..ops import spectrum
 
     params = _resolve_params(params)
