@@ -531,6 +531,58 @@ def _mask_and_constants_ids(sq, row_ids, col_ids, n, params, extra):
     return jnp.where(valid, k, 0.0)
 
 
+#: Max pairs per kernel launch: the two scalar-prefetch index arrays
+#: live in SMEM (~1 MB); 60k pairs = 2 x 240 KB leaves headroom.  The
+#: pair list is segmented at row-tile boundaries beyond this (5 calls
+#: at 1M atoms).
+_SEG_MAX_PAIRS = 60_000
+
+
+def _flatten_pairs(nbr, counts, n_tiles):
+    """Row-sorted flattened pair list from tile neighbor lists."""
+    nbr = np.asarray(nbr)
+    counts = np.asarray(counts)
+    if nbr.shape[0] != n_tiles:
+        raise ValueError(
+            f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
+            "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
+    pair_rows = np.repeat(np.arange(n_tiles, dtype=np.int32),
+                          counts.astype(np.int64))
+    pair_cols = np.concatenate(
+        [nbr[t, :counts[t]] for t in range(n_tiles)]).astype(np.int32)
+    return pair_rows, pair_cols
+
+
+def _segment_pairs(pair_rows, pair_cols, max_pairs=None):
+    """Split the pair list at row-tile boundaries into segments of at
+    most `max_pairs` pairs.  Yields ``(base_tile, n_seg_tiles,
+    rows_local, cols)`` — every row tile appears in exactly one segment
+    (tile neighbor lists always include the diagonal), so segment
+    outputs concatenate to the full row range."""
+    if max_pairs is None:
+        max_pairs = _SEG_MAX_PAIRS
+    n_pairs = pair_rows.shape[0]
+    segments = []
+    start = 0
+    while start < n_pairs:
+        end = min(start + max_pairs, n_pairs)
+        if end < n_pairs:
+            # round down to the start of the row containing `end`
+            end = int(np.searchsorted(pair_rows, pair_rows[end],
+                                      side="left"))
+            if end <= start:
+                raise ValueError(
+                    f"a single row tile has more than {max_pairs} "
+                    "neighbor tiles — raise max_pairs or the tile size")
+        base = int(pair_rows[start])
+        n_seg_tiles = int(pair_rows[end - 1]) - base + 1
+        segments.append((base, n_seg_tiles,
+                         (pair_rows[start:end] - base).astype(np.int32),
+                         pair_cols[start:end]))
+        start = end
+    return segments
+
+
 def _sparse_apply_kernel(params, n, tile, precision, rows_ref, cols_ref,
                          *refs):
     """Grid cell ``p``: one interacting (row-tile, col-tile) pair from
@@ -650,18 +702,9 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     n_tiles = n_pad // tile
     # Flatten to a 1D pair list sorted by row tile (host-side: the grid
     # size is the pair count) — every grid cell does real work, unlike a
-    # (n_tiles, max_nbrs) grid padded to the worst row.
-    nbr = np.asarray(nbr)
-    counts = np.asarray(counts)
-    if nbr.shape[0] != n_tiles:
-        raise ValueError(
-            f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
-            "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
-    pair_rows = np.repeat(np.arange(n_tiles, dtype=np.int32),
-                          counts.astype(np.int64))
-    pair_cols = np.concatenate(
-        [nbr[t, :counts[t]] for t in range(n_tiles)]).astype(np.int32)
-    n_pairs = int(pair_rows.shape[0])
+    # (n_tiles, max_nbrs) grid padded to the worst row.  Large lists are
+    # segmented at row boundaries: the prefetch arrays live in SMEM.
+    pair_rows, pair_cols = _flatten_pairs(nbr, counts, n_tiles)
 
     coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
     x_p = jnp.zeros((3, n_pad, k_pad), dtype).at[:, :n, :k_vec].set(xb)
@@ -674,74 +717,94 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     kernel = functools.partial(_sparse_apply_kernel, params, n, tile,
                                precision)
 
-    def row_map(p, rows_ref, cols_ref):
-        return (0, rows_ref[p])
-
-    def col_map(p, rows_ref, cols_ref):
-        return (0, cols_ref[p])
-
-    in_specs = [
-        pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-    ]
-    inputs = [coord_t, coord_t, ids, ids]
-
     if params.kind == "table_compact":
         from .pallas_kernels import _compact_device_inputs
-        onehot, chain, bonded, tables = _compact_device_inputs(
-            params, n, n_pad, dtype)
+        compact_inputs = _compact_device_inputs(params, n, n_pad, dtype)
+    else:
+        compact_inputs = None
 
-        def row_map2(p, rows_ref, cols_ref):
-            return (rows_ref[p], 0)
+    outs = []
+    for base, n_seg_tiles, rows_local, cols in _segment_pairs(
+            pair_rows, pair_cols):
 
-        def col_map2(p, rows_ref, cols_ref):
-            return (cols_ref[p], 0)
+        def row_map(p, rows_ref, cols_ref, base=base):
+            return (0, base + rows_ref[p])
+
+        def col_map(p, rows_ref, cols_ref):
+            return (0, cols_ref[p])
+
+        in_specs = [
+            pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+        ]
+        inputs = [coord_t, coord_t, ids, ids]
+
+        if compact_inputs is not None:
+            onehot, chain, bonded, tables = compact_inputs
+
+            def row_map2(p, rows_ref, cols_ref, base=base):
+                return (base + rows_ref[p], 0)
+
+            def col_map2(p, rows_ref, cols_ref):
+                return (cols_ref[p], 0)
+
+            in_specs += [
+                pl.BlockSpec((tile, 32), row_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 32), col_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
+            inputs += [onehot, onehot, chain, chain, bonded, bonded,
+                       tables]
+
+        def x_col_map(p, rows_ref, cols_ref):
+            return (0, cols_ref[p], 0)
+
+        def x_row_map(p, rows_ref, cols_ref, base=base):
+            return (0, base + rows_ref[p], 0)
+
+        def out_map(p, rows_ref, cols_ref):
+            return (0, rows_ref[p], 0)  # segment-local row block
 
         in_specs += [
-            pl.BlockSpec((tile, 32), row_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 32), col_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, k_pad), x_col_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, k_pad), x_row_map,
+                         memory_space=pltpu.VMEM),
         ]
-        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+        inputs += [x_p, x_p]
 
-    def x_col_map(p, rows_ref, cols_ref):
-        return (0, cols_ref[p], 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(int(rows_local.shape[0]),),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((3, tile, k_pad), out_map,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (3, n_seg_tiles * tile, k_pad), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(jnp.asarray(rows_local), jnp.asarray(cols), *inputs))
 
-    def x_row_map(p, rows_ref, cols_ref):
-        return (0, rows_ref[p], 0)
-
-    in_specs += [
-        pl.BlockSpec((3, tile, k_pad), x_col_map,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile, k_pad), x_row_map,
-                     memory_space=pltpu.VMEM),
-    ]
-    inputs += [x_p, x_p]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pairs,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, tile, k_pad), x_row_map,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, n_pad, k_pad), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(jnp.asarray(pair_rows), jnp.asarray(pair_cols), *inputs)
-
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
     return y[:, 0] if squeeze else y
 
@@ -826,17 +889,7 @@ def kirchhoff_apply_pallas_sparse(coord, x, params, nbr, counts,
 
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
-    nbr = np.asarray(nbr)
-    counts = np.asarray(counts)
-    if nbr.shape[0] != n_tiles:
-        raise ValueError(
-            f"nbr has {nbr.shape[0]} rows for {n_tiles} tiles — "
-            "rebuild with tile_neighbor_lists(coord, cutoff, tile)")
-    pair_rows = np.repeat(np.arange(n_tiles, dtype=np.int32),
-                          counts.astype(np.int64))
-    pair_cols = np.concatenate(
-        [nbr[t, :counts[t]] for t in range(n_tiles)]).astype(np.int32)
-    n_pairs = int(pair_rows.shape[0])
+    pair_rows, pair_cols = _flatten_pairs(nbr, counts, n_tiles)
 
     coord_t = jnp.zeros((3, n_pad), dtype).at[:, :n].set(coord.T)
     x_p = jnp.zeros((n_pad, k_pad), dtype).at[:n, :k_vec].set(x)
@@ -847,72 +900,94 @@ def kirchhoff_apply_pallas_sparse(coord, x, params, nbr, counts,
 
     kernel = functools.partial(_sparse_kirchhoff_kernel, params, n, tile)
 
-    def row_map(p, rows_ref, cols_ref):
-        return (0, rows_ref[p])
-
-    def col_map(p, rows_ref, cols_ref):
-        return (0, cols_ref[p])
-
-    in_specs = [
-        pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-    ]
-    inputs = [coord_t, coord_t, ids, ids]
-
     if params.kind == "table_compact":
         from .pallas_kernels import _compact_device_inputs
-        onehot, chain, bonded, tables = _compact_device_inputs(
-            params, n, n_pad, dtype)
+        compact_inputs = _compact_device_inputs(params, n, n_pad, dtype)
+    else:
+        compact_inputs = None
 
-        def row_map2(p, rows_ref, cols_ref):
-            return (rows_ref[p], 0)
+    outs = []
+    for base, n_seg_tiles, rows_local, cols in _segment_pairs(
+            pair_rows, pair_cols):
 
-        def col_map2(p, rows_ref, cols_ref):
+        def row_map(p, rows_ref, cols_ref, base=base):
+            return (0, base + rows_ref[p])
+
+        def col_map(p, rows_ref, cols_ref):
+            return (0, cols_ref[p])
+
+        in_specs = [
+            pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+        ]
+        inputs = [coord_t, coord_t, ids, ids]
+
+        if compact_inputs is not None:
+            onehot, chain, bonded, tables = compact_inputs
+
+            def row_map2(p, rows_ref, cols_ref, base=base):
+                return (base + rows_ref[p], 0)
+
+            def col_map2(p, rows_ref, cols_ref):
+                return (cols_ref[p], 0)
+
+            in_specs += [
+                pl.BlockSpec((tile, 32), row_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 32), col_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
+            inputs += [onehot, onehot, chain, chain, bonded, bonded,
+                       tables]
+
+        def x_col_map(p, rows_ref, cols_ref):
             return (cols_ref[p], 0)
 
+        def x_row_map(p, rows_ref, cols_ref, base=base):
+            return (base + rows_ref[p], 0)
+
+        def out_map(p, rows_ref, cols_ref):
+            return (rows_ref[p], 0)  # segment-local row block
+
         in_specs += [
-            pl.BlockSpec((tile, 32), row_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 32), col_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k_pad), x_col_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k_pad), x_row_map,
+                         memory_space=pltpu.VMEM),
         ]
-        inputs += [onehot, onehot, chain, chain, bonded, bonded, tables]
+        inputs += [x_p, x_p]
 
-    def x_col_map(p, rows_ref, cols_ref):
-        return (cols_ref[p], 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(int(rows_local.shape[0]),),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile, k_pad), out_map,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_seg_tiles * tile, k_pad), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(jnp.asarray(rows_local), jnp.asarray(cols), *inputs))
 
-    def x_row_map(p, rows_ref, cols_ref):
-        return (rows_ref[p], 0)
-
-    in_specs += [
-        pl.BlockSpec((tile, k_pad), x_col_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, k_pad), x_row_map, memory_space=pltpu.VMEM),
-    ]
-    inputs += [x_p, x_p]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pairs,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, k_pad), x_row_map,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(jnp.asarray(pair_rows), jnp.asarray(pair_cols), *inputs)
-
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     y = out[:n, :k_vec]
     return y[:, 0] if squeeze else y
 

@@ -455,3 +455,36 @@ def test_ensemble_gnm_banded_matches_eigh_pipeline():
     for key in ("msf", "bfactor", "dcc", "frequencies"):
         assert np.allclose(np.asarray(got[key]), np.asarray(ref[key]),
                            rtol=1e-6, atol=1e-8), key
+
+
+def test_sparse_apply_segmented(monkeypatch, two_chain_ca):
+    """Pair lists beyond the SMEM budget split into several kernel
+    launches at row boundaries; results must be identical."""
+    params = sc.TabulatedForceField.sd_enm(two_chain_ca)\
+        .to_compact_params()
+    coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    n = coord.shape[0]
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    kdense = np.asarray(assembly.kirchhoff_matrix(
+        coord, params, jnp, dtype=jnp.float64))
+    x = np.random.RandomState(12).randn(3 * n, 4)
+    xk = np.random.RandomState(13).randn(n, 4)
+
+    tile = 8
+    nbr, counts = matfree.tile_neighbor_lists(
+        coord, float(np.sqrt(params.cutoff_sq)), tile)
+    assert counts.sum() > 12  # several segments below
+
+    monkeypatch.setattr(matfree, "_SEG_MAX_PAIRS", 12)
+    segs = matfree._segment_pairs(
+        *matfree._flatten_pairs(nbr, counts, nbr.shape[0]))
+    assert len(segs) > 2
+
+    y = matfree.hessian_apply_pallas_sparse(
+        coord, x, params, nbr, counts, tile=tile, dtype=jnp.float64)
+    assert np.allclose(np.asarray(y), dense @ x, atol=1e-10)
+
+    yk = matfree.kirchhoff_apply_pallas_sparse(
+        coord, xk, params, nbr, counts, tile=tile, dtype=jnp.float64)
+    assert np.allclose(np.asarray(yk), kdense @ xk, atol=1e-10)
