@@ -13,8 +13,10 @@ from . import (
 )
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
 from .matfree import (
+    covariance_solve_matfree,
     hessian_apply,
     kirchhoff_apply,
+    linear_response_matfree,
     lowest_modes_matfree,
     lowest_modes_matfree_gnm,
 )
@@ -34,6 +36,8 @@ __all__ = [
     "kirchhoff_apply",
     "lowest_modes_matfree",
     "lowest_modes_matfree_gnm",
+    "covariance_solve_matfree",
+    "linear_response_matfree",
     "nma_core",
     "rigid",
     "spectrum",

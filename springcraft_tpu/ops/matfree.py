@@ -67,6 +67,9 @@ __all__ = [
     "tile_neighbor_lists",
     "lowest_modes_matfree",
     "lowest_modes_matfree_gnm",
+    "hessian_diag_blocks",
+    "covariance_solve_matfree",
+    "linear_response_matfree",
     "matfree_mode_residuals",
 ]
 
@@ -1391,6 +1394,228 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
     if perm is not None:
         vecs = vecs[:, np.argsort(perm)]
     return vals, vecs, res
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def hessian_diag_blocks(coord, params, *, block=512, dtype=jnp.float32):
+    """
+    The ``(n, 3, 3)`` diagonal superblocks of the ANM Hessian
+    (``sum_j k_ij / d^2 * d d^T``) in one blocked matrix-free pass —
+    the block-Jacobi preconditioner for :func:`covariance_solve_matfree`.
+    """
+    _check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    n_pad = _round_up(n, block)
+    coord_p = jnp.zeros((n_pad, 3), dtype).at[:n].set(coord)
+    meta = (_pad_compact_meta(params, n, n_pad)
+            if params.kind == "table_compact" else None)
+    cols = jnp.arange(n_pad)
+
+    def one_block(r0):
+        rows = r0 + jnp.arange(block)
+        cr = jax.lax.dynamic_slice(coord_p, (r0, 0), (block, 3))
+        d = cr[:, None, :] - coord_p[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        kmat = _rect_constants(sq, rows, cols, n, params, meta)
+        g = kmat / jnp.where(sq == 0, 1.0, sq)
+        # sum_j g_ij d_ij d_ij^T per row — broadcast multiply + reduce
+        return jnp.einsum("ij,ija,ijb->iab", g, d, d,
+                          precision=_HIGHEST)
+
+    starts = jnp.arange(n_pad // block) * block
+    blocks = jax.lax.map(one_block, starts).reshape(n_pad, 3, 3)
+    return blocks[:n]
+
+
+def covariance_solve_matfree(coord, params, rhs, *, masses=None,
+                             tol=1e-6, max_iter=1000, tile=256,
+                             block=512, use_pallas=None, sparse=None,
+                             dtype=jnp.float32, matvec=None):
+    """
+    ``pinv(H) @ rhs`` without materializing the Hessian or its
+    covariance: deflated, block-Jacobi-preconditioned conjugate
+    gradients on the implicit operator.
+
+    This is the mega-scale route to every covariance *application* —
+    linear response displacements (reference ``nma.py:422-473``),
+    selected covariance columns (PRS rows for chosen perturbation
+    sites) — at system sizes where the dense ``(3n, 3n)`` covariance
+    cannot exist.  The rigid-body null space is projected out of the
+    right-hand side, every matvec, and the preconditioner output, so
+    CG runs on the positive-definite complement; each column gets its
+    own step sizes (vectorized single-column CG, up to the 128-lane
+    block width for free on the Pallas paths).
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    rhs : ndarray, shape=(3n, k) or (3n,)
+        Right-hand sides in xyz plane layout.
+    tol : float
+        Relative residual target per column.
+    max_iter : int
+        CG iteration cap (the loop exits early when all columns pass
+        `tol`).
+
+    Returns
+    -------
+    x : ndarray, same shape as `rhs`
+        ``pinv(H) @ rhs`` (null-space component removed, matching the
+        reference's pseudo-inverse semantics).
+    n_iter : int
+        CG iterations taken.
+    residuals : ndarray, shape=(k,)
+        Final relative residuals ``|H x - P rhs| / |P rhs|``.
+    """
+    concrete = not isinstance(coord, jax.core.Tracer)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sparse is None:
+        sparse = (use_pallas and params.has_cutoff and matvec is None
+                  and concrete)
+
+    rhs = jnp.asarray(rhs, dtype=dtype)
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+
+    # Block-Jacobi preconditioner from the ORIGINAL ordering
+    diag_blocks = hessian_diag_blocks(coord, params, block=block,
+                                      dtype=dtype)
+    if masses is not None:
+        w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+        diag_blocks = diag_blocks * (w**2)[:, None, None]
+    # Regularized 3x3 inverses (isolated atoms would be singular)
+    eye3 = jnp.eye(3, dtype=dtype)
+    trace = jnp.trace(diag_blocks, axis1=1, axis2=2)
+    reg = 1e-6 * jnp.maximum(trace, 1e-30)[:, None, None] * eye3
+    inv_blocks = jnp.linalg.inv(diag_blocks + reg)      # (n, 3, 3)
+
+    perm = None
+    if matvec is not None:
+        base = matvec
+    elif sparse:
+        coord_s, params_s, masses_s, nbr, counts, perm = _sparse_setup(
+            coord, params, masses, tile, dtype, concrete)
+        base = functools.partial(
+            hessian_apply_pallas_sparse, coord_s, params=params_s,
+            nbr=nbr, counts=counts,
+            orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
+            dtype=dtype)
+        coord = coord_s
+        masses = masses_s
+        inv_blocks = inv_blocks[perm]
+        cols = np.concatenate([a * n + perm for a in range(3)])
+        rhs = rhs[cols]
+    elif use_pallas:
+        base = functools.partial(hessian_apply_pallas, coord,
+                                 params=params, tile=tile, dtype=dtype)
+    else:
+        base = functools.partial(hessian_apply, coord, params=params,
+                                 block=block, dtype=dtype)
+
+    if masses is not None:
+        w3 = jnp.tile(1.0 / jnp.sqrt(jnp.asarray(masses, dtype)), 3)
+
+        def op(x):
+            return w3[:, None] * base(w3[:, None] * x)
+    else:
+        op = base
+
+    t = jnp.asarray(
+        rigid.rigid_modes_anm(coord, masses=masses, layout="xyz"),
+        dtype)
+
+    x, n_it, res = _deflated_pcg(op, t, inv_blocks, rhs, n, tol=tol,
+                                 max_iter=max_iter)
+    if perm is not None:
+        inv = np.argsort(perm)
+        cols = np.concatenate([a * n + inv for a in range(3)])
+        x = x[cols]
+    return (x[:, 0], n_it, res) if squeeze else (x, n_it, res)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("op", "n", "tol", "max_iter"))
+def _deflated_pcg(op, t, inv_blocks, rhs, n, *, tol, max_iter):
+    """Preconditioned CG on ``range(I - T T^t)`` with per-column step
+    sizes; the loop exits once every column's relative residual passes
+    `tol`."""
+    def deflate(x):
+        return x - jnp.matmul(
+            t, jnp.matmul(t.T, x, precision=_HIGHEST),
+            precision=_HIGHEST)
+
+    def precond(r):
+        # per-atom 3x3 apply in xyz plane layout, then re-deflate
+        rr = r.reshape(3, n, -1).transpose(1, 0, 2)    # (n, 3, k)
+        out = jnp.einsum("iab,ibk->iak", inv_blocks, rr,
+                         precision=_HIGHEST)
+        return deflate(out.transpose(1, 0, 2).reshape(3 * n, -1))
+
+    b = deflate(rhs)
+    b_norm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0, axis=0)
+
+    def cond(state):
+        i, _, r, _, _, _ = state
+        rel = jnp.linalg.norm(r, axis=0) / b_norm
+        return (i < max_iter) & jnp.any(rel > tol)
+
+    def body(state):
+        i, x, r, z, p, rz = state
+        hp = deflate(op(p))
+        alpha = rz / jnp.maximum(jnp.sum(p * hp, axis=0), 1e-30)
+        x = x + p * alpha[None, :]
+        r = r - hp * alpha[None, :]
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + p * beta[None, :]
+        return i + 1, x, r, z, p, rz_new
+
+    state = (jnp.asarray(0), x0, r0, z0, z0, rz0)
+    i, x, r, _, _, _ = jax.lax.while_loop(cond, body, state)
+    res = jnp.linalg.norm(r, axis=0) / b_norm
+    return deflate(x), i, res
+
+
+def linear_response_matfree(coord, params, force, **options):
+    """
+    Linear response displacements ``pinv(H) @ force`` without the
+    Hessian or covariance (reference semantics: ``nma.py:422-473``) —
+    `force` is ``(n, 3)`` or ``(3n,)`` (atom-major flat, like the
+    reference) or a batch ``(n, 3, k)``; returns displacements in the
+    same shape plus the CG iteration count and residuals.
+    """
+    coord = np.asarray(coord) if not isinstance(coord, jnp.ndarray) \
+        else coord
+    n = coord.shape[0]
+    force = jnp.asarray(force)
+    if force.ndim == 1:
+        if force.shape[0] != 3 * n:
+            raise IndexError(
+                f"force has {force.shape[0]} entries, expected {3 * n}")
+        vec = force.reshape(n, 3).T.reshape(3 * n)     # -> xyz layout
+        x, n_it, res = covariance_solve_matfree(coord, params, vec,
+                                                **options)
+        return x.reshape(3, n).T.reshape(3 * n), n_it, res
+    if force.shape[:2] != (n, 3):
+        raise IndexError(
+            f"force has shape {force.shape}, expected ({n}, 3[, k])")
+    batched = force.ndim == 3
+    f = force if batched else force[:, :, None]
+    vec = jnp.transpose(f, (1, 0, 2)).reshape(3 * n, -1)
+    x, n_it, res = covariance_solve_matfree(coord, params, vec,
+                                            **options)
+    disp = jnp.transpose(x.reshape(3, n, -1), (1, 0, 2))
+    return (disp if batched else disp[:, :, 0]), n_it, res
 
 
 def matfree_mode_residuals(coord, params, eig_values, eig_vectors, *,

@@ -488,3 +488,61 @@ def test_sparse_apply_segmented(monkeypatch, two_chain_ca):
     yk = matfree.kirchhoff_apply_pallas_sparse(
         coord, xk, params, nbr, counts, tile=tile, dtype=jnp.float64)
     assert np.allclose(np.asarray(yk), kdense @ xk, atol=1e-10)
+
+
+def test_hessian_diag_blocks_match_dense(two_chain_ca):
+    params = sc.TabulatedForceField.sd_enm(two_chain_ca)\
+        .to_compact_params()
+    coord = np.asarray(two_chain_ca.coord, dtype=np.float64)
+    n = coord.shape[0]
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    blocks = np.asarray(matfree.hessian_diag_blocks(
+        coord, params, block=16, dtype=jnp.float64))
+    for i in range(0, n, 7):
+        ref = np.array([[dense[a * n + i, b * n + i] for b in range(3)]
+                        for a in range(3)])
+        assert np.allclose(blocks[i], ref, atol=1e-10), i
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_covariance_solve_matfree(sparse):
+    coord = random_coord(13, 120, box=30.0)  # connected
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    from springcraft_tpu.ops import linalg
+
+    cov = np.asarray(linalg.pinvh(jnp.asarray(dense)))
+    rhs = np.random.RandomState(14).randn(360, 3)
+
+    x, n_it, res = matfree.covariance_solve_matfree(
+        coord, params, rhs, tol=1e-10, tile=16, block=64,
+        use_pallas=sparse, sparse=sparse, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert int(n_it) < 1000
+    assert np.allclose(np.asarray(x), cov @ rhs, rtol=1e-6, atol=1e-8)
+
+
+def test_linear_response_matfree_matches_model(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    n = ca_1l2y.array_length()
+    force = np.zeros((n, 3))
+    force[3, 1] = 8.0
+    force[11, 0] = -4.0
+    ref = np.asarray(anm.linear_response(force))
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    disp, n_it, res = matfree.linear_response_matfree(
+        coord, params, force, tol=1e-10, block=32, use_pallas=False,
+        dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(np.asarray(disp), ref, rtol=1e-6, atol=1e-9)
+
+    # flat (3n,) input matches too (reference accepts both layouts)
+    disp_flat, _, _ = matfree.linear_response_matfree(
+        coord, params, force.ravel(), tol=1e-10, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(np.asarray(disp_flat), ref.ravel(), rtol=1e-6,
+                       atol=1e-9)
