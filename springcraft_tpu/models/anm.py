@@ -62,9 +62,32 @@ class ANM(ElasticNetworkModel):
         mode `index` (the first six modes are rigid-body motions)."""
         return nma.normal_mode(self, index, amplitude, frames, movement)
 
-    def linear_response(self, force):
-        """Displacements induced by `force` via linear response theory."""
-        return nma.linear_response(self, force)
+    def linear_response(self, force, matrix_free=False, **options):
+        """Displacements induced by `force` via linear response theory.
+
+        ``matrix_free=True`` computes ``pinv(H) @ force`` by deflated
+        preconditioned CG on the implicit operator
+        (``ops.matfree.covariance_solve_matfree``) — for systems whose
+        covariance exceeds device memory; extra `options` (``tol``,
+        ``max_iter``, ...) pass through.  The dense path matches the
+        reference exactly (``nma.py:422-473``)."""
+        if not matrix_free:
+            return nma.linear_response(self, force)
+
+        import numpy as np
+
+        from ..ops import matfree
+        from ..parallel.pipeline import _resolve_params
+
+        params = _resolve_params(self._ff)
+        force = np.asarray(force)
+        n = len(self._coord)
+        disp, _, res = matfree.linear_response_matfree(
+            self._coord, params, force, masses=self._masses, **options)
+        disp = np.asarray(disp)
+        if not np.all(np.isfinite(disp)):
+            raise ValueError("matrix-free linear response diverged")
+        return disp.reshape(n, 3) if force.ndim == 1 else disp
 
     def frequencies(self):
         """Mode frequencies in ascending order (first six trivial)."""

@@ -546,3 +546,20 @@ def test_linear_response_matfree_matches_model(ca_1l2y):
         use_pallas=False, dtype=jnp.float64)
     assert np.allclose(np.asarray(disp_flat), ref.ravel(), rtol=1e-6,
                        atol=1e-9)
+
+
+def test_anm_linear_response_matrix_free(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0), masses=True)
+    n = ca_1l2y.array_length()
+    force = np.zeros((n, 3))
+    force[5, 2] = 3.0
+    ref = np.asarray(anm.linear_response(force))
+    got = anm.linear_response(force, matrix_free=True, tol=1e-10,
+                              block=32, use_pallas=False,
+                              dtype=jnp.float64)
+    assert np.allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-9)
+
+    flat = anm.linear_response(force.ravel(), matrix_free=True,
+                               tol=1e-10, block=32, use_pallas=False,
+                               dtype=jnp.float64)
+    assert np.allclose(np.asarray(flat), ref, rtol=1e-6, atol=1e-9)
