@@ -17,6 +17,7 @@ from .matfree import (
     hessian_apply,
     kirchhoff_apply,
     linear_response_matfree,
+    prs_rows_matfree,
     lowest_modes_matfree,
     lowest_modes_matfree_gnm,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "covariance_solve_matfree",
     "linear_response_matfree",
+    "prs_rows_matfree",
     "nma_core",
     "rigid",
     "spectrum",

@@ -69,6 +69,7 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "hessian_diag_blocks",
     "covariance_solve_matfree",
+    "prs_rows_matfree",
     "linear_response_matfree",
     "matfree_mode_residuals",
 ]
@@ -1616,6 +1617,54 @@ def linear_response_matfree(coord, params, force, **options):
                                             **options)
     disp = jnp.transpose(x.reshape(3, n, -1), (1, 0, 2))
     return (disp if batched else disp[:, :, 0]), n_it, res
+
+
+def prs_rows_matfree(coord, params, sites, *, norm=True, masses=None,
+                     dtype=jnp.float32, **options):
+    """
+    Perturbation-response-scanning rows for selected perturbation
+    sites, without the covariance: three covariance columns per site by
+    the deflated CG (:func:`covariance_solve_matfree`), squared and
+    folded (reference ``nma.py:476-524``).  The full ``(n, n)`` PRS
+    matrix needs the entire covariance (impossible at mega scale); the
+    usual workflow — scan candidate effector sites — only needs rows.
+
+    Parameters
+    ----------
+    sites : sequence of int
+        Perturbation-site atom indices (PRS row indices).
+    norm : bool
+        Row-normalize by the diagonal (reference ``nma.py:520-523``).
+
+    Returns
+    -------
+    prs_rows : ndarray, shape=(len(sites), n)
+    n_iter : int
+        CG iterations.
+    residuals : ndarray, shape=(3 * len(sites),)
+        CG relative residuals of the underlying solves.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    sites = np.asarray(sites, dtype=np.int64)
+    if sites.ndim != 1 or np.any(sites < 0) or np.any(sites >= n):
+        raise IndexError(f"sites must be flat indices in [0, {n})")
+    n_sites = sites.shape[0]
+
+    # Unit perturbations e_(site, a) in xyz layout, site-major columns
+    rhs = np.zeros((3 * n, 3 * n_sites), dtype=np.float64)
+    for s, site in enumerate(sites):
+        for a in range(3):
+            rhs[a * n + site, 3 * s + a] = 1.0
+
+    x, n_it, res = covariance_solve_matfree(
+        coord, params, rhs, masses=masses, dtype=dtype, **options)
+    cols = jnp.reshape(x, (3, n, n_sites, 3))   # [b, j, s, a]
+    prs = jnp.transpose(jnp.sum(cols**2, axis=(0, 3)), (1, 0))
+    if norm:
+        diag = prs[jnp.arange(n_sites), jnp.asarray(sites)]
+        prs = prs / diag[:, None]
+    return prs, n_it, res
 
 
 def matfree_mode_residuals(coord, params, eig_values, eig_vectors, *,

@@ -563,3 +563,26 @@ def test_anm_linear_response_matrix_free(ca_1l2y):
                                tol=1e-10, block=32, use_pallas=False,
                                dtype=jnp.float64)
     assert np.allclose(np.asarray(flat), ref, rtol=1e-6, atol=1e-9)
+
+
+def test_prs_rows_matfree_match_dense(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_full, _, _ = anm.prs_effector_sensor(norm=True)
+    prs_full = np.asarray(prs_full)
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    sites = [0, 7, 19]
+    rows, n_it, res = matfree.prs_rows_matfree(
+        coord, params, sites, tol=1e-11, block=32, use_pallas=False,
+        dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(np.asarray(rows), prs_full[sites], rtol=1e-5,
+                       atol=1e-9)
+
+    rows_raw, _, _ = matfree.prs_rows_matfree(
+        coord, params, sites, norm=False, tol=1e-11, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    assert np.allclose(np.asarray(rows_raw), np.asarray(prs_raw)[sites],
+                       rtol=1e-5, atol=1e-12)
