@@ -587,6 +587,116 @@ def _segment_pairs(pair_rows, pair_cols, max_pairs=None):
     return segments
 
 
+
+def _launch_sparse_segments(kernel, coord_t, ids, compact_inputs, x_p,
+                            pair_rows, pair_cols, tile, k_pad, vec3,
+                            dtype, interpret):
+    """Shared segment loop of the block-sparse applies: per pair-list
+    segment, build the scalar-prefetch BlockSpecs (row maps offset by
+    the segment base, output blocks segment-local) and launch the
+    kernel.  ``vec3`` selects the Hessian ``(3, n, k)`` layout vs the
+    Kirchhoff ``(n, k)`` layout."""
+    outs = []
+    for base, n_seg_tiles, rows_local, cols in _segment_pairs(
+            pair_rows, pair_cols):
+
+        def row_map(p, rows_ref, cols_ref, base=base):
+            return (0, base + rows_ref[p])
+
+        def col_map(p, rows_ref, cols_ref):
+            return (0, cols_ref[p])
+
+        in_specs = [
+            pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
+        ]
+        inputs = [coord_t, coord_t, ids, ids]
+
+        if compact_inputs is not None:
+            onehot, chain, bonded, tables = compact_inputs
+
+            def row_map2(p, rows_ref, cols_ref, base=base):
+                return (base + rows_ref[p], 0)
+
+            def col_map2(p, rows_ref, cols_ref):
+                return (cols_ref[p], 0)
+
+            in_specs += [
+                pl.BlockSpec((tile, 32), row_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 32), col_map2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), row_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
+            inputs += [onehot, onehot, chain, chain, bonded, bonded,
+                       tables]
+
+        if vec3:
+            def x_col_map(p, rows_ref, cols_ref):
+                return (0, cols_ref[p], 0)
+
+            def x_row_map(p, rows_ref, cols_ref, base=base):
+                return (0, base + rows_ref[p], 0)
+
+            def out_map(p, rows_ref, cols_ref):
+                return (0, rows_ref[p], 0)  # segment-local row block
+
+            x_block = (3, tile, k_pad)
+            out_shape = (3, n_seg_tiles * tile, k_pad)
+            scratch = pltpu.VMEM((9, tile), dtype)
+        else:
+            def x_col_map(p, rows_ref, cols_ref):
+                return (cols_ref[p], 0)
+
+            def x_row_map(p, rows_ref, cols_ref, base=base):
+                return (base + rows_ref[p], 0)
+
+            def out_map(p, rows_ref, cols_ref):
+                return (rows_ref[p], 0)  # segment-local row block
+
+            x_block = (tile, k_pad)
+            out_shape = (n_seg_tiles * tile, k_pad)
+            scratch = pltpu.VMEM((1, tile), dtype)
+
+        in_specs += [
+            pl.BlockSpec(x_block, x_col_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(x_block, x_row_map, memory_space=pltpu.VMEM),
+        ]
+        inputs += [x_p, x_p]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(int(rows_local.shape[0]),),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(x_block, out_map,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[scratch],
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(jnp.asarray(rows_local), jnp.asarray(cols), *inputs))
+
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=1 if vec3 else 0)
+
+
 def _sparse_apply_kernel(params, n, tile, precision, rows_ref, cols_ref,
                          *refs):
     """Grid cell ``p``: one interacting (row-tile, col-tile) pair from
@@ -727,88 +837,9 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
     else:
         compact_inputs = None
 
-    outs = []
-    for base, n_seg_tiles, rows_local, cols in _segment_pairs(
-            pair_rows, pair_cols):
-
-        def row_map(p, rows_ref, cols_ref, base=base):
-            return (0, base + rows_ref[p])
-
-        def col_map(p, rows_ref, cols_ref):
-            return (0, cols_ref[p])
-
-        in_specs = [
-            pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-        ]
-        inputs = [coord_t, coord_t, ids, ids]
-
-        if compact_inputs is not None:
-            onehot, chain, bonded, tables = compact_inputs
-
-            def row_map2(p, rows_ref, cols_ref, base=base):
-                return (base + rows_ref[p], 0)
-
-            def col_map2(p, rows_ref, cols_ref):
-                return (cols_ref[p], 0)
-
-            in_specs += [
-                pl.BlockSpec((tile, 32), row_map2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 32), col_map2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), row_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), col_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), row_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), col_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ]
-            inputs += [onehot, onehot, chain, chain, bonded, bonded,
-                       tables]
-
-        def x_col_map(p, rows_ref, cols_ref):
-            return (0, cols_ref[p], 0)
-
-        def x_row_map(p, rows_ref, cols_ref, base=base):
-            return (0, base + rows_ref[p], 0)
-
-        def out_map(p, rows_ref, cols_ref):
-            return (0, rows_ref[p], 0)  # segment-local row block
-
-        in_specs += [
-            pl.BlockSpec((3, tile, k_pad), x_col_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile, k_pad), x_row_map,
-                         memory_space=pltpu.VMEM),
-        ]
-        inputs += [x_p, x_p]
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(int(rows_local.shape[0]),),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((3, tile, k_pad), out_map,
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
-        )
-        outs.append(pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (3, n_seg_tiles * tile, k_pad), dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=interpret,
-        )(jnp.asarray(rows_local), jnp.asarray(cols), *inputs))
-
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    out = _launch_sparse_segments(
+        kernel, coord_t, ids, compact_inputs, x_p, pair_rows, pair_cols,
+        tile, k_pad, vec3=True, dtype=dtype, interpret=interpret)
     y = out[:, :n, :k_vec].reshape(3 * n, k_vec)
     return y[:, 0] if squeeze else y
 
@@ -910,88 +941,9 @@ def kirchhoff_apply_pallas_sparse(coord, x, params, nbr, counts,
     else:
         compact_inputs = None
 
-    outs = []
-    for base, n_seg_tiles, rows_local, cols in _segment_pairs(
-            pair_rows, pair_cols):
-
-        def row_map(p, rows_ref, cols_ref, base=base):
-            return (0, base + rows_ref[p])
-
-        def col_map(p, rows_ref, cols_ref):
-            return (0, cols_ref[p])
-
-        in_specs = [
-            pl.BlockSpec((3, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), col_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), row_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), col_map, memory_space=pltpu.VMEM),
-        ]
-        inputs = [coord_t, coord_t, ids, ids]
-
-        if compact_inputs is not None:
-            onehot, chain, bonded, tables = compact_inputs
-
-            def row_map2(p, rows_ref, cols_ref, base=base):
-                return (base + rows_ref[p], 0)
-
-            def col_map2(p, rows_ref, cols_ref):
-                return (cols_ref[p], 0)
-
-            in_specs += [
-                pl.BlockSpec((tile, 32), row_map2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, 32), col_map2,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), row_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), col_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), row_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile), col_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ]
-            inputs += [onehot, onehot, chain, chain, bonded, bonded,
-                       tables]
-
-        def x_col_map(p, rows_ref, cols_ref):
-            return (cols_ref[p], 0)
-
-        def x_row_map(p, rows_ref, cols_ref, base=base):
-            return (base + rows_ref[p], 0)
-
-        def out_map(p, rows_ref, cols_ref):
-            return (rows_ref[p], 0)  # segment-local row block
-
-        in_specs += [
-            pl.BlockSpec((tile, k_pad), x_col_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, k_pad), x_row_map,
-                         memory_space=pltpu.VMEM),
-        ]
-        inputs += [x_p, x_p]
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(int(rows_local.shape[0]),),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((tile, k_pad), out_map,
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
-        )
-        outs.append(pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (n_seg_tiles * tile, k_pad), dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=interpret,
-        )(jnp.asarray(rows_local), jnp.asarray(cols), *inputs))
-
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = _launch_sparse_segments(
+        kernel, coord_t, ids, compact_inputs, x_p, pair_rows, pair_cols,
+        tile, k_pad, vec3=False, dtype=dtype, interpret=interpret)
     y = out[:n, :k_vec]
     return y[:, 0] if squeeze else y
 
