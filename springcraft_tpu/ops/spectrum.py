@@ -624,8 +624,195 @@ def _separate_shifts(eigvals, sep):
     return run + sep * idx
 
 
+def _eigvec_kernel(w, n, n_solves, seed, *refs):
+    """One grid cell: 128 shifts (lanes) of one batch element — LDL^t
+    factorization of ``B - s I`` with the factors resident in VMEM,
+    then `n_solves` inverse-iteration sweeps (forward/diagonal/backward
+    substitution), normalized via a running sum of squares.  The XLA
+    scan lowering pays loop overhead + HBM round-trips on each of the
+    ~5n steps; in-kernel they are pure VPU work."""
+    feed_ref, shifts_ref, idx_ref, pf_ref = refs[:4]
+    out_ref = refs[4]
+    l_ref, d_ref, x_ref = refs[5:8]
+
+    j = pl.program_id(1)
+    lanes = shifts_ref.shape[-1]
+    dtype = d_ref.dtype
+    shifts = shifts_ref[0, pl.ds(j, 1), :][0]         # (C,)
+    pf = pf_ref[0, pl.ds(j, 1), :][0]                 # (C,) pivot floor
+    # Derive the loop-carry zeros from loaded data: Mosaic cannot
+    # relayout concrete vectors into replicated-constant carries
+    fzero = (shifts * 0.0)[None, :]
+
+    # ---- factorization: sliding (w, w) window over the band ----
+    def append(win, col_vals, with_shift):
+        new = [[win[p + 1][q + 1] if (p < w - 1 and q < w - 1)
+                else None for q in range(w)] for p in range(w)]
+        for p in range(w - 1):
+            new[p][w - 1] = col_vals[p]
+            new[w - 1][p] = col_vals[p]
+        last = col_vals[w - 1]
+        if with_shift:
+            last = last - shifts[None, :]
+        new[w - 1][w - 1] = last
+        return new
+
+    def feed_col(i):
+        # w band values of column i: feed layout stacks the w offsets
+        # along the sublane axis at stride (n + w)
+        return [feed_ref[0, pl.ds(p * (n + w) + i, 1), :]
+                for p in range(w)]
+
+    win = [[fzero for _ in range(w)] for _ in range(w)]
+    for jj in range(w):  # NOTE: must not shadow j = program_id(1)
+        win = append(win, feed_col(jj), with_shift=True)
+
+    def factor_body(i, carry):
+        win = [[carry[p * w + q] for q in range(w)] for p in range(w)]
+        pivot = win[0][0]
+        safe = jnp.where(jnp.abs(pivot) < pf[None, :],
+                         jnp.where(pivot < 0, -pf[None, :], pf[None, :]),
+                         pivot)
+        d_ref[pl.ds(i, 1), :] = safe
+        inv_p = 1.0 / safe
+        staged = [row[:] for row in win]
+        for p in range(1, w):
+            lp = win[0][p] * inv_p
+            l_ref[pl.ds((p - 1) * n + i, 1), :] = lp
+            for q in range(1, w):
+                staged[p][q] = win[p][q] - lp * win[0][q]
+        new = append(staged, feed_col(i + w), with_shift=True)
+        return tuple(new[p][q] for p in range(w) for q in range(w))
+
+    flat = tuple(win[p][q] for p in range(w) for q in range(w))
+    jax.lax.fori_loop(0, n, factor_body, flat)
+
+    # ---- inverse iteration: distinct pseudo-random start per shift ----
+    idx = idx_ref[0, pl.ds(j, 1), :][0]               # (C,) global index
+    inv_norm = fzero + 1.0
+
+    for it in range(n_solves):
+        # forward: z_i = rhs_i - acc[0]; push l_i * z_i
+        def fwd_body(i, carry):
+            acc = list(carry[:-1])
+            sumsq = carry[-1]
+            if it == 0:
+                rhs_i = jnp.cos(0.7 * i.astype(dtype) + seed
+                                + 2.347 * idx)[None, :] + 1e-3
+            else:
+                rhs_i = x_ref[pl.ds(i, 1), :] * inv_norm
+            z_i = rhs_i - acc[0]
+            acc = acc[1:] + [fzero]
+            for p in range(w - 1):
+                acc[p] = acc[p] + l_ref[pl.ds(p * n + i, 1), :] * z_i
+            x_ref[pl.ds(i, 1), :] = z_i
+            return tuple(acc) + (sumsq,)
+
+        acc0 = tuple(fzero for _ in range(w - 1)) + (fzero,)
+        jax.lax.fori_loop(0, n, fwd_body, acc0)
+
+        # backward: x_i = z_i / d_i - sum_p l[i, p] x_{i+1+p}
+        def bwd_body(j, carry):
+            xwin = list(carry[:-1])
+            sumsq = carry[-1]
+            i = n - 1 - j
+            y_i = x_ref[pl.ds(i, 1), :] / d_ref[pl.ds(i, 1), :]
+            s = fzero
+            for p in range(w - 1):
+                s = s + l_ref[pl.ds(p * n + i, 1), :] * xwin[p]
+            x_i = y_i - s
+            x_ref[pl.ds(i, 1), :] = x_i
+            xwin = [x_i] + xwin[:-1]
+            return tuple(xwin) + (sumsq + x_i * x_i,)
+
+        xwin0 = tuple(fzero for _ in range(w - 1)) + (fzero,)
+        out = jax.lax.fori_loop(0, n, bwd_body, xwin0)
+        sumsq = out[-1]
+        inv_norm = 1.0 / jnp.sqrt(jnp.maximum(sumsq, 1e-30))
+
+    # ---- normalized write-out ----
+    def write_body(i, _):
+        out_ref[0, pl.ds(i, 1), :] = x_ref[pl.ds(i, 1), :] * inv_norm
+        return 0
+
+    jax.lax.fori_loop(0, n, write_body, 0)
+
+
+def _banded_eigenvectors_pallas(diags, shifts, pivot_floor, n_solves,
+                                seed, interpret):
+    """Pallas path of :func:`banded_eigenvectors`: grid over
+    (batch, 128-shift chunks), factors + iterates resident in VMEM.
+    Returns un-orthogonalized unit vectors ``(batch, n, n_ev_pad)``."""
+    n_batch, w, n = diags.shape
+    dtype = diags.dtype
+    lanes = 128
+    n_ev = shifts.shape[-1]
+    n_pad_ev = _round_up_int(n_ev, lanes)
+    shifts_p = jnp.concatenate(
+        [shifts, jnp.broadcast_to(shifts[:, -1:] + 1.0,
+                                  (n_batch, n_pad_ev - n_ev))], axis=1)
+    n_chunks = n_pad_ev // lanes
+    shifts_c = shifts_p.reshape(n_batch, n_chunks, lanes)
+    idx_c = jnp.broadcast_to(
+        jnp.arange(n_pad_ev, dtype=dtype).reshape(1, n_chunks, lanes),
+        (n_batch, n_chunks, lanes))
+    pf_c = jnp.broadcast_to(pivot_floor[:, None, None],
+                            (n_batch, n_chunks, lanes))
+
+    # Feed: the w band offsets of column i stacked along sublanes at
+    # stride (n + w), replicated across the 128 lanes
+    cols = []
+    b = w - 1
+    for p in range(w):
+        d = b - p
+        vals = diags[:, d]
+        cols.append(jnp.concatenate(
+            [jnp.zeros((n_batch, d), dtype), vals[:, : n - d],
+             jnp.zeros((n_batch, w), dtype)], axis=1))  # (batch, n+w)
+    feed = jnp.concatenate(cols, axis=1)                # (batch, w*(n+w))
+    feed = jnp.broadcast_to(feed[:, :, None],
+                            (n_batch, w * (n + w), lanes))
+
+    kernel = functools.partial(_eigvec_kernel, w, n, n_solves,
+                               float(seed))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_batch, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, w * (n + w), lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Mosaic needs the last two block dims divisible by (8, 128)
+            # or equal to the array's — ship all chunks of the small
+            # lane vectors and select row j in-kernel
+            pl.BlockSpec((1, n_chunks, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, lanes), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_batch, n, n_pad_ev), dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((w - 1) * n, lanes), dtype),
+            pltpu.VMEM((n, lanes), dtype),
+            pltpu.VMEM((n, lanes), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(feed, shifts_c, idx_c, pf_c)
+    return out
+
+
+def _round_up_int(x, m):
+    return ((x + m - 1) // m) * m
+
+
 def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
-                        window=8, seed=1):
+                        window=8, seed=1, use_pallas=None):
     """
     Eigenvectors of a symmetric band matrix at the given eigenvalues,
     by factored inverse iteration (shifts separated xSTEIN-style so
@@ -669,6 +856,15 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
     sep = (span * (100.0 * eps))[:, None]
     shifts = _separate_shifts(eigvals, sep)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        x = _banded_eigenvectors_pallas(
+            diags, shifts, span * eps, n_solves, seed,
+            interpret=jax.default_backend() != "tpu")[:, :, :n_ev]
+        u = _windowed_mgs(x, window)
+        return u[0] if squeeze else u
+
     feed = _band_feed(diags)
 
     chunk = max(1, min(int(shift_chunk), n_ev))
@@ -704,7 +900,15 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
     x = jnp.transpose(x, (2, 1, 0, 3)).reshape(n_batch, n, n_pad)
     x = x[:, :, :n_ev]
 
-    # Windowed Gram-Schmidt in eigenvalue order (scan over columns)
+    u = _windowed_mgs(x, window)
+    return u[0] if squeeze else u
+
+
+def _windowed_mgs(x, window):
+    """Windowed Gram-Schmidt in eigenvalue order (scan over columns);
+    `x` is ``(batch, n, n_ev)``."""
+    n_batch, n, n_ev = x.shape
+    dtype = x.dtype
     cw = max(1, min(int(window), n_ev))
 
     def mgs(win, x_i):
@@ -724,8 +928,7 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
     cols = jnp.transpose(x, (2, 0, 1))                   # (n_ev, batch, n)
     win0 = jnp.zeros((cw, n_batch, n), dtype)
     _, cols = jax.lax.scan(mgs, win0, cols)
-    u = jnp.transpose(cols, (1, 2, 0))                   # (batch, n, n_ev)
-    return u[0] if squeeze else u
+    return jnp.transpose(cols, (1, 2, 0))                # (batch, n, n_ev)
 
 
 # ---------------------------------------------------------------------------
@@ -1030,7 +1233,8 @@ def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
     else:
         vals = banded_eigenvalues(diags, n_iter=n_iter)
     u_band = banded_eigenvectors(diags, vals, n_solves=n_solves,
-                                 shift_chunk=shift_chunk, window=window)
+                                 shift_chunk=shift_chunk, window=window,
+                                 use_pallas=use_pallas)
     u = jax.vmap(back_transform)(v_all, t_all, u_band)
     # Refinement against the original matrix (all matmuls + small
     # batched eighs): two perturbative polish rounds remove the

@@ -393,3 +393,33 @@ def test_eigh_banded_float32():
     assert res.max() / scale < 5e-4
     gram = np.asarray(vecs) @ np.asarray(vecs).T
     assert np.max(np.abs(gram - np.eye(96))) < 1e-3
+
+
+def test_banded_eigenvectors_pallas_matches_xla():
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(13)
+    batch = rng.randn(2, 150, 150).astype(np.float32)
+    batch = (batch + np.swapaxes(batch, 1, 2)) / 2
+    diags = jax.vmap(lambda m: spectrum.band_reduce(m, 4))(
+        jnp.asarray(batch))
+    vals = spectrum.banded_eigenvalues(diags, n_iter=40)
+    # Both paths must produce eigenvectors of the same band matrices;
+    # compare through the band-space residuals (signs/cluster rotations
+    # are free)
+    for use_pallas in (False, True):
+        u = np.asarray(spectrum.banded_eigenvectors(
+            diags, vals, use_pallas=use_pallas))
+        for i in range(2):
+            d = np.asarray(diags[i])
+            band = np.zeros((150, 150))
+            for k in range(5):
+                idx = np.arange(150 - k)
+                band[idx, idx + k] = d[k, :150 - k]
+                band[idx + k, idx] = d[k, :150 - k]
+            res = np.linalg.norm(
+                band @ u[i] - u[i] * np.asarray(vals[i])[None, :],
+                axis=0)
+            # un-refined inverse-iteration quality (the eigh_banded
+            # pipeline polishes further)
+            assert np.median(res) < 1e-3, (use_pallas, i)
