@@ -4,9 +4,10 @@ Mega-assembly ANM
 
 Large-system workflow: build the Hessian with the fused Pallas kernel,
 then either (a) extract only the lowest functional modes iteratively
-(LOBPCG with analytic rigid-body deflation — O(k n^2) instead of
-O(n^3)), or (b) get all fluctuation observables from the regularized
-Cholesky covariance.  On a multi-chip mesh, sharded_hessian builds the
+(Cholesky shift-invert subspace iteration with analytic rigid-body
+deflation — O(k n^2) instead of O(n^3)), or (b) get all fluctuation
+observables from the regularized Cholesky covariance.  Beyond the
+dense regime entirely, see examples/matrix_free_modes.py.  On a multi-chip mesh, sharded_hessian builds the
 matrix row-sharded with shard_map.
 
 Run:  python examples/mega_assembly.py [n_residues]
