@@ -1143,8 +1143,10 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
     operator itself is O(n) parameters.  The filter amplifies the
     ``[0, a]`` end of the spectrum; the six rigid-body modes are shifted
     into the damped band (``+ shift * T T^t``) so they cannot surface.
-    Convergence is gap-dependent — **always check the returned
-    residuals** (the same discipline as :func:`ops.modes.lowest_modes`).
+    Requires a *connected* network (the rigid modes are assumed to be
+    the entire null space — check ``utils.network.is_connected`` when
+    in doubt).  Convergence is gap-dependent — **always check the
+    returned residuals** (the same discipline as :func:`ops.modes.lowest_modes`).
 
     Parameters
     ----------
@@ -1394,7 +1396,9 @@ def covariance_solve_matfree(coord, params, rhs, *, masses=None,
     linear response displacements (reference ``nma.py:422-473``),
     selected covariance columns (PRS rows for chosen perturbation
     sites) — at system sizes where the dense ``(3n, 3n)`` covariance
-    cannot exist.  The rigid-body null space is projected out of the
+    cannot exist.  Like all analytic-null-space paths it requires a
+    *connected* network (``utils.network.is_connected``); disconnected
+    systems have extra null modes outside the deflated basis.  The rigid-body null space is projected out of the
     right-hand side, every matvec, and the preconditioner output, so
     CG runs on the positive-definite complement; each column gets its
     own step sizes (vectorized single-column CG, up to the 128-lane
