@@ -79,14 +79,22 @@ class ANM(ElasticNetworkModel):
         from ..ops import matfree
         from ..parallel.pipeline import _resolve_params
 
+        self._require_force_field_matrix(
+            "linear_response(matrix_free=True)")
         params = _resolve_params(self._ff)
         force = np.asarray(force)
         n = len(self._coord)
-        disp, _, res = matfree.linear_response_matfree(
+        tol = options.setdefault("tol", 1e-6)
+        disp, n_it, res = matfree.linear_response_matfree(
             self._coord, params, force, masses=self._masses, **options)
         disp = np.asarray(disp)
-        if not np.all(np.isfinite(disp)):
-            raise ValueError("matrix-free linear response diverged")
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(disp)) or max_res > 10 * tol:
+            raise ValueError(
+                f"matrix-free linear response did not converge: max "
+                f"relative residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or check "
+                "network connectivity")
         return disp.reshape(n, 3) if force.ndim == 1 else disp
 
     def frequencies(self):
@@ -146,6 +154,7 @@ class ANM(ElasticNetworkModel):
         from ..ops import assembly, matfree, modes
         from ..parallel.pipeline import _resolve_params
 
+        self._require_force_field_matrix("lowest_modes")
         params = _resolve_params(self._ff)
         coord = self._coord
         n = coord.shape[0]

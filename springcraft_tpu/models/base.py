@@ -42,6 +42,9 @@ class ElasticNetworkModel:
         self._matrix = None
         self._covariance = None
         self._eigen_cache = None
+        #: True once the user assigns hessian/kirchhoff/covariance —
+        #: device solvers that rebuild from the force field must refuse
+        self._matrix_user_set = False
 
     @staticmethod
     def _resolve_masses(atoms, masses):
@@ -82,6 +85,17 @@ class ElasticNetworkModel:
     # in place.  Here that contract matters doubly: the eigensystem is
     # cached, so undetectable in-place writes would also leave cached
     # observables stale.  Assign through the setters instead.
+    def _require_force_field_matrix(self, what):
+        """Guard for device solvers that rebuild the interaction matrix
+        from the force field: a user-assigned matrix/covariance would be
+        silently ignored."""
+        if self._matrix_user_set:
+            raise ValueError(
+                f"{what} rebuilds the interaction matrix from the force "
+                "field and would ignore the explicitly assigned "
+                "hessian/kirchhoff/covariance — use the dense API "
+                "instead")
+
     def _get_matrix(self):
         if self._matrix is None:
             if self._covariance is None:
@@ -104,6 +118,7 @@ class ElasticNetworkModel:
         self._matrix = value
         self._covariance = None
         self._eigen_cache = None
+        self._matrix_user_set = True
 
     @property
     def covariance(self):
@@ -125,6 +140,7 @@ class ElasticNetworkModel:
         self._covariance = value
         self._matrix = None
         self._eigen_cache = None
+        self._matrix_user_set = True
 
     @property
     def masses(self):

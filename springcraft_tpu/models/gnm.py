@@ -86,6 +86,7 @@ class GNM(ElasticNetworkModel):
         from ..ops import assembly, matfree, modes, rigid
         from ..parallel.pipeline import _resolve_params
 
+        self._require_force_field_matrix("lowest_modes")
         params = _resolve_params(self._ff)
         coord = self._coord
         masses = self._masses

@@ -1419,7 +1419,11 @@ def covariance_solve_matfree(coord, params, rhs, *, masses=None,
     -------
     x : ndarray, same shape as `rhs`
         ``pinv(H) @ rhs`` (null-space component removed, matching the
-        reference's pseudo-inverse semantics).
+        reference's pseudo-inverse semantics).  NOTE: each call traces
+        and compiles its own CG program (the operator closure is a jit
+        static) — batch right-hand sides into ONE call (columns up to
+        the 128-lane width are free on the Pallas paths) rather than
+        looping.
     n_iter : int
         CG iterations taken.
     residuals : ndarray, shape=(k,)
@@ -1557,14 +1561,14 @@ def linear_response_matfree(coord, params, force, **options):
     force = jnp.asarray(force)
     if force.ndim == 1:
         if force.shape[0] != 3 * n:
-            raise IndexError(
+            raise ValueError(
                 f"force has {force.shape[0]} entries, expected {3 * n}")
         vec = force.reshape(n, 3).T.reshape(3 * n)     # -> xyz layout
         x, n_it, res = covariance_solve_matfree(coord, params, vec,
                                                 **options)
         return x.reshape(3, n).T.reshape(3 * n), n_it, res
     if force.shape[:2] != (n, 3):
-        raise IndexError(
+        raise ValueError(
             f"force has shape {force.shape}, expected ({n}, 3[, k])")
     batched = force.ndim == 3
     f = force if batched else force[:, :, None]

@@ -747,7 +747,8 @@ def _banded_eigenvectors_pallas(diags, shifts, pivot_floor, n_solves,
     dtype = diags.dtype
     lanes = 128
     n_ev = shifts.shape[-1]
-    n_pad_ev = _round_up_int(n_ev, lanes)
+    from .pallas_kernels import _round_up
+    n_pad_ev = _round_up(n_ev, lanes)
     shifts_p = jnp.concatenate(
         [shifts, jnp.broadcast_to(shifts[:, -1:] + 1.0,
                                   (n_batch, n_pad_ev - n_ev))], axis=1)
@@ -807,10 +808,6 @@ def _banded_eigenvectors_pallas(diags, shifts, pivot_floor, n_solves,
     return out
 
 
-def _round_up_int(x, m):
-    return ((x + m - 1) // m) * m
-
-
 def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
                         window=8, seed=1, use_pallas=None):
     """
@@ -857,7 +854,13 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
     shifts = _separate_shifts(eigvals, sep)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Per grid cell the kernel keeps feed (w*(n+w) sublanes) plus
+        # (w+1) n-row scratch buffers live at 128 lanes — stay inside
+        # the ~16 MB VMEM with headroom, else fall back to the chunked
+        # XLA path (which bounds memory via shift_chunk)
+        vmem_est = (2 * w + 2) * n * 128 * 4
+        use_pallas = (jax.default_backend() == "tpu"
+                      and vmem_est < 11 * 2**20)
     if use_pallas:
         x = _banded_eigenvectors_pallas(
             diags, shifts, span * eps, n_solves, seed,

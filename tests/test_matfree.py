@@ -586,3 +586,39 @@ def test_prs_rows_matfree_match_dense(ca_1l2y):
     prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
     assert np.allclose(np.asarray(rows_raw), np.asarray(prs_raw)[sites],
                        rtol=1e-5, atol=1e-12)
+
+
+def test_device_solvers_refuse_user_assigned_matrices(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    n = ca_1l2y.array_length()
+    anm.hessian = np.eye(3 * n)
+    with pytest.raises(ValueError, match="rebuilds the interaction"):
+        anm.lowest_modes(2)
+    with pytest.raises(ValueError, match="rebuilds the interaction"):
+        anm.linear_response(np.zeros((n, 3)), matrix_free=True)
+
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    gnm.covariance = np.eye(n)
+    with pytest.raises(ValueError, match="rebuilds the interaction"):
+        gnm.lowest_modes(2)
+
+
+def test_linear_response_matrix_free_unconverged_raises(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    n = ca_1l2y.array_length()
+    force = np.zeros((n, 3))
+    force[0, 0] = 1.0
+    with pytest.raises(ValueError, match="did not converge"):
+        anm.linear_response(force, matrix_free=True, tol=1e-12,
+                            max_iter=2, block=32, use_pallas=False,
+                            dtype=jnp.float64)
+
+
+def test_linear_response_matfree_bad_shapes_raise_valueerror():
+    coord = random_coord(43, 30, box=20.0)
+    params = ffparams.invariant_params(12.0)
+    with pytest.raises(ValueError, match="entries"):
+        matfree.linear_response_matfree(coord, params, np.zeros(17))
+    with pytest.raises(ValueError, match="shape"):
+        matfree.linear_response_matfree(coord, params,
+                                        np.zeros((30, 2)))
