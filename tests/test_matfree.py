@@ -622,3 +622,28 @@ def test_linear_response_matfree_bad_shapes_raise_valueerror():
     with pytest.raises(ValueError, match="shape"):
         matfree.linear_response_matfree(coord, params,
                                         np.zeros((30, 2)))
+
+
+def test_covariance_solve_with_sharded_matvec():
+    from springcraft_tpu.parallel import make_mesh
+    from springcraft_tpu.parallel.sharded import sharded_hessian_apply
+    import functools
+
+    mesh = make_mesh(8)
+    coord = random_coord(13, 120, box=30.0)  # connected
+    params = ffparams.invariant_params(12.0)
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    from springcraft_tpu.ops import linalg
+
+    cov = np.asarray(linalg.pinvh(jnp.asarray(dense)))
+    rhs = np.random.RandomState(15).randn(360, 2)
+
+    matvec = functools.partial(sharded_hessian_apply, coord,
+                               params=params, mesh=mesh, block=15,
+                               dtype=jnp.float64)
+    x, n_it, res = matfree.covariance_solve_matfree(
+        coord, params, rhs, tol=1e-10, dtype=jnp.float64,
+        matvec=matvec)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(np.asarray(x), cov @ rhs, rtol=1e-6, atol=1e-8)
