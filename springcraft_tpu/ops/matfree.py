@@ -1523,26 +1523,33 @@ def _deflated_pcg(op, t, inv_blocks, rhs, n, *, tol, max_iter):
     r0 = b
     z0 = precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=0)
+    active0 = jnp.linalg.norm(r0, axis=0) / b_norm > tol
 
     def cond(state):
-        i, _, r, _, _, _ = state
-        rel = jnp.linalg.norm(r, axis=0) / b_norm
-        return (i < max_iter) & jnp.any(rel > tol)
+        i, _, _, _, _, _, active = state
+        return (i < max_iter) & jnp.any(active)
 
     def body(state):
-        i, x, r, z, p, rz = state
+        # Per-column freezing: converged columns stop, and columns
+        # whose curvature/rz degenerate (CG pushed past the precision
+        # floor) freeze at their last finite iterate instead of
+        # overflowing to NaN.
+        i, x, r, z, p, rz, active = state
         hp = deflate(op(p))
-        alpha = rz / jnp.maximum(jnp.sum(p * hp, axis=0), 1e-30)
+        denom = jnp.sum(p * hp, axis=0)
+        ok = active & jnp.isfinite(denom) & (denom > 0) & (rz > 0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
         x = x + p * alpha[None, :]
         r = r - hp * alpha[None, :]
         z = precond(r)
         rz_new = jnp.sum(r * z, axis=0)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + p * beta[None, :]
-        return i + 1, x, r, z, p, rz_new
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        p = jnp.where(ok[None, :], z + p * beta[None, :], p)
+        rel = jnp.linalg.norm(r, axis=0) / b_norm
+        return i + 1, x, r, z, p, rz_new, ok & (rel > tol)
 
-    state = (jnp.asarray(0), x0, r0, z0, z0, rz0)
-    i, x, r, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(0), x0, r0, z0, z0, rz0, active0)
+    i, x, r, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     res = jnp.linalg.norm(r, axis=0) / b_norm
     return deflate(x), i, res
 

@@ -647,3 +647,25 @@ def test_covariance_solve_with_sharded_matvec():
         matvec=matvec)
     assert np.max(np.asarray(res)) < 1e-9
     assert np.allclose(np.asarray(x), cov @ rhs, rtol=1e-6, atol=1e-8)
+
+
+def test_covariance_solve_stays_finite_past_precision_floor():
+    """CG pushed beyond the f32 floor must freeze stagnated columns at
+    their last finite iterate, never overflow to NaN."""
+    coord = random_coord(13, 120, box=30.0)
+    params = ffparams.invariant_params(12.0)
+    rhs = np.random.RandomState(16).randn(360, 3).astype(np.float32)
+    x, n_it, res = matfree.covariance_solve_matfree(
+        coord, params, rhs, tol=1e-12, max_iter=400, block=64,
+        use_pallas=False, dtype=jnp.float32)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert np.all(np.isfinite(np.asarray(res)))
+    # still a decent f32 solution
+    from springcraft_tpu.ops import linalg
+
+    dense = np.asarray(assembly.hessian_matrix(
+        coord, params, jnp, dtype=jnp.float64, layout="xyz"))
+    cov = np.asarray(linalg.pinvh(jnp.asarray(dense)))
+    ref = cov @ rhs
+    rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-3
