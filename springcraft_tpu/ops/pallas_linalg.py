@@ -1,0 +1,245 @@
+"""
+Batched dense symmetric-positive-definite inverse, TPU-first.
+
+Motivation (measured, v5e): XLA's batched ``cholesky`` at ``(64, 900)``
+float32 costs ~31 ms on device and ``cho_solve`` against the identity
+~43 ms — the dominant cost of the fluctuation-NMA pipeline
+(``parallel.pipeline.anm_fluctuations``).  XLA lowers Cholesky to a
+While program whose ~``m`` sequential elimination steps each round-trip
+panel state through HBM.
+
+The TPU-native formulation here splits the work by what each unit is
+good at:
+
+* the unavoidable ``m`` sequential elimination steps run inside ONE
+  Pallas kernel over a small diagonal panel with the whole batch
+  resident in VMEM (`panel_cholesky_batched`) — each step is a handful
+  of vector ops on a ``(batch, pb, pb)`` block, no HBM traffic.  The
+  kernel simultaneously produces the panel factor ``Ld`` and its
+  inverse ``Ld^-1`` by fused forward substitution;
+* everything else — trailing updates, the blocked substitution for
+  ``L^-1``, and the final Gram product ``A^-1 = L^-T L^-1`` — is
+  matmul-rich XLA (MXU at full tilt, streamed through HBM), built only
+  from the panel inverses: **no** ``triangular_solve`` anywhere.
+
+The batch lives *inside* the kernel: ``vmap`` of a sequential kernel
+would serialize grid instances, so callers with an ensemble use the
+batched entry points directly (cf. the layout note on
+``parallel.pipeline.ensemble_anm_spectral``).
+
+Reference semantics served: ``np.linalg.pinv(hermitian=True)``
+covariance at `/root/reference/src/springcraft/anm.py:133-136` via
+`ops.rigid.covariance_cholesky` (which regularizes + equilibrates and
+calls :func:`spd_inverse_blocked` on its batched fast path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["panel_cholesky_batched", "spd_inverse_blocked"]
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _panel_kernel(pb, d_ref, l_ref):
+    """Batched in-VMEM Cholesky of (bc, pb, pb) SPD panels.
+
+    In-place rank-1 elimination, two vector passes per step: step i
+    zeroes trailing column i and deposits the finished L column there
+    in the same fused update (``m -= lcol (lcol - e_i)^T``).  The upper
+    triangle keeps stale values — the host wrapper masks it.
+    """
+    m0 = d_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (pb, pb), 1)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (1, pb), 1)
+    tiny = jnp.asarray(1e-30, m0.dtype)
+    one = jnp.asarray(1.0, m0.dtype)
+    zero = jnp.asarray(0.0, m0.dtype)
+
+    def body(i, m):
+        sel_col = (col == i)[None]
+        # column i of the reduced matrix and its pivot
+        ci = jnp.sum(jnp.where(sel_col, m, zero), axis=2)  # (bc, pb)
+        di = jnp.sum(jnp.where(rvec == i, ci, zero), axis=1)  # (bc,)
+        rs = jax.lax.rsqrt(jnp.maximum(di, tiny))
+        lcol = jnp.where(rvec >= i, ci * rs[:, None], zero)  # (bc, pb)
+        # rank-1 elimination; columns j > i are reduced, column i is
+        # left holding lcol (the elimination zeroes it, +e_i restores),
+        # columns j < i have lcol[j] == 0 and stay untouched
+        ei = jnp.where(rvec == i, one, zero)
+        return m - lcol[:, :, None] * (lcol - ei)[:, None, :]
+
+    l_ref[:] = jax.lax.fori_loop(0, pb, body, m0)
+
+
+def _tri_inverse_newton(l, pb):
+    """Exact inverse of batched lower-triangular panels by log-depth
+    Newton iteration: with ``X0 = diag(L)^-1`` the residual
+    ``E = I - X L`` is strictly lower triangular (nilpotent), and each
+    ``X <- X (2I - L X)`` squares it — ``ceil(log2(pb))`` iterations
+    terminate exactly.  All MXU matmuls, no sequential substitution."""
+    d = jnp.diagonal(l, axis1=-2, axis2=-1)
+    eye = jnp.eye(pb, dtype=l.dtype)
+    x = eye / d[..., :, None]
+    n_iter = max(1, (pb - 1).bit_length())
+    for _ in range(n_iter):
+        lx = jnp.einsum("bij,bjk->bik", l, x, precision=_HIGH)
+        x = 2.0 * x - jnp.einsum("bij,bjk->bik", x, lx, precision=_HIGH)
+    return x
+
+
+def panel_cholesky_batched(panels, interpret=None, batch_chunk=None):
+    """
+    Cholesky factor and its inverse for a batch of small SPD panels.
+
+    Parameters
+    ----------
+    panels : ndarray, shape=(b, pb, pb), float32
+        SPD diagonal panels (pb a multiple of 8; intended pb <= 128 so
+        a batch chunk stays VMEM-resident).
+
+    Returns
+    -------
+    l : ndarray, shape=(b, pb, pb)
+        Lower Cholesky factors (strict upper zero).
+    w : ndarray, shape=(b, pb, pb)
+        ``L^-1`` (lower triangular).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, pb, pb2 = panels.shape
+    if pb != pb2 or pb % 8:
+        raise ValueError(f"panels must be (b, pb, pb) with pb % 8 == 0, "
+                         f"got {panels.shape}")
+    if batch_chunk is None:
+        # ~4 live (bc, pb, pb_lanes) f32 buffers (input, loop carry,
+        # output, slack) must fit the ~16 MB VMEM budget.
+        lanes = max(pb, 128)
+        batch_chunk = max(8, min(128, (14 * 2**20) // (4 * 4 * pb * lanes)))
+    bc = min(_round_up(b, 8), batch_chunk)
+    b_pad = _round_up(b, bc)
+    if b_pad != b:
+        # pad with identity panels so the elimination stays finite
+        eye = jnp.broadcast_to(jnp.eye(pb, dtype=panels.dtype),
+                               (b_pad - b, pb, pb))
+        panels = jnp.concatenate([panels, eye], axis=0)
+
+    spec = pl.BlockSpec((bc, pb, pb), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    l = pl.pallas_call(
+        functools.partial(_panel_kernel, pb),
+        grid=(b_pad // bc,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, pb, pb), panels.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(panels)
+    l = l[:b]
+    row = jnp.arange(pb)
+    l = jnp.where(row[:, None] >= row[None, :], l, 0.0)
+    return l, _tri_inverse_newton(l, pb)
+
+
+def spd_inverse_blocked(a, block=64, interpret=None):
+    """
+    Dense inverse of a batch of SPD matrices via blocked Cholesky with
+    Pallas panel factorization — the fast path for ensemble covariance
+    solves (several-fold faster than ``cho_solve`` against the identity
+    on TPU at ensemble shapes, e.g. ``(64, 900, 900)`` float32).
+
+    Algorithm: left-looking blocked Cholesky (panel factor + inverse
+    from :func:`panel_cholesky_batched`, trailing updates as batched
+    matmuls), then ``G = L^-1`` by blocked forward substitution using
+    only the panel inverses (matmuls), then ``A^-1 = G^T G`` (one Gram
+    matmul).  All contractions run at ``precision='highest'`` (MXU
+    bf16 hazard — see CLAUDE.md).
+
+    Parameters
+    ----------
+    a : ndarray, shape=(..., m, m)
+        SPD batch (use Jacobi equilibration upstream for
+        ill-conditioned inputs — see ``ops.rigid.covariance_cholesky``).
+    block : int
+        Panel width (multiple of 8; 64 suits v5e).
+
+    Returns
+    -------
+    inv : ndarray, shape=(..., m, m)
+    """
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., m, m), got {a.shape}")
+    batch_shape = a.shape[:-2]
+    m = a.shape[-1]
+    a = a.reshape((-1, m, m))
+    b = a.shape[0]
+
+    mp = _round_up(m, block)
+    k_panels = mp // block
+    if mp != m:
+        pad = mp - m
+        a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
+        # identity on the padding diagonal keeps the factorization exact
+        diag = jnp.arange(m, mp)
+        a = a.at[:, diag, diag].set(1.0)
+
+    lfull, panel_invs = _blocked_cholesky(a, block, interpret)
+    g = _blocked_tri_inverse(lfull, panel_invs, block)
+    inv = jnp.einsum("bki,bkj->bij", g, g, precision=_HIGH)
+    if mp != m:
+        inv = inv[:, :m, :m]
+    return inv.reshape(batch_shape + (m, m))
+
+
+def _blocked_cholesky(a, block, interpret=None):
+    """Left-looking blocked Cholesky of padded SPD ``(b, mp, mp)``:
+    returns the lower factor and the list of panel-diagonal inverses."""
+    mp = a.shape[-1]
+    k_panels = mp // block
+    lfull = jnp.zeros_like(a)
+    panel_invs = []
+    for k in range(k_panels):
+        r0 = k * block
+        strip = a[:, r0:, r0:r0 + block]
+        if k:
+            prior = lfull[:, r0:, :r0]
+            prow = lfull[:, r0:r0 + block, :r0]
+            strip = strip - jnp.einsum(
+                "bik,bjk->bij", prior, prow, precision=_HIGH)
+        ld, w = panel_cholesky_batched(strip[:, :block], interpret=interpret)
+        below = strip[:, block:]
+        l21 = jnp.einsum("bij,bkj->bik", below, w, precision=_HIGH)
+        strip_l = jnp.concatenate([ld, l21], axis=1)
+        lfull = lfull.at[:, r0:, r0:r0 + block].set(strip_l)
+        panel_invs.append(w)
+    return lfull, panel_invs
+
+
+def _blocked_tri_inverse(lfull, panel_invs, block):
+    """``G = L^-1`` by blocked forward substitution: row-block i of G
+    is ``-W_i @ (L[i, :i] @ G[:i, :i])`` with diagonal block ``W_i`` —
+    matmuls against the panel inverses, no triangular solves."""
+    k_panels = lfull.shape[-1] // block
+    g = jnp.zeros_like(lfull)
+    for i in range(k_panels):
+        ri = i * block
+        if i:
+            lrow = lfull[:, ri:ri + block, :ri]
+            acc = jnp.einsum("bij,bjk->bik", lrow, g[:, :ri, :ri],
+                             precision=_HIGH)
+            grow = -jnp.einsum("bij,bjk->bik", panel_invs[i], acc,
+                               precision=_HIGH)
+            g = g.at[:, ri:ri + block, :ri].set(grow)
+        g = g.at[:, ri:ri + block, ri:ri + block].set(panel_invs[i])
+    return g

@@ -103,21 +103,23 @@ def null_mode_gnm(n, masses=None, dtype=jnp.float32):
     return v / jnp.linalg.norm(v)
 
 
-def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
+def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
+                        inverse="cho_solve", interpret=None):
     """
     Pseudo-inverse of a PSD interaction matrix with known (orthonormal)
     null basis via a regularized Cholesky solve.
 
-    Supports leading batch dimensions on `matrix`.
+    Supports leading batch dimensions on `matrix` (and on `null_basis`,
+    e.g. per-conformer rigid bases over an ensemble).
 
     Parameters
     ----------
     matrix : ndarray, shape=(..., m, m)
         Hessian/Kirchhoff matrix (PSD, null space spanned by
         `null_basis`).
-    null_basis : ndarray, shape=(m, k)
+    null_basis : ndarray, shape=(..., m, k)
         Orthonormal null-space basis (6 rigid modes for ANM, 1 constant
-        mode for GNM).
+        mode for GNM); leading dims broadcast against `matrix`'s.
     sigma : float, optional
         Regularization weight placed on the null space; defaults to the
         mean diagonal of `matrix` (a well-conditioned choice).
@@ -126,6 +128,11 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
         size (unbatched input only) — bounds peak memory to
         ``O(m^2 + m * block_size)`` for mega-assemblies instead of
         holding a full dense identity.
+    inverse : {"cho_solve", "blocked"}
+        Inverse engine.  ``"blocked"`` uses the Pallas panel-Cholesky
+        blocked inverse (:func:`ops.pallas_linalg.spd_inverse_blocked`)
+        — the fast path for *batched* ensemble covariance on TPU, where
+        XLA's sequential Cholesky dominates the pipeline.
 
     Returns
     -------
@@ -141,15 +148,23 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None):
         if sigma.ndim:
             sigma = sigma[..., None, None]
 
-    ttt = jnp.matmul(t, t.T, precision='highest')
+    ttt = jnp.matmul(t, jnp.swapaxes(t, -1, -2), precision='highest')
     reg = matrix + sigma * ttt
     # Jacobi equilibration: factor D^-1/2 R D^-1/2 instead of R — keeps
     # the float32 Cholesky stable for large, ill-conditioned networks
     # (inv(R) = S inv(S R S) S with S = D^-1/2).
     scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
     reg = reg * scale[..., :, None] * scale[..., None, :]
-    chol = jnp.linalg.cholesky(reg)
     m = matrix.shape[-1]
+    if inverse == "blocked":
+        from . import pallas_linalg
+
+        inv = pallas_linalg.spd_inverse_blocked(reg, interpret=interpret)
+        inv = inv * scale[..., :, None] * scale[..., None, :]
+        return inv - ttt / sigma
+    elif inverse != "cho_solve":
+        raise ValueError(f"unknown inverse engine {inverse!r}")
+    chol = jnp.linalg.cholesky(reg)
     if block_size is None or matrix.ndim > 2:
         eye = jnp.broadcast_to(jnp.eye(m, dtype=matrix.dtype),
                                matrix.shape)

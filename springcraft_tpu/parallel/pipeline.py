@@ -32,6 +32,7 @@ __all__ = [
     "ensemble_anm_spectral",
     "ensemble_gnm",
     "ensemble_anm_fluctuations",
+    "ensemble_gnm_fluctuations",
 ]
 
 
@@ -490,8 +491,10 @@ def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
         hessian = _mass_weight_xyz(hessian, masses)
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
     cov = rigid.covariance_cholesky(hessian, basis)
+    return _anm_cov_observables(cov, coord.shape[0], with_dcc, with_prs)
 
-    n = coord.shape[0]
+
+def _anm_cov_observables(cov, n, with_dcc, with_prs):
     # In xyz layout the 3x3 superelement trace over components a is
     # sum_a cov[a*n + i, a*n + j]
     planes = cov.reshape(3, n, 3, n)
@@ -537,12 +540,101 @@ def gnm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     return out
 
 
-def ensemble_anm_fluctuations(coords, params, masses=None, **options):
-    """Batched fast-covariance ANM over a conformer ensemble."""
+def ensemble_anm_fluctuations(coords, params, masses=None, *,
+                              inverse="auto", **options):
+    """Batched fast-covariance ANM over a conformer ensemble.
+
+    ``inverse`` selects the covariance engine: ``"blocked"`` runs the
+    whole ensemble through the batched Pallas panel-Cholesky inverse
+    (:func:`springcraft_tpu.ops.pallas_linalg.spd_inverse_blocked`) —
+    substantially faster than per-conformer ``cho_solve`` on TPU, where
+    XLA Cholesky's ~m sequential HBM-bound steps dominate the pipeline;
+    ``"cho_solve"`` vmaps the per-conformer path; ``"auto"`` picks
+    ``"blocked"`` on TPU backends.
+    """
     params = _resolve_params(params)
+    coords = jnp.asarray(coords)
+    if inverse == "auto":
+        inverse = ("blocked" if jax.default_backend() == "tpu"
+                   else "cho_solve")
+    if inverse == "blocked":
+        return _ensemble_anm_fluctuations_blocked(
+            coords, params, masses, **options)
     fn = functools.partial(anm_fluctuations, params=params, masses=masses,
                            **options)
-    return jax.vmap(lambda c: fn(c))(jnp.asarray(coords))
+    return jax.vmap(lambda c: fn(c))(coords)
+
+
+def ensemble_gnm_fluctuations(coords, params, masses=None, *,
+                              inverse="auto", with_dcc=True,
+                              dtype=jnp.float32, use_pallas=False):
+    """GNM analogue of :func:`ensemble_anm_fluctuations` (same
+    ``inverse`` engine selection)."""
+    params = _resolve_params(params)
+    coords = jnp.asarray(coords)
+    if inverse == "auto":
+        inverse = ("blocked" if jax.default_backend() == "tpu"
+                   else "cho_solve")
+    if inverse == "blocked":
+        return _ensemble_gnm_fluctuations_blocked(
+            coords, params, masses, with_dcc=with_dcc, dtype=dtype,
+            use_pallas=use_pallas)
+    fn = functools.partial(gnm_fluctuations, params=params, masses=masses,
+                           with_dcc=with_dcc, dtype=dtype,
+                           use_pallas=use_pallas)
+    return jax.vmap(lambda c: fn(c))(coords)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("with_dcc", "dtype", "use_pallas")
+)
+def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
+                                       with_dcc=True, dtype=jnp.float32,
+                                       use_pallas=False):
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[1]
+
+    def build(coord):
+        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
+        return _mass_weight(kirchhoff, masses, repeat3=False)
+
+    kirchhoffs = jax.vmap(build)(coords)
+    basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
+    cov = rigid.covariance_cholesky(kirchhoffs, basis, inverse="blocked")
+
+    def obs(cov1):
+        out = {"covariance": cov1, "msf": jnp.diagonal(cov1)}
+        out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+        if with_dcc:
+            out["dcc"] = nma_core.normalize_dcc(cov1, jnp)
+        return out
+
+    return jax.vmap(obs)(cov)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("with_dcc", "with_prs", "dtype",
+                              "use_pallas")
+)
+def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
+                                       with_dcc=True, with_prs=False,
+                                       dtype=jnp.float32,
+                                       use_pallas=False):
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[1]
+
+    def build(coord):
+        hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
+        if masses is not None:
+            hessian = _mass_weight_xyz(hessian, masses)
+        basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+        return hessian, basis
+
+    hessians, bases = jax.vmap(build)(coords)
+    cov = rigid.covariance_cholesky(hessians, bases, inverse="blocked")
+    return jax.vmap(
+        lambda c: _anm_cov_observables(c, n, with_dcc, with_prs)
+    )(cov)
 
 
 def _resolve_params(params):

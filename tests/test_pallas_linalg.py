@@ -1,0 +1,137 @@
+"""
+Batched blocked SPD inverse (`ops.pallas_linalg`): panel kernel
+correctness, blocked inverse vs `np.linalg.inv`, and equivalence of the
+`inverse="blocked"` covariance engine with the `cho_solve` path in
+`ops.rigid.covariance_cholesky` / the ensemble fluctuation pipelines.
+
+Kernels run in interpret mode on the CPU backend (compiled-Mosaic
+behavior is covered by `bench.py --smoke` on the real chip).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from springcraft_tpu.ops import ffparams, pallas_linalg, rigid
+from springcraft_tpu.parallel import pipeline
+
+
+def _random_spd(b, m, seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    a = rng.randn(b, m, m).astype(dtype)
+    return a @ a.transpose(0, 2, 1) / m + 3.0 * np.eye(m, dtype=dtype)
+
+
+def _random_coords(b, n, seed=0):
+    rng = np.random.RandomState(seed)
+    base = (rng.rand(n, 3) * 12.0).astype(np.float32)
+    return base[None] + 0.05 * rng.randn(b, n, 3).astype(np.float32)
+
+
+@pytest.mark.parametrize("pb", [16, 64])
+def test_panel_cholesky_matches_numpy(pb):
+    d = _random_spd(5, pb, seed=1)
+    l, w = pallas_linalg.panel_cholesky_batched(jnp.asarray(d))
+    l, w = np.asarray(l), np.asarray(w)
+    ref = np.linalg.cholesky(d)
+    assert np.allclose(l, ref, atol=1e-5 * np.max(np.abs(ref)))
+    # W = L^-1
+    assert np.allclose(w @ ref, np.eye(pb)[None], atol=2e-5)
+    # strict upper triangles are exactly zero
+    iu = np.triu_indices(pb, k=1)
+    assert np.all(l[:, iu[0], iu[1]] == 0)
+    assert np.all(w[:, iu[0], iu[1]] == 0)
+
+
+def test_panel_cholesky_batch_padding():
+    # batch not a multiple of the chunk: padded entries must not
+    # contaminate real results
+    d = _random_spd(3, 16, seed=2)
+    l, w = pallas_linalg.panel_cholesky_batched(jnp.asarray(d),
+                                                batch_chunk=8)
+    assert np.allclose(np.asarray(l), np.linalg.cholesky(d), atol=1e-5)
+    assert l.shape == (3, 16, 16)
+
+
+@pytest.mark.parametrize("m,block", [(60, 32), (150, 32), (96, 96)])
+def test_spd_inverse_blocked_matches_inv(m, block):
+    a = _random_spd(4, m, seed=3)
+    inv = np.asarray(pallas_linalg.spd_inverse_blocked(
+        jnp.asarray(a), block=block))
+    ref = np.linalg.inv(a.astype(np.float64))
+    assert np.max(np.abs(inv - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_spd_inverse_blocked_unbatched_and_f64():
+    a = _random_spd(1, 70, seed=4)[0].astype(np.float64)
+    inv = np.asarray(pallas_linalg.spd_inverse_blocked(
+        jnp.asarray(a), block=32))
+    assert inv.shape == (70, 70)
+    assert np.allclose(inv @ a, np.eye(70), atol=1e-10)
+
+
+def test_covariance_cholesky_blocked_engine_matches():
+    coords = _random_coords(3, 40, seed=5)
+    params = ffparams.invariant_params(7.0)
+    from springcraft_tpu.ops import assembly
+
+    hessians = jnp.stack([
+        assembly.hessian_matrix(jnp.asarray(c), params, jnp,
+                                dtype=jnp.float32, layout="xyz")
+        for c in coords
+    ])
+    bases = jnp.stack([
+        rigid.rigid_modes_anm(jnp.asarray(c), layout="xyz")
+        for c in coords
+    ])
+    ref = rigid.covariance_cholesky(hessians, bases)
+    got = rigid.covariance_cholesky(hessians, bases, inverse="blocked")
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-4
+
+
+def test_covariance_cholesky_rejects_unknown_engine():
+    a = jnp.asarray(_random_spd(1, 12)[0])
+    with pytest.raises(ValueError, match="inverse engine"):
+        rigid.covariance_cholesky(a, jnp.ones((12, 1)) / np.sqrt(12),
+                                  inverse="qr")
+
+
+@pytest.mark.parametrize("with_prs", [False, True])
+def test_ensemble_anm_fluctuations_blocked_matches_vmap(with_prs):
+    coords = _random_coords(4, 30, seed=6)
+    params = ffparams.invariant_params(7.0)
+    ref = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="cho_solve", with_prs=with_prs)
+    got = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked", with_prs=with_prs)
+    assert set(got) == set(ref)
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        err = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
+        assert err < 2e-4, (key, err)
+
+
+def test_ensemble_gnm_fluctuations_blocked_matches_vmap():
+    coords = _random_coords(4, 30, seed=7)
+    params = ffparams.invariant_params(7.0)
+    ref = pipeline.ensemble_gnm_fluctuations(
+        coords, params, inverse="cho_solve")
+    got = pipeline.ensemble_gnm_fluctuations(
+        coords, params, inverse="blocked")
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-4
+
+
+def test_ensemble_fluctuations_blocked_masses():
+    coords = _random_coords(3, 25, seed=8)
+    params = ffparams.invariant_params(7.0)
+    masses = np.linspace(1.0, 3.0, 25).astype(np.float32)
+    ref = pipeline.ensemble_anm_fluctuations(
+        coords, params, masses=jnp.asarray(masses), inverse="cho_solve")
+    got = pipeline.ensemble_anm_fluctuations(
+        coords, params, masses=jnp.asarray(masses), inverse="blocked")
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-4
