@@ -51,7 +51,12 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 N_RES = 300
-BATCH = 64
+#: Conformers per device program.  Every jitted call pays a ~28 ms
+#: relay floor on this target (see CLAUDE.md), and the blocked-inverse
+#: pipeline is compute-bound beyond ~64 — 128 amortizes the floor and
+#: measured fastest per solve (192 already shows HBM pressure; 256
+#: trips a remote-compiler failure).
+BATCH = 128
 CUTOFF = 13.0
 TPU_ITERS = 8
 CPU_ITERS = 3
@@ -124,21 +129,35 @@ def bench_tpu():
 
     solves = TPU_ITERS * BATCH
 
-    # Fluctuation pipeline (Cholesky covariance, no eigh) — the
-    # headline: MSF + B-factors + normalized DCC per conformer
-    fluct = jax.vmap(
-        functools.partial(pipeline.anm_fluctuations, params=params,
-                          with_dcc=True, dtype=jnp.float32)
-    )
+    # Fluctuation pipeline — the headline: MSF + B-factors + normalized
+    # DCC + all-mode covariance per conformer, through the batched
+    # Pallas panel-Cholesky blocked inverse (ops/pallas_linalg)
     fluct_fn = jax.jit(
-        lambda b: sum(jnp.sum(v) for v in fluct(b).values())
+        lambda b: sum(jnp.sum(v) for v in
+                      pipeline.ensemble_anm_fluctuations(
+                          b, params, with_dcc=True, dtype=jnp.float32,
+                          inverse="blocked").values())
     )
     compile_s, elapsed, _ = _timed(fluct_fn, batches)
     fluct_rate = solves / elapsed
     log(f"tpu[{jax.devices()[0].device_kind}] fluctuation pipeline "
-        f"(Cholesky covariance): compile {compile_s:.1f}s; {solves} "
-        f"solves (N={N_RES}) in {elapsed:.3f}s -> "
+        f"(blocked Pallas-panel covariance): compile {compile_s:.1f}s; "
+        f"{solves} solves (N={N_RES}) in {elapsed:.3f}s -> "
         f"{fluct_rate:.1f} solves/s")
+
+    # The per-conformer cho_solve formulation, for comparison
+    cho_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in
+                      pipeline.ensemble_anm_fluctuations(
+                          b, params, with_dcc=True, dtype=jnp.float32,
+                          inverse="cho_solve").values())
+    )
+    compile_s, elapsed, _ = _timed(cho_fn, batches)
+    cho_rate = solves / elapsed
+    log(f"tpu fluctuation pipeline (XLA cho_solve covariance): compile "
+        f"{compile_s:.1f}s; {solves} solves in {elapsed:.3f}s -> "
+        f"{cho_rate:.1f} solves/s "
+        f"({fluct_rate / cho_rate:.2f}x from the blocked inverse)")
 
     # Full spectral pipeline (eigh) — diagnostics
     spectral = jax.vmap(
@@ -204,12 +223,12 @@ def bench_tabulated_tpu():
 
     rates = {}
     for use_pallas in (False, True):
-        fluct = jax.vmap(
-            functools.partial(pipeline.anm_fluctuations, params=params,
-                              with_dcc=True, dtype=jnp.float32,
-                              use_pallas=use_pallas)
+        fn = jax.jit(
+            lambda b, up=use_pallas: sum(
+                jnp.sum(v) for v in pipeline.ensemble_anm_fluctuations(
+                    b, params, with_dcc=True, dtype=jnp.float32,
+                    use_pallas=up, inverse="blocked").values())
         )
-        fn = jax.jit(lambda b: sum(jnp.sum(v) for v in fluct(b).values()))
         compile_s, elapsed, _ = _timed(fn, batches)
         rates[use_pallas] = solves / elapsed
         path = "pallas" if use_pallas else "xla"
@@ -392,6 +411,20 @@ def run_smoke():
         )(coord)
         check(f"kirchhoff pallas==xla [invariant, n={n}]", k_pal, k_xla,
               5e-5)
+
+    # blocked-inverse engine (compiled Mosaic panel kernel + matmul
+    # substitution) must match the XLA cho_solve covariance end to end
+    rng = np.random.RandomState(3)
+    ens = jnp.asarray(
+        (rng.rand(16, 300, 3) * 34.0).astype(np.float32))
+    inv = ffparams.invariant_params(13.0)
+    blocked = pipeline.ensemble_anm_fluctuations(
+        ens, inv, with_dcc=True, inverse="blocked")
+    chosolve = pipeline.ensemble_anm_fluctuations(
+        ens, inv, with_dcc=True, inverse="cho_solve")
+    for key in ("msf", "dcc", "covariance"):
+        check(f"blocked inverse == cho_solve [{key}]", blocked[key],
+              chosolve[key], 5e-4)
 
     # bf16-hazard regression: production f32 MSF at 7cal scale must
     # track the f64 host truth at ~1e-5 relative error, not ~1e-2

@@ -124,7 +124,12 @@ def panel_cholesky_batched(panels, interpret=None, batch_chunk=None):
         # output, slack) must fit the ~16 MB VMEM budget.
         lanes = max(pb, 128)
         batch_chunk = max(8, min(128, (14 * 2**20) // (4 * 4 * pb * lanes)))
-    bc = min(_round_up(b, 8), batch_chunk)
+    # Split the batch into the fewest chunks that fit, sized to
+    # minimize padding (a chunk size just under the cap can otherwise
+    # nearly double the padded batch, and padded rows cost real
+    # elimination work).
+    n_chunks = -(-b // batch_chunk)
+    bc = min(_round_up(b, 8), _round_up(-(-b // n_chunks), 8))
     b_pad = _round_up(b, bc)
     if b_pad != b:
         # pad with identity panels so the elimination stays finite
@@ -183,23 +188,48 @@ def spd_inverse_blocked(a, block=64, interpret=None):
     batch_shape = a.shape[:-2]
     m = a.shape[-1]
     a = a.reshape((-1, m, m))
-    b = a.shape[0]
+    g = _padded_inverse_factor(a, m, block, interpret)
+    inv = jnp.einsum("bki,bkj->bij", g, g, precision=_HIGH)
+    if inv.shape[-1] != m:
+        inv = inv[:, :m, :m]
+    return inv.reshape(batch_shape + (m, m))
 
+
+def spd_inverse_factor(a, block=64, interpret=None):
+    """
+    Inverse Gram factor of an SPD batch: returns ``G`` of shape
+    ``(..., mp, mp)`` — the padded factorization's ``L^-1``, with
+    ``mp = ceil(m / block) * block`` — such that
+    ``A^-1 = (G^T @ G)[:m, :m]``.  G stays at the padded (tile-aligned)
+    size: trimming before the Gram product would force an unaligned
+    matmul, which measures slower than the padded one on TPU.  Callers
+    that post-scale the inverse (e.g. Jacobi-equilibration un-scaling
+    in ``ops.rigid.covariance_cholesky``) fold the scaling into G's
+    columns (zero-padded past ``m``) and save full elementwise passes
+    over the inverse.
+    """
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., m, m), got {a.shape}")
+    batch_shape = a.shape[:-2]
+    m = a.shape[-1]
+    a = a.reshape((-1, m, m))
+    g = _padded_inverse_factor(a, m, block, interpret)
+    return g.reshape(batch_shape + g.shape[-2:])
+
+
+def _padded_inverse_factor(a, m, block, interpret):
+    """(b, m, m) SPD -> (b, mp, mp) inverse factor of the
+    identity-padded problem (exact: padding decouples)."""
     mp = _round_up(m, block)
-    k_panels = mp // block
     if mp != m:
         pad = mp - m
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
         # identity on the padding diagonal keeps the factorization exact
         diag = jnp.arange(m, mp)
         a = a.at[:, diag, diag].set(1.0)
-
     lfull, panel_invs = _blocked_cholesky(a, block, interpret)
-    g = _blocked_tri_inverse(lfull, panel_invs, block)
-    inv = jnp.einsum("bki,bkj->bij", g, g, precision=_HIGH)
-    if mp != m:
-        inv = inv[:, :m, :m]
-    return inv.reshape(batch_shape + (m, m))
+    return _blocked_tri_inverse(lfull, panel_invs, block)
 
 
 def _blocked_cholesky(a, block, interpret=None):

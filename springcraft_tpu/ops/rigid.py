@@ -159,8 +159,21 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
     if inverse == "blocked":
         from . import pallas_linalg
 
-        inv = pallas_linalg.spd_inverse_blocked(reg, interpret=interpret)
-        inv = inv * scale[..., :, None] * scale[..., None, :]
+        # Fold the equilibration un-scaling into the inverse Gram
+        # factor's columns: S (G^T G) S = (G S)^T (G S) — saves full
+        # elementwise passes over the (m, m) inverse.  G comes back at
+        # the tile-padded size; zero-padding the scale zeroes the
+        # padding columns, so the slice below is exact.
+        g = pallas_linalg.spd_inverse_factor(reg, interpret=interpret)
+        mp = g.shape[-1]
+        if mp != m:
+            scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
+            scale_p = scale_p.at[..., :m].set(scale)
+        else:
+            scale_p = scale
+        g = g * scale_p[..., None, :]
+        inv = jnp.einsum("...ki,...kj->...ij", g, g,
+                         precision='highest')[..., :m, :m]
         return inv - ttt / sigma
     elif inverse != "cho_solve":
         raise ValueError(f"unknown inverse engine {inverse!r}")
