@@ -231,8 +231,9 @@ def bench_tabulated_tpu():
         )
         compile_s, elapsed, _ = _timed(fn, batches)
         rates[use_pallas] = solves / elapsed
-        path = "pallas" if use_pallas else "xla"
-        log(f"tpu tabulated sdENM fluctuation pipeline [{path}]: "
+        path = "pallas-assembly" if use_pallas else "xla-assembly"
+        log(f"tpu tabulated sdENM fluctuation pipeline [{path}, "
+            f"blocked covariance]: "
             f"compile {compile_s:.1f}s; {solves} solves (N={N_RES}) in "
             f"{elapsed:.3f}s -> {rates[use_pallas]:.1f} solves/s")
     return rates

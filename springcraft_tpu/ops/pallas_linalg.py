@@ -13,10 +13,10 @@ good at:
 
 * the unavoidable ``m`` sequential elimination steps run inside ONE
   Pallas kernel over a small diagonal panel with the whole batch
-  resident in VMEM (`panel_cholesky_batched`) — each step is a handful
-  of vector ops on a ``(batch, pb, pb)`` block, no HBM traffic.  The
-  kernel simultaneously produces the panel factor ``Ld`` and its
-  inverse ``Ld^-1`` by fused forward substitution;
+  resident in VMEM (`panel_cholesky_batched`) — each step is one fused
+  rank-1 pass over a ``(batch, pb, pb)`` block, no HBM traffic.  The
+  panel inverses ``Ld^-1`` come from exact log-depth Newton iterations
+  on the factors (MXU matmuls, outside the kernel);
 * everything else — trailing updates, the blocked substitution for
   ``L^-1``, and the final Gram product ``A^-1 = L^-T L^-1`` — is
   matmul-rich XLA (MXU at full tilt, streamed through HBM), built only
@@ -30,7 +30,7 @@ batched entry points directly (cf. the layout note on
 Reference semantics served: ``np.linalg.pinv(hermitian=True)``
 covariance at `/root/reference/src/springcraft/anm.py:133-136` via
 `ops.rigid.covariance_cholesky` (which regularizes + equilibrates and
-calls :func:`spd_inverse_blocked` on its batched fast path).
+calls :func:`spd_inverse_factor` on its batched fast path).
 """
 
 import functools
@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["panel_cholesky_batched", "spd_inverse_blocked"]
+__all__ = ["panel_cholesky_batched", "spd_inverse_blocked",
+           "spd_inverse_factor"]
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -60,7 +61,6 @@ def _panel_kernel(pb, d_ref, l_ref):
     m0 = d_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (pb, pb), 1)
     rvec = jax.lax.broadcasted_iota(jnp.int32, (1, pb), 1)
-    tiny = jnp.asarray(1e-30, m0.dtype)
     one = jnp.asarray(1.0, m0.dtype)
     zero = jnp.asarray(0.0, m0.dtype)
 
@@ -69,7 +69,11 @@ def _panel_kernel(pb, d_ref, l_ref):
         # column i of the reduced matrix and its pivot
         ci = jnp.sum(jnp.where(sel_col, m, zero), axis=2)  # (bc, pb)
         di = jnp.sum(jnp.where(rvec == i, ci, zero), axis=1)  # (bc,)
-        rs = jax.lax.rsqrt(jnp.maximum(di, tiny))
+        # no pivot clamp: a non-positive pivot (matrix not SPD —
+        # e.g. a null space beyond the caller's regularization) must
+        # surface as inf/NaN in the outputs, matching XLA cholesky's
+        # detectable breakdown rather than silent garbage
+        rs = jax.lax.rsqrt(di)
         lcol = jnp.where(rvec >= i, ci * rs[:, None], zero)  # (bc, pb)
         # rank-1 elimination; columns j > i are reduced, column i is
         # left holding lcol (the elimination zeroes it, +e_i restores),

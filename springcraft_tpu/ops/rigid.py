@@ -157,6 +157,12 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
     reg = reg * scale[..., :, None] * scale[..., None, :]
     m = matrix.shape[-1]
     if inverse == "blocked":
+        if block_size is not None:
+            raise ValueError(
+                "block_size (column-blocked identity solves, the "
+                "memory-lean cho_solve path) is incompatible with "
+                "inverse='blocked', which materializes dense (m, m) "
+                "factor/inverse temporaries")
         from . import pallas_linalg
 
         # Fold the equilibration un-scaling into the inverse Gram

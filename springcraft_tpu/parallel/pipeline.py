@@ -529,7 +529,10 @@ def gnm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     kirchhoff = _mass_weight(kirchhoff, masses, repeat3=False)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
     cov = rigid.covariance_cholesky(kirchhoff, basis)
+    return _gnm_cov_observables(cov, with_dcc)
 
+
+def _gnm_cov_observables(cov, with_dcc):
     out = {
         "covariance": cov,
         "msf": jnp.diagonal(cov),
@@ -550,12 +553,13 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     substantially faster than per-conformer ``cho_solve`` on TPU, where
     XLA Cholesky's ~m sequential HBM-bound steps dominate the pipeline;
     ``"cho_solve"`` vmaps the per-conformer path; ``"auto"`` picks
-    ``"blocked"`` on TPU backends.
+    ``"blocked"`` on TPU backends for float32.
     """
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
     if inverse == "auto":
-        inverse = ("blocked" if jax.default_backend() == "tpu"
+        inverse = ("blocked"
+                   if _blocked_auto_ok(options.get("dtype", jnp.float32))
                    else "cho_solve")
     if inverse == "blocked":
         return _ensemble_anm_fluctuations_blocked(
@@ -563,6 +567,12 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     fn = functools.partial(anm_fluctuations, params=params, masses=masses,
                            **options)
     return jax.vmap(lambda c: fn(c))(coords)
+
+
+def _blocked_auto_ok(dtype):
+    # The compiled Mosaic panel kernel is float32-only; f64 parity
+    # ensembles (x64 on TPU) must keep the cho_solve route.
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32)
 
 
 def ensemble_gnm_fluctuations(coords, params, masses=None, *,
@@ -573,7 +583,7 @@ def ensemble_gnm_fluctuations(coords, params, masses=None, *,
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
     if inverse == "auto":
-        inverse = ("blocked" if jax.default_backend() == "tpu"
+        inverse = ("blocked" if _blocked_auto_ok(dtype)
                    else "cho_solve")
     if inverse == "blocked":
         return _ensemble_gnm_fluctuations_blocked(
@@ -601,15 +611,7 @@ def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
     kirchhoffs = jax.vmap(build)(coords)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
     cov = rigid.covariance_cholesky(kirchhoffs, basis, inverse="blocked")
-
-    def obs(cov1):
-        out = {"covariance": cov1, "msf": jnp.diagonal(cov1)}
-        out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
-        if with_dcc:
-            out["dcc"] = nma_core.normalize_dcc(cov1, jnp)
-        return out
-
-    return jax.vmap(obs)(cov)
+    return jax.vmap(lambda c: _gnm_cov_observables(c, with_dcc))(cov)
 
 
 @functools.partial(

@@ -90,6 +90,28 @@ def test_covariance_cholesky_blocked_engine_matches():
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-4
 
 
+def test_blocked_breakdown_is_detectable():
+    # A matrix that is not SPD (rank-deficient beyond the caller's
+    # regularization) must surface as non-finite output — matching XLA
+    # cholesky's detectable NaN — never silent finite garbage.
+    a = _random_spd(2, 32, seed=9)
+    u = np.random.RandomState(9).randn(2, 32, 1).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    deficient = a - (a @ u) @ np.swapaxes(a @ u, 1, 2) / np.einsum(
+        "bif,bif->b", u, a @ u)[:, None, None]
+    inv = np.asarray(pallas_linalg.spd_inverse_blocked(
+        jnp.asarray(deficient), block=16))
+    assert not np.isfinite(inv).all()
+
+
+def test_covariance_cholesky_blocked_rejects_block_size():
+    a = jnp.asarray(_random_spd(1, 12)[0])
+    basis = jnp.ones((12, 1)) / np.sqrt(12)
+    with pytest.raises(ValueError, match="incompatible"):
+        rigid.covariance_cholesky(a, basis, block_size=4,
+                                  inverse="blocked")
+
+
 def test_covariance_cholesky_rejects_unknown_engine():
     a = jnp.asarray(_random_spd(1, 12)[0])
     with pytest.raises(ValueError, match="inverse engine"):
