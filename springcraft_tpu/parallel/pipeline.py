@@ -355,11 +355,13 @@ def anm_spectral(coord, params, masses=None, *, n_modes=None,
 @functools.partial(
     jax.jit,
     static_argnames=("n_modes", "with_dcc", "dtype", "use_pallas",
-                     "bandwidth", "n_iter_bisect", "n_iter_modes"),
+                     "bandwidth", "n_iter_bisect", "n_iter_modes",
+                     "inverse"),
 )
 def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
                                 with_dcc, dtype, use_pallas, bandwidth,
-                                n_iter_bisect, n_iter_modes):
+                                n_iter_bisect, n_iter_modes,
+                                inverse="cho_solve"):
     from ..ops import modes as modes_mod
     from ..ops import spectrum
 
@@ -376,7 +378,7 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
             dtype=dtype)
 
     hessians, bases = jax.vmap(build)(coords)      # (B, 3n, 3n)
-    covs = jax.vmap(rigid.covariance_cholesky)(hessians, bases)
+    covs = rigid.covariance_cholesky(hessians, bases, inverse=inverse)
 
     planes = covs.reshape(-1, 3, n, 3, n)
     traces = sum(planes[:, a, :, a, :] for a in range(3))
@@ -410,21 +412,27 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
 def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
                           with_dcc=True, dtype=jnp.float32,
                           use_pallas=False, bandwidth=8,
-                          n_iter_bisect=40, n_iter_modes=16):
+                          n_iter_bisect=40, n_iter_modes=16,
+                          inverse="auto"):
     """
     Batched :func:`anm_spectral` over a conformer ensemble.
 
     Not a plain ``vmap`` of the single-structure pipeline: the
     eigenvalue stage flows through :func:`ops.spectrum.eigvalsh_banded`
     as a native batch so its Pallas bisection kernel keeps full
-    sublane utilization.
+    sublane utilization, and the shared covariance solve takes the
+    batched blocked-inverse engine (``inverse`` — see
+    :func:`ensemble_anm_fluctuations`).
     """
     params = _resolve_params(params)
+    if inverse == "auto":
+        inverse = ("blocked" if _blocked_auto_ok(dtype)
+                   else "cho_solve")
     return _ensemble_anm_spectral_impl(
         jnp.asarray(coords), params, masses, n_modes=n_modes,
         with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
         bandwidth=bandwidth, n_iter_bisect=n_iter_bisect,
-        n_iter_modes=n_iter_modes)
+        n_iter_modes=n_iter_modes, inverse=inverse)
 
 
 @functools.partial(

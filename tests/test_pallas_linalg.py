@@ -146,6 +146,20 @@ def test_ensemble_gnm_fluctuations_blocked_matches_vmap():
         assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-4
 
 
+def test_ensemble_spectral_blocked_matches_cho_solve():
+    coords = _random_coords(3, 24, seed=10)
+    params = ffparams.invariant_params(7.0)
+    ref = pipeline.ensemble_anm_spectral(
+        coords, params, n_modes=4, inverse="cho_solve")
+    got = pipeline.ensemble_anm_spectral(
+        coords, params, n_modes=4, inverse="blocked")
+    for key in ("covariance", "msf", "dcc", "eig_values",
+                "mode_values"):
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        err = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
+        assert err < 5e-4, (key, err)
+
+
 def test_ensemble_fluctuations_blocked_masses():
     coords = _random_coords(3, 25, seed=8)
     params = ffparams.invariant_params(7.0)
