@@ -30,6 +30,7 @@ __all__ = [
     "gnm_fluctuations",
     "ensemble_anm",
     "ensemble_anm_spectral",
+    "ensemble_gnm_spectral",
     "ensemble_gnm",
     "ensemble_anm_fluctuations",
     "ensemble_gnm_fluctuations",
@@ -473,6 +474,77 @@ def gnm_spectral(coord, params, masses=None, *, with_dcc=True,
     if with_dcc:
         out["dcc"] = nma_core.normalize_dcc(cov, jnp)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_modes", "with_dcc", "dtype", "use_pallas",
+                     "bandwidth", "n_iter_bisect", "n_iter_modes",
+                     "inverse"),
+)
+def _ensemble_gnm_spectral_impl(coords, params, masses, *, n_modes,
+                                with_dcc, dtype, use_pallas, bandwidth,
+                                n_iter_bisect, n_iter_modes,
+                                inverse="cho_solve"):
+    from ..ops import modes as modes_mod
+    from ..ops import spectrum
+
+    coords = jnp.asarray(coords, dtype=dtype)
+    n = coords.shape[1]
+
+    def build(coord):
+        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
+        return _mass_weight(kirchhoff, masses, repeat3=False)
+
+    kirchhoffs = jax.vmap(build)(coords)
+    basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
+    covs = rigid.covariance_cholesky(kirchhoffs, basis, inverse=inverse)
+    vals = spectrum.eigvalsh_banded(kirchhoffs, bandwidth=bandwidth,
+                                    n_iter=n_iter_bisect)
+    out = {
+        "covariance": covs,
+        "eig_values": vals,
+        "frequencies": jax.vmap(
+            lambda v: nma_core.frequencies_from_eigenvalues(v, 1, jnp)
+        )(vals),
+        "msf": jnp.diagonal(covs, axis1=1, axis2=2),
+    }
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        out["dcc"] = jax.vmap(
+            lambda c: nma_core.normalize_dcc(c, jnp))(covs)
+    if n_modes is not None:
+        mode_vals, mode_vecs = jax.vmap(
+            lambda c, m: modes_mod.modes_from_covariance(
+                c, m, basis, k=n_modes, n_iter=n_iter_modes)
+        )(covs, kirchhoffs)
+        out["mode_values"] = mode_vals
+        out["mode_vectors"] = mode_vecs
+    return out
+
+
+def ensemble_gnm_spectral(coords, params, masses=None, *, n_modes=None,
+                          with_dcc=True, dtype=jnp.float32,
+                          use_pallas=False, bandwidth=8,
+                          n_iter_bisect=40, n_iter_modes=16,
+                          inverse="auto"):
+    """
+    Batched :func:`gnm_spectral` over a conformer ensemble — the GNM
+    analogue of :func:`ensemble_anm_spectral`: all Kirchhoff
+    eigenvalues through the natively batched two-stage banded solver,
+    all-mode covariance observables through the shared (optionally
+    blocked-Pallas) Cholesky engine, and optionally the ``n_modes``
+    lowest mode shapes by subspace iteration on the covariance.
+    """
+    params = _resolve_params(params)
+    if inverse == "auto":
+        inverse = ("blocked" if _blocked_auto_ok(dtype)
+                   else "cho_solve")
+    return _ensemble_gnm_spectral_impl(
+        jnp.asarray(coords), params, masses, n_modes=n_modes,
+        with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
+        bandwidth=bandwidth, n_iter_bisect=n_iter_bisect,
+        n_iter_modes=n_iter_modes, inverse=inverse)
 
 
 @functools.partial(

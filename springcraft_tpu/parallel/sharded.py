@@ -74,7 +74,13 @@ def sharded_ensemble_gnm(coords, params, mesh, masses=None, **options):
 def sharded_ensemble_anm_fluctuations(coords, params, mesh, masses=None,
                                       **options):
     """Data-parallel fast-covariance ensemble ANM over `mesh`
-    (see :func:`sharded_ensemble_anm`)."""
+    (see :func:`sharded_ensemble_anm`).
+
+    Defaults to the ``cho_solve`` covariance engine: GSPMD cannot
+    partition the blocked engine's Pallas panel kernel over the sharded
+    batch axis (pass ``inverse="blocked"`` explicitly only on a
+    single-device mesh)."""
+    options.setdefault("inverse", "cho_solve")
     coords = _shard_batch(coords, mesh)
     return pipeline.ensemble_anm_fluctuations(coords, params,
                                               masses=masses, **options)

@@ -160,6 +160,25 @@ def test_ensemble_spectral_blocked_matches_cho_solve():
         assert err < 5e-4, (key, err)
 
 
+def test_ensemble_gnm_spectral_matches_single():
+    coords = _random_coords(3, 24, seed=11)
+    params = ffparams.invariant_params(7.0)
+    ens = pipeline.ensemble_gnm_spectral(
+        coords, params, n_modes=3, inverse="cho_solve")
+    for i in range(3):
+        one = pipeline.gnm_spectral(jnp.asarray(coords[i]), params)
+        for key in ("covariance", "msf", "eig_values", "dcc"):
+            scale = float(jnp.max(jnp.abs(one[key]))) or 1.0
+            err = float(jnp.max(jnp.abs(ens[key][i] - one[key]))) / scale
+            assert err < 5e-4, (key, err)
+    # blocked engine agrees
+    blk = pipeline.ensemble_gnm_spectral(
+        coords, params, n_modes=3, inverse="blocked")
+    for key in ("covariance", "msf", "eig_values", "mode_values"):
+        scale = float(jnp.max(jnp.abs(ens[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(blk[key] - ens[key]))) / scale < 5e-4
+
+
 def test_ensemble_fluctuations_blocked_masses():
     coords = _random_coords(3, 25, seed=8)
     params = ffparams.invariant_params(7.0)
