@@ -426,9 +426,7 @@ def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
     :func:`ensemble_anm_fluctuations`).
     """
     params = _resolve_params(params)
-    if inverse == "auto":
-        inverse = ("blocked" if _blocked_auto_ok(dtype)
-                   else "cho_solve")
+    inverse = _resolve_inverse(inverse, dtype)
     return _ensemble_anm_spectral_impl(
         jnp.asarray(coords), params, masses, n_modes=n_modes,
         with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
@@ -537,9 +535,7 @@ def ensemble_gnm_spectral(coords, params, masses=None, *, n_modes=None,
     lowest mode shapes by subspace iteration on the covariance.
     """
     params = _resolve_params(params)
-    if inverse == "auto":
-        inverse = ("blocked" if _blocked_auto_ok(dtype)
-                   else "cho_solve")
+    inverse = _resolve_inverse(inverse, dtype)
     return _ensemble_gnm_spectral_impl(
         jnp.asarray(coords), params, masses, n_modes=n_modes,
         with_dcc=with_dcc, dtype=dtype, use_pallas=use_pallas,
@@ -637,10 +633,7 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     """
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
-    if inverse == "auto":
-        inverse = ("blocked"
-                   if _blocked_auto_ok(options.get("dtype", jnp.float32))
-                   else "cho_solve")
+    inverse = _resolve_inverse(inverse, options.get("dtype", jnp.float32))
     if inverse == "blocked":
         return _ensemble_anm_fluctuations_blocked(
             coords, params, masses, **options)
@@ -655,6 +648,12 @@ def _blocked_auto_ok(dtype):
     return (jax.default_backend() == "tpu" and dtype == jnp.float32)
 
 
+def _resolve_inverse(inverse, dtype):
+    if inverse == "auto":
+        return "blocked" if _blocked_auto_ok(dtype) else "cho_solve"
+    return inverse
+
+
 def ensemble_gnm_fluctuations(coords, params, masses=None, *,
                               inverse="auto", with_dcc=True,
                               dtype=jnp.float32, use_pallas=False):
@@ -662,9 +661,7 @@ def ensemble_gnm_fluctuations(coords, params, masses=None, *,
     ``inverse`` engine selection)."""
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
-    if inverse == "auto":
-        inverse = ("blocked" if _blocked_auto_ok(dtype)
-                   else "cho_solve")
+    inverse = _resolve_inverse(inverse, dtype)
     if inverse == "blocked":
         return _ensemble_gnm_fluctuations_blocked(
             coords, params, masses, with_dcc=with_dcc, dtype=dtype,
