@@ -46,7 +46,19 @@ print("mean MSF profile:", np.round(np.asarray(out["msf"]).mean(0)[:5], 3))
 
 # Fast covariance-only pipeline (regularized Cholesky, no eigensolve):
 # an order of magnitude faster when only fluctuation observables are
-# needed
+# needed.  On TPU this routes the whole batch through the blocked
+# Pallas panel-Cholesky inverse (inverse="auto"); pass
+# inverse="cho_solve" to force the per-conformer XLA formulation.
 fluc = ensemble_anm_fluctuations(conformers, params, with_dcc=True)
 print("fast-path MSF matches:",
       bool(np.allclose(fluc["msf"], out["msf"], rtol=5e-3, atol=1e-4)))
+
+# GNM spectral ensemble: all Kirchhoff eigenvalues via the natively
+# batched two-stage banded solver + covariance observables + the 3
+# lowest mode shapes, no dense eigh anywhere
+from springcraft_tpu.parallel import ensemble_gnm_spectral
+
+gnm = ensemble_gnm_spectral(conformers, params, n_modes=3)
+print("GNM eig_values:", gnm["eig_values"].shape)    # (B, n)
+print("GNM mode_values[0]:",
+      np.round(np.asarray(gnm["mode_values"][0]), 4))
