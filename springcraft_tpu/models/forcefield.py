@@ -365,6 +365,17 @@ class TabulatedForceField(ForceField):
 
         # Per-atom metadata for both the dense matrix and the compact
         # TPU representation
+        bad = [aa for aa in dict.fromkeys(atoms.res_name)
+               if aa not in AA_TO_INDEX]
+        if bad:
+            pos = int(np.flatnonzero(
+                np.asarray(atoms.res_name) == bad[0])[0])
+            raise BadStructureError(
+                f"non-canonical residue(s) {', '.join(map(repr, bad))} "
+                f"(first at atom index {pos}); TabulatedForceField "
+                f"requires the 20 canonical amino acids — filter "
+                f"HETATM/non-standard residues from the CA trace first"
+            )
         self._type_idx = np.array(
             [AA_TO_INDEX[aa] for aa in atoms.res_name], dtype=np.int32
         )

@@ -1085,6 +1085,8 @@ def _chebfsi_outer(matvec, t, x, a, b, *, degree, k):
 
 def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
              seed, dtype, tol=None):
+    if n_outer < 1:
+        raise ValueError(f"n_outer must be >= 1, got {n_outer}")
     p = k + oversample
     b = jnp.asarray(lam_max, dtype)
     x = _chebfsi_init(t, m, p=p, seed=seed, dtype=dtype)

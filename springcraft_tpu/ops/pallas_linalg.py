@@ -124,10 +124,12 @@ def panel_cholesky_batched(panels, interpret=None, batch_chunk=None):
         raise ValueError(f"panels must be (b, pb, pb) with pb % 8 == 0, "
                          f"got {panels.shape}")
     if batch_chunk is None:
-        # ~4 live (bc, pb, pb_lanes) f32 buffers (input, loop carry,
+        # ~4 live (bc, pb, pb_lanes) buffers (input, loop carry,
         # output, slack) must fit the ~16 MB VMEM budget.
         lanes = max(pb, 128)
-        batch_chunk = max(8, min(128, (14 * 2**20) // (4 * 4 * pb * lanes)))
+        itemsize = panels.dtype.itemsize
+        batch_chunk = max(
+            8, min(128, (14 * 2**20) // (4 * itemsize * pb * lanes)))
     # Split the batch into the fewest chunks that fit, sized to
     # minimize padding (a chunk size just under the cap can otherwise
     # nearly double the padded batch, and padded rows cost real

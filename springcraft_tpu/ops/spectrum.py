@@ -712,10 +712,10 @@ def _eigvec_kernel(w, n, n_solves, seed, *refs):
         jax.lax.fori_loop(0, n, fwd_body, acc0)
 
         # backward: x_i = z_i / d_i - sum_p l[i, p] x_{i+1+p}
-        def bwd_body(j, carry):
+        def bwd_body(step, carry):
             xwin = list(carry[:-1])
             sumsq = carry[-1]
-            i = n - 1 - j
+            i = n - 1 - step
             y_i = x_ref[pl.ds(i, 1), :] / d_ref[pl.ds(i, 1), :]
             s = fzero
             for p in range(w - 1):

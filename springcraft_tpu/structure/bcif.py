@@ -238,30 +238,26 @@ def _decode_integer_packing(packed, enc):
     return out
 
 
-def _column_strings(column, row_count):
-    """Decode one column to per-row strings with mask semantics
-    ('.' = not specified, '?' = unknown) — the textual form the shared
-    CIF logic consumes."""
-    values = _decode_data(column["data"]["data"],
-                          column["data"]["encoding"])
-    values = np.asarray(values)
-    if values.dtype == object:
-        text = values.astype(str)
-    elif np.issubdtype(values.dtype, np.floating):
-        text = np.asarray([repr(float(v)) for v in values], dtype=object)
-    else:
-        text = np.asarray([str(int(v)) for v in values], dtype=object)
-    if len(text) != row_count:
+def _column_values(column, row_count):
+    """Decode one column to a NumPy array, keeping numeric columns
+    numeric (vectorized — no per-cell Python loops).  Mask semantics
+    ('.' = not specified, '?' = unknown) force a string representation
+    only where a mask is actually present."""
+    values = np.asarray(_decode_data(column["data"]["data"],
+                                     column["data"]["encoding"]))
+    if len(values) != row_count:
         raise ValueError(
-            f"Column {column.get('name')!r} has {len(text)} rows, "
+            f"Column {column.get('name')!r} has {len(values)} rows, "
             f"expected {row_count}")
     mask_obj = column.get("mask")
     if mask_obj:
         mask = np.asarray(
             _decode_data(mask_obj["data"], mask_obj["encoding"]))
-        text = np.where(mask == 1, ".", text)
-        text = np.where(mask == 2, "?", text)
-    return list(text)
+        if (mask != 0).any():
+            values = values.astype(str).astype(object)
+            values[mask == 1] = "."
+            values[mask == 2] = "?"
+    return values
 
 
 def read_bcif_as_cif(path):
@@ -278,12 +274,11 @@ def read_bcif_as_cif(path):
                 continue
             row_count = category["rowCount"]
             columns = []
-            rows_by_col = []
+            cols = []
             for column in category.get("columns", []):
                 columns.append(column["name"])
-                rows_by_col.append(_column_strings(column, row_count))
-            rows = [list(r) for r in zip(*rows_by_col)]
-            return CIFFile(columns, rows)
+                cols.append(_column_values(column, row_count))
+            return CIFFile.from_columns(columns, cols)
     raise ValueError("No atom_site category found in BinaryCIF file")
 
 

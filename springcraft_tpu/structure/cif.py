@@ -53,11 +53,28 @@ def _tokenize(line):
 
 
 class CIFFile:
-    """Parsed ``atom_site`` records of an mmCIF file."""
+    """Parsed ``atom_site`` records of an mmCIF file.
+
+    Storage is columnar (one NumPy array per column) so that numeric
+    columns decoded from BinaryCIF stay vectorized end-to-end; the
+    row-major constructor is kept for the text reader.
+    """
 
     def __init__(self, columns, rows):
-        self._columns = columns
-        self._rows = rows
+        self._columns = list(columns)
+        if rows:
+            arr = np.array(rows, dtype=object)
+            self._cols = [arr[:, j] for j in range(arr.shape[1])]
+        else:
+            self._cols = [np.empty(0, dtype=object) for _ in columns]
+
+    @classmethod
+    def from_columns(cls, columns, cols):
+        """Build directly from per-column arrays (string or numeric)."""
+        self = cls.__new__(cls)
+        self._columns = list(columns)
+        self._cols = [np.asarray(c) for c in cols]
+        return self
 
     @staticmethod
     def read(path):
@@ -136,14 +153,14 @@ class CIFFile:
         return CIFFile(columns, rows)
 
     def get_model_count(self):
-        idx = self._column_index("pdbx_PDB_model_num")
-        if idx is None:
+        col = self._column("pdbx_PDB_model_num")
+        if col is None:
             return 1
-        return len({row[idx] for row in self._rows})
+        return len(np.unique(col))
 
-    def _column_index(self, name):
+    def _column(self, name):
         try:
-            return self._columns.index(name)
+            return self._cols[self._columns.index(name)]
         except ValueError:
             return None
 
@@ -153,55 +170,67 @@ class CIFFile:
 
 def _pick(cif, *names):
     for name in names:
-        idx = cif._column_index(name)
-        if idx is not None:
-            return idx
+        col = cif._column(name)
+        if col is not None:
+            return col
     return None
+
+
+def _as_int(col, *, blank_to=None):
+    """Vectorized int conversion tolerating '.'/'?' blanks when
+    `blank_to` is given."""
+    col = np.asarray(col)
+    if col.dtype.kind in "OUS":
+        s = col.astype("U16")
+        if blank_to is not None:
+            s = np.where(np.isin(s, (".", "?", "")), str(blank_to), s)
+        return s.astype(np.int64)
+    return col.astype(np.int64)
 
 
 def get_structure_cif(cif, model=None):
     """Build an :class:`AtomArray` from a :class:`CIFFile` (1-based
-    `model`, defaulting to the first)."""
-    model_idx = cif._column_index("pdbx_PDB_model_num")
-    rows = cif._rows
-    if model_idx is not None:
-        model_ids = sorted(
-            {row[model_idx] for row in rows}, key=lambda v: int(v)
-        )
+    `model`, defaulting to the first).  Fully vectorized — columns stay
+    NumPy arrays from decode to annotation."""
+    n_total = len(cif._cols[0]) if cif._cols else 0
+    keep = np.ones(n_total, dtype=bool)
+
+    model_col = cif._column("pdbx_PDB_model_num")
+    if model_col is not None:
+        mvals = _as_int(model_col, blank_to=1)
+        model_ids = np.unique(mvals)
         wanted = model_ids[(model or 1) - 1]
-        rows = [row for row in rows if row[model_idx] == wanted]
+        keep &= mvals == wanted
     elif model not in (None, 1):
         raise ValueError(f"Model {model} does not exist in this file")
-    if not rows:
-        raise ValueError("No atom_site records found")
+
+    chain_col = _pick(cif, "auth_asym_id", "label_asym_id")
+    seq_col = _pick(cif, "auth_seq_id", "label_seq_id")
 
     # Alternate locations (label_alt_id): first altloc ID per residue
     # wins; blank-altloc ('.'/'?') atoms always kept — mirrors the PDB
     # reader so .cif and .pdb of the same structure load identically.
-    alt_idx = cif._column_index("label_alt_id")
-    if alt_idx is not None:
-        chain_ix = _pick(cif, "auth_asym_id", "label_asym_id")
-        seq_ix = _pick(cif, "auth_seq_id", "label_seq_id")
-        residue_altloc = {}
-        for row in rows:
-            alt = row[alt_idx]
-            if alt not in (".", "?", ""):
-                key = (row[chain_ix] if chain_ix is not None else "",
-                       row[seq_ix] if seq_ix is not None else "")
-                residue_altloc.setdefault(key, alt)
-        if residue_altloc:
-            rows = [
-                row for row in rows
-                if row[alt_idx] in (".", "?", "")
-                or row[alt_idx] == residue_altloc[(
-                    row[chain_ix] if chain_ix is not None else "",
-                    row[seq_ix] if seq_ix is not None else "",
-                )]
-            ]
+    alt_col = cif._column("label_alt_id")
+    if alt_col is not None and n_total:
+        alt = np.asarray(alt_col).astype("U4")
+        blank = np.isin(alt, (".", "?", ""))
+        if not (blank | ~keep).all():
+            chain_s = (np.asarray(chain_col).astype("U16")
+                       if chain_col is not None
+                       else np.full(n_total, "", dtype="U1"))
+            seq_s = (np.asarray(seq_col).astype("U16")
+                     if seq_col is not None
+                     else np.full(n_total, "", dtype="U1"))
+            res_key = np.char.add(np.char.add(chain_s, "|"), seq_s)
+            uniq, inv = np.unique(res_key, return_inverse=True)
+            # first non-blank altloc per residue wins: assign in
+            # reverse order so the earliest occurrence overwrites last
+            nb = np.flatnonzero(~blank & keep)[::-1]
+            first_alt = np.zeros(len(uniq), dtype=alt.dtype)
+            first_alt[inv[nb]] = alt[nb]
+            keep &= blank | (alt == first_alt[inv])
 
-    ix = {
-        "chain": _pick(cif, "auth_asym_id", "label_asym_id"),
-        "res_id": _pick(cif, "auth_seq_id", "label_seq_id"),
+    cols = {
         "res_name": _pick(cif, "auth_comp_id", "label_comp_id"),
         "atom_name": _pick(cif, "auth_atom_id", "label_atom_id"),
         "element": _pick(cif, "type_symbol"),
@@ -211,32 +240,36 @@ def get_structure_cif(cif, model=None):
         "record": _pick(cif, "group_PDB"),
     }
     for required in ("x", "y", "z", "atom_name", "res_name"):
-        if ix[required] is None:
+        if cols[required] is None:
             raise ValueError(f"atom_site is missing required column "
                              f"for '{required}'")
 
-    n = len(rows)
+    n = int(keep.sum())
+    if n == 0:
+        raise ValueError("No atom_site records found")
     atoms = AtomArray(n)
-    coord = np.empty((n, 3), dtype=np.float32)
-    chain_id = np.empty(n, dtype="<U4")
-    res_id = np.empty(n, dtype=np.int64)
-    res_name = np.empty(n, dtype="<U5")
-    atom_name = np.empty(n, dtype="<U6")
-    element = np.empty(n, dtype="<U2")
-    hetero = np.empty(n, dtype=bool)
 
-    for i, row in enumerate(rows):
-        coord[i] = (float(row[ix["x"]]), float(row[ix["y"]]),
-                    float(row[ix["z"]]))
-        chain_id[i] = row[ix["chain"]] if ix["chain"] is not None else "A"
-        raw_res = row[ix["res_id"]] if ix["res_id"] is not None else "0"
-        res_id[i] = int(raw_res) if raw_res not in (".", "?") else 0
-        res_name[i] = row[ix["res_name"]]
-        atom_name[i] = row[ix["atom_name"]]
-        element[i] = (row[ix["element"]].upper()
-                      if ix["element"] is not None else "")
-        hetero[i] = (row[ix["record"]] == "HETATM"
-                     if ix["record"] is not None else False)
+    def _f32(col):
+        col = np.asarray(col)[keep]
+        if col.dtype.kind in "OUS":
+            col = col.astype("U24")
+        return col.astype(np.float32)
+
+    coord = np.stack(
+        [_f32(cols["x"]), _f32(cols["y"]), _f32(cols["z"])], axis=1)
+    chain_id = (np.asarray(chain_col)[keep].astype("U4")
+                if chain_col is not None
+                else np.full(n, "A", dtype="U4"))
+    res_id = (_as_int(np.asarray(seq_col)[keep], blank_to=0)
+              if seq_col is not None
+              else np.zeros(n, dtype=np.int64))
+    res_name = np.asarray(cols["res_name"])[keep].astype("U5")
+    atom_name = np.asarray(cols["atom_name"])[keep].astype("U6")
+    element = (np.char.upper(
+        np.asarray(cols["element"])[keep].astype("U2"))
+        if cols["element"] is not None else np.full(n, "", dtype="U2"))
+    hetero = (np.asarray(cols["record"])[keep].astype("U6") == "HETATM"
+              if cols["record"] is not None else np.zeros(n, dtype=bool))
 
     atoms.coord = coord
     atoms.set_annotation("chain_id", chain_id)

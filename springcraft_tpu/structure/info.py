@@ -100,5 +100,23 @@ def mass(item, is_residue=None):
 
 
 def residue_masses(res_names):
-    """Vectorized residue-mass lookup for an array of residue names."""
-    return np.array([mass(name, is_residue=True) for name in np.asarray(res_names)])
+    """Vectorized residue-mass lookup for an array of residue names.
+
+    Raises
+    ------
+    KeyError
+        Naming every unknown residue and where it first occurs, so a
+        HETATM-bearing structure fails with an actionable message.
+    """
+    res_names = np.asarray(res_names)
+    unknown = [name for name in dict.fromkeys(res_names)
+               if str(name).upper() not in RESIDUE_MASSES]
+    if unknown:
+        pos = int(np.flatnonzero(res_names == unknown[0])[0])
+        raise KeyError(
+            f"Unknown residue(s) {', '.join(map(repr, map(str, unknown)))} "
+            f"(first at atom index {pos}); masses=True needs every "
+            f"res_name in the residue-mass table — pass an explicit "
+            f"masses array or filter non-standard residues"
+        )
+    return np.array([mass(name, is_residue=True) for name in res_names])

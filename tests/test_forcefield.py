@@ -240,6 +240,26 @@ def test_tabulated_asymmetric_raises(atoms):
         sc.TabulatedForceField(atoms, table, table, table, None)
 
 
+def test_tabulated_non_canonical_residue_message(ca_1l2y):
+    """A non-canonical residue raises a typed, actionable error rather
+    than a bare ``KeyError`` from the type-index lookup."""
+    from springcraft_tpu.structure import BadStructureError
+
+    atoms = ca_1l2y.copy()
+    atoms.res_name[3] = "MSE"
+    with pytest.raises(BadStructureError, match="non-canonical.*'MSE'"):
+        sc.TabulatedForceField(atoms, 1, 1, 1, None)
+
+
+def test_masses_unknown_residue_message(ca_1l2y):
+    """masses=True with an unknown residue names the culprit and its
+    position instead of dying on a raw dict lookup."""
+    atoms = ca_1l2y.copy()
+    atoms.res_name[5] = "XYZ"
+    with pytest.raises(KeyError, match="'XYZ'.*atom index 5"):
+        sc.ANM(atoms, sc.InvariantForceField(7.0), masses=True)
+
+
 def test_tabulated_requires_ca(ca_1l2y):
     from springcraft_tpu.structure import BadStructureError, load_structure
     from .conftest import data_dir
