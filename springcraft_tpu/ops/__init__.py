@@ -14,6 +14,7 @@ from . import (
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
 from .matfree import (
     covariance_solve_matfree,
+    dcc_rows_matfree,
     hessian_apply,
     kirchhoff_apply,
     linear_response_matfree,
@@ -39,6 +40,7 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "covariance_solve_matfree",
     "linear_response_matfree",
+    "dcc_rows_matfree",
     "prs_rows_matfree",
     "nma_core",
     "rigid",

@@ -69,6 +69,7 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "hessian_diag_blocks",
     "covariance_solve_matfree",
+    "dcc_rows_matfree",
     "prs_rows_matfree",
     "linear_response_matfree",
     "matfree_mode_residuals",
@@ -1634,6 +1635,71 @@ def prs_rows_matfree(coord, params, sites, *, norm=True, masses=None,
         diag = prs[jnp.arange(n_sites), jnp.asarray(sites)]
         prs = prs / diag[:, None]
     return prs, n_it, res
+
+
+def dcc_rows_matfree(coord, params, sites, *, norm=True, msf=None,
+                     masses=None, dtype=jnp.float32, **options):
+    """
+    Dynamic cross-correlation rows for selected sites, without the
+    covariance matrix (the reference DCC capability, ``nma.py:233-359``,
+    extended past dense scale).  For each site the three covariance
+    columns ``pinv(H) @ e_(site, a)`` are solved by deflated CG
+    (:func:`covariance_solve_matfree`); the 3x3 superelement traces of
+    those columns are exactly the all-mode DCC row
+    ``DCC[site, j] = tr C(site, j)``.
+
+    Parameters
+    ----------
+    sites : sequence of int
+        Atom indices whose DCC rows to compute.
+    norm : bool
+        Normalize ``DCC_ij / sqrt(DCC_ii DCC_jj)`` (reference
+        ``nma.py:350-353``).  The full diagonal ``DCC_jj`` (the per-atom
+        covariance traces, i.e. the all-mode MSF) cannot be recovered
+        from the site columns alone — pass it as `msf`.
+    msf : ndarray, shape=(n,), optional
+        Per-atom covariance traces for normalization.  At mega scale
+        use the mode-sum MSF from :func:`lowest_modes_matfree`
+        (``sum_k v_k^2 / lambda_k`` folded per atom); exact traces give
+        exact reference parity.  Required when ``norm=True``.
+
+    Returns
+    -------
+    dcc_rows : ndarray, shape=(len(sites), n)
+    n_iter : int
+        CG iterations of the underlying solves.
+    residuals : ndarray, shape=(3 * len(sites),)
+        CG relative residuals — check convergence.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    sites = np.asarray(sites, dtype=np.int64)
+    if sites.ndim != 1 or np.any(sites < 0) or np.any(sites >= n):
+        raise IndexError(f"sites must be flat indices in [0, {n})")
+    if norm and msf is None:
+        raise ValueError(
+            "norm=True needs the per-atom covariance traces for the "
+            "DCC denominator: pass msf=(all-mode MSF; at mega scale "
+            "the mode-sum MSF from lowest_modes_matfree), or use "
+            "norm=False")
+    n_sites = sites.shape[0]
+
+    # Unit perturbations e_(site, a) in xyz layout, site-major columns
+    rhs = np.zeros((3 * n, 3 * n_sites), dtype=np.float64)
+    for s, site in enumerate(sites):
+        for a in range(3):
+            rhs[a * n + site, 3 * s + a] = 1.0
+
+    x, n_it, res = covariance_solve_matfree(
+        coord, params, rhs, masses=masses, dtype=dtype, **options)
+    cols = jnp.reshape(x, (3, n, n_sites, 3))   # [b, j, s, a]
+    # superelement trace: sum over the b == a diagonal
+    rows = jnp.transpose(
+        sum(cols[a, :, :, a] for a in range(3)), (1, 0))
+    if norm:
+        diag = jnp.asarray(msf, dtype=rows.dtype)
+        rows = rows / jnp.sqrt(diag[None, :] * diag[sites][:, None])
+    return rows, n_it, res
 
 
 def matfree_mode_residuals(coord, params, eig_values, eig_vectors, *,

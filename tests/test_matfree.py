@@ -588,6 +588,49 @@ def test_prs_rows_matfree_match_dense(ca_1l2y):
                        rtol=1e-5, atol=1e-12)
 
 
+def test_dcc_rows_matfree_match_dense(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    dcc_norm = np.asarray(anm.dcc(norm=True))
+    dcc_raw = np.asarray(anm.dcc(norm=False))
+    msf = np.asarray(anm.mean_square_fluctuation())
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    sites = [0, 7, 19]
+    rows_raw, n_it, res = matfree.dcc_rows_matfree(
+        coord, params, sites, norm=False, tol=1e-11, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(np.asarray(rows_raw), dcc_raw[sites],
+                       rtol=1e-6, atol=1e-10)
+
+    rows_norm, _, _ = matfree.dcc_rows_matfree(
+        coord, params, sites, norm=True, msf=msf, tol=1e-11, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(np.asarray(rows_norm), dcc_norm[sites],
+                       rtol=1e-6, atol=1e-9)
+
+    with pytest.raises(ValueError, match="msf"):
+        matfree.dcc_rows_matfree(coord, params, sites, norm=True)
+
+
+def test_anm_dcc_matrix_free_surface(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    dense = np.asarray(anm.dcc(norm=True))
+    msf = np.asarray(anm.mean_square_fluctuation())
+    sites = [2, 11]
+    rows = anm.dcc(matrix_free=True, sites=sites, msf=msf, tol=1e-10,
+                   block=32, use_pallas=False, dtype=jnp.float64)
+    assert rows.shape == (2, ca_1l2y.array_length())
+    assert np.allclose(rows, dense[sites], rtol=1e-5, atol=1e-8)
+
+    with pytest.raises(ValueError, match="sites"):
+        anm.dcc(matrix_free=True)
+    with pytest.raises(ValueError, match="mode_subset"):
+        anm.dcc(matrix_free=True, sites=sites, msf=msf,
+                mode_subset=np.arange(6, 12))
+
+
 def test_device_solvers_refuse_user_assigned_matrices(ca_1l2y):
     anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
     n = ca_1l2y.array_length()
