@@ -170,7 +170,8 @@ class ANM(ElasticNetworkModel):
         eff, sens = nma.effector_sensor(prs_mat)
         return prs_mat, eff, sens
 
-    def lowest_modes(self, k, matrix_free=False, **options):
+    def lowest_modes(self, k, matrix_free=False, refine=False,
+                     **options):
         """
         The `k` lowest non-trivial modes on device *without* a full
         eigendecomposition — green-field beyond the reference, which
@@ -183,6 +184,13 @@ class ANM(ElasticNetworkModel):
         systems beyond device memory (``ops.matfree``).  Extra
         `options` pass through to the solver.  Requires a force field
         with a device parameterization (``to_params``).
+
+        ``refine=True`` follows the f32 device solve with a float64
+        Rayleigh-Ritz pass on host (``ops.modes.refine_modes_f64``):
+        Hessian row panels are streamed in f64 (never resident), giving
+        eigenvalues accurate to ~1e-7 rtol vs f64 truth and *true* f64
+        residuals — the mega-scale accuracy story (BASELINE.json
+        north-star demands 1e-6 rtol, beyond raw f32).
 
         Returns
         -------
@@ -205,6 +213,7 @@ class ANM(ElasticNetworkModel):
         n = coord.shape[0]
         masses = self._masses
 
+        refine_block = options.pop("refine_block", 256)
         if matrix_free:
             vals, vecs, res = matfree.lowest_modes_matfree(
                 coord, params, k, masses=masses, **options)
@@ -220,6 +229,11 @@ class ANM(ElasticNetworkModel):
                 hessian, jnp.asarray(coord, dtype), k, masses=masses,
                 **options)
             res = modes.mode_residuals(hessian, vals, vecs)
+
+        if refine:
+            vals, vecs, res = modes.refine_modes_f64(
+                coord, params, np.asarray(vecs), masses=masses,
+                layout="xyz", block=refine_block)
 
         # xyz plane layout -> the model's atom-interleaved layout
         inv = (np.arange(3)[None, :] * n

@@ -24,7 +24,7 @@ from .matfree import (
 )
 from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
-from .modes import lowest_modes, lowest_modes_anm
+from .modes import lowest_modes, lowest_modes_anm, refine_modes_f64
 from .rigid import covariance_cholesky, null_mode_gnm, rigid_modes_anm
 from .spectrum import eigh_banded, eigvalsh_banded
 
@@ -49,6 +49,7 @@ __all__ = [
     "eigvalsh_banded",
     "lowest_modes",
     "lowest_modes_anm",
+    "refine_modes_f64",
     "covariance_cholesky",
     "rigid_modes_anm",
     "null_mode_gnm",

@@ -36,6 +36,7 @@ __all__ = [
     "shift_invert_from_chol",
     "modes_from_covariance",
     "mode_residuals",
+    "refine_modes_f64",
 ]
 
 
@@ -291,6 +292,135 @@ def _dense_lowest(matrix, k, null_basis):
     vals, vecs = jnp.linalg.eigh(matrix)
     sel = jnp.arange(n_null, n_null + k)
     return vals[sel], vecs[:, sel].T
+
+
+def _rigid_basis_np(coord, masses=None):
+    """Float64 NumPy rigid-body basis (atom-interleaved layout) — the
+    host-side counterpart of :func:`rigid.rigid_modes_anm` for the f64
+    refinement pass (JAX only produces f64 under x64)."""
+    import numpy as np
+
+    coord = np.asarray(coord, dtype=np.float64)
+    n = coord.shape[0]
+    centered = coord - coord.mean(axis=0)
+    x, y, z = centered[:, 0], centered[:, 1], centered[:, 2]
+    zero = np.zeros(n)
+    one = np.ones(n)
+    modes = np.stack(
+        [
+            np.stack([one, zero, zero]),
+            np.stack([zero, one, zero]),
+            np.stack([zero, zero, one]),
+            np.stack([zero, -z, y]),
+            np.stack([z, zero, -x]),
+            np.stack([-y, x, zero]),
+        ],
+        axis=-1,
+    )  # (3, n, 6)
+    if masses is not None:
+        modes = modes * np.sqrt(np.asarray(masses, np.float64))[None, :,
+                                                                None]
+    flat = modes.transpose(1, 0, 2).reshape(3 * n, 6)  # atom layout
+    q, _ = np.linalg.qr(flat)
+    return q
+
+
+def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
+                     layout="xyz", block=256):
+    """
+    Float64 Rayleigh-Ritz refinement of approximate ANM modes.
+
+    The mega-assembly solvers run in float32 on the MXU; their
+    eigenvalues carry O(1e-3) relative error from the single-precision
+    subspace.  This pass recovers float64-accurate eigenvalues at
+    O(k n^2) cost *without* a resident f64 Hessian: row panels of the
+    Hessian are streamed in float64 on host
+    (:func:`..assembly.hessian_rows` — 3.6 GB of transient panels
+    instead of a 7.2 GB matrix at 30k dims), ``H V`` is accumulated
+    panel by panel, and a k-dim Rayleigh-Ritz problem
+    ``(Q^T H Q) y = theta y`` on the f64-orthonormalized subspace
+    yields refined eigenvalues, rotated eigenvectors, and true f64
+    residuals.
+
+    Because the exact eigenvectors lie O(eps_f32) from the f32
+    subspace, the Rayleigh-Ritz values land O(eps_f32^2) ~ 1e-7 off
+    the true eigenvalues — past the 1e-6 rtol north-star clause
+    (BASELINE.json) that raw f32 residuals cannot certify.
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    params : FFParams
+        Device force-field parameterization (analytic families and
+        compact tables — the scalable representations).
+    eig_vectors : ndarray, shape=(k, 3n)
+        Approximate modes in rows (e.g. from
+        :func:`lowest_modes_shift_invert`), any precision.
+    masses : ndarray, shape=(n,), optional
+        Mass weighting (``W H W``); the rigid null space is adjusted
+        accordingly.
+    layout : {"xyz", "atom"}
+        Component layout of the input (and output) mode vectors.
+    block : int
+        Atom rows per streamed Hessian panel (peak host memory
+        ``~ 72 * block * n`` bytes).
+
+    Returns
+    -------
+    eig_values : ndarray, shape=(k,), float64, ascending
+    eig_vectors : ndarray, shape=(k, 3n), float64
+        Refined modes in rows, same layout as the input.
+    residuals : ndarray, shape=(k,), float64
+        True relative residuals ``|H v - theta v| / theta``.
+    """
+    import numpy as np
+
+    from . import assembly
+
+    coord = np.asarray(coord, dtype=np.float64)
+    n = coord.shape[0]
+    m = 3 * n
+    u = np.asarray(eig_vectors, dtype=np.float64).T  # (m, k)
+    if u.shape[0] != m:
+        raise ValueError(
+            f"eig_vectors have dimension {u.shape[0]}, expected {m}")
+    k = u.shape[1]
+
+    if layout == "xyz":
+        # xyz plane layout -> atom-interleaved
+        perm = (np.arange(n)[:, None]
+                + n * np.arange(3)[None, :]).reshape(-1)
+        u = u[perm]
+    elif layout != "atom":
+        raise ValueError(f"Unknown layout '{layout}'")
+
+    w3 = (np.repeat(1.0 / np.sqrt(np.asarray(masses, np.float64)), 3)
+          if masses is not None else None)
+
+    # f64 re-orthonormalization with the rigid null space projected out
+    t = _rigid_basis_np(coord, masses=masses)
+    u = u - t @ (t.T @ u)
+    q, _ = np.linalg.qr(u)
+
+    hq = np.empty((m, k), dtype=np.float64)
+    for rs in range(0, n, block):
+        b = min(block, n - rs)
+        panel = assembly.hessian_rows(coord, params, rs, b, np,
+                                      dtype=np.float64)
+        panel = np.asarray(panel, dtype=np.float64)
+        if w3 is not None:
+            panel = (w3[3 * rs:3 * (rs + b), None] * panel) * w3[None, :]
+        hq[3 * rs:3 * (rs + b)] = panel @ q
+
+    s = q.T @ hq
+    theta, y = np.linalg.eigh((s + s.T) / 2)
+    vecs = q @ y
+    r = hq @ y - vecs * theta[None, :]
+    res = np.linalg.norm(r, axis=0) / np.abs(theta)
+
+    if layout == "xyz":
+        vecs = vecs[np.argsort(perm)]
+    return theta, vecs.T, res
 
 
 def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,

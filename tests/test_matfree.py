@@ -384,6 +384,21 @@ def test_anm_lowest_modes_matches_eigen(ca_1l2y, matrix_free, masses):
     assert overlap > 1 - 1e-5
 
 
+@pytest.mark.parametrize("masses", [None, True])
+def test_anm_lowest_modes_refine_f64(ca_1l2y, masses):
+    """f32 device solve + refine=True must hit the north-star 1e-6
+    eigenvalue rtol vs the f64 eigensystem."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0), masses=masses)
+    ref_vals, _ = anm.eigen()   # host f64 (NumPy backend)
+    k = 3
+    vals, vecs, res = anm.lowest_modes(k, refine=True, refine_block=7)
+    truth = np.asarray(ref_vals[6:6 + k], dtype=np.float64)
+    assert vals.dtype == np.float64
+    assert np.max(np.abs(vals - truth) / truth) <= 1e-6
+    assert np.all(np.asarray(res) < 1e-4)
+    assert vecs.shape == (k, 3 * ca_1l2y.array_length())
+
+
 def test_estimate_lambda_max_bounds_spectrum():
     coord = random_coord(19, 80, box=30.0)
     params = ffparams.invariant_params(12.0)

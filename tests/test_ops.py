@@ -307,6 +307,71 @@ def test_shift_invert_matches_dense():
     assert np.all(res < 1e-5)
 
 
+def test_refine_modes_f64_hits_north_star_rtol():
+    """f32 shift-invert modes carry O(1e-4) eigenvalue error; the f64
+    Rayleigh-Ritz refinement must recover <=1e-6 rtol vs f64 eigh truth
+    (BASELINE.json north-star accuracy clause)."""
+    from springcraft_tpu.ops import assembly, ffparams, modes
+
+    rng = np.random.RandomState(5)
+    coord = rng.rand(150, 3) * 19
+    params = ffparams.invariant_params(9.0)
+    k = 10
+
+    h32 = assembly.hessian_matrix(
+        jnp.asarray(coord, jnp.float32), params, jnp,
+        dtype=jnp.float32, layout="xyz")
+    vals32, vecs32 = modes.lowest_modes_anm(
+        h32, jnp.asarray(coord, jnp.float32), k=k)
+
+    h64 = assembly.hessian_matrix(coord, params, np, dtype=np.float64,
+                                  layout="xyz")
+    truth = np.linalg.eigvalsh(h64)[6:6 + k]
+
+    raw_rtol = np.max(np.abs(np.asarray(vals32, np.float64) - truth)
+                      / truth)
+    vals, vecs, res = modes.refine_modes_f64(coord, params, vecs32,
+                                             layout="xyz", block=64)
+    ref_rtol = np.max(np.abs(vals - truth) / truth)
+    assert ref_rtol <= 1e-6, (raw_rtol, ref_rtol)
+    assert ref_rtol < raw_rtol
+    # Vectors stay O(f32-subspace) accurate — Rayleigh-Ritz squares the
+    # subspace error only for the eigenVALUES
+    assert np.all(res < 1e-4)
+    r = h64 @ vecs.T - vecs.T * vals[None, :]
+    assert np.max(np.linalg.norm(r, axis=0) / vals) < 1e-4
+
+
+def test_refine_modes_f64_mass_weighted_and_atom_layout():
+    from springcraft_tpu.ops import assembly, ffparams, modes
+
+    rng = np.random.RandomState(11)
+    n, k = 100, 6
+    coord = rng.rand(n, 3) * 16
+    masses = 1.0 + rng.rand(n)
+    params = ffparams.invariant_params(9.0)
+
+    h64 = assembly.hessian_matrix(coord, params, np, dtype=np.float64,
+                                  layout="atom")
+    w3 = np.repeat(1.0 / np.sqrt(masses), 3)
+    hw = h64 * w3[:, None] * w3[None, :]
+    truth_vals, truth_vecs = np.linalg.eigh(hw)
+
+    # perturbed f32-quality starting vectors in atom layout (vector
+    # 2-norm error ~1e-4 — Rayleigh-Ritz recovers eigenvalues to
+    # O(error^2))
+    noise = rng.randn(k, 3 * n)
+    noise *= 1e-4 / np.linalg.norm(noise, axis=1, keepdims=True)
+    approx = (truth_vecs[:, 6:6 + k].T + noise).astype(np.float32)
+    vals, vecs, res = modes.refine_modes_f64(
+        coord, params, approx, masses=masses, layout="atom", block=32)
+    assert np.max(np.abs(vals - truth_vals[6:6 + k])
+                  / truth_vals[6:6 + k]) <= 1e-6
+    # residuals are first-order in the injected 1e-4 vector error,
+    # amplified by ||H||/theta — only the eigenvalues are squared back
+    assert np.all(res < 5e-3)
+
+
 # ---------------------------------------------------------------------------
 # Two-stage full eigensystem (eigh_banded)
 # ---------------------------------------------------------------------------
