@@ -188,9 +188,12 @@ class ANM(ElasticNetworkModel):
         ``refine=True`` follows the f32 device solve with a float64
         Rayleigh-Ritz pass on host (``ops.modes.refine_modes_f64``):
         Hessian row panels are streamed in f64 (never resident), giving
-        eigenvalues accurate to ~1e-7 rtol vs f64 truth and *true* f64
+        eigenvalues accurate to ~1e-9 rtol vs f64 truth and *true* f64
         residuals — the mega-scale accuracy story (BASELINE.json
-        north-star demands 1e-6 rtol, beyond raw f32).
+        north-star demands 1e-6 rtol, beyond raw f32).  The device
+        solve is widened by ``refine_buffer`` (default 4) extra modes
+        so the slow-converging subspace boundary stays outside the
+        returned block.
 
         Returns
         -------
@@ -214,9 +217,11 @@ class ANM(ElasticNetworkModel):
         masses = self._masses
 
         refine_block = options.pop("refine_block", 256)
+        buffer = options.pop("refine_buffer", 4) if refine else 0
+        k_solve = k + buffer
         if matrix_free:
             vals, vecs, res = matfree.lowest_modes_matfree(
-                coord, params, k, masses=masses, **options)
+                coord, params, k_solve, masses=masses, **options)
         else:
             dtype = options.pop("dtype", jnp.float32)
             hessian = assembly.hessian_matrix(
@@ -226,14 +231,15 @@ class ANM(ElasticNetworkModel):
                 w3 = jnp.tile(w, 3)
                 hessian = hessian * w3[:, None] * w3[None, :]
             vals, vecs = modes.lowest_modes_anm(
-                hessian, jnp.asarray(coord, dtype), k, masses=masses,
-                **options)
+                hessian, jnp.asarray(coord, dtype), k_solve,
+                masses=masses, **options)
             res = modes.mode_residuals(hessian, vals, vecs)
 
         if refine:
             vals, vecs, res = modes.refine_modes_f64(
                 coord, params, np.asarray(vecs), masses=masses,
                 layout="xyz", block=refine_block)
+            vals, vecs, res = vals[:k], vecs[:k], res[:k]
 
         # xyz plane layout -> the model's atom-interleaved layout
         inv = (np.arange(3)[None, :] * n

@@ -326,7 +326,7 @@ def _rigid_basis_np(coord, masses=None):
 
 
 def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
-                     layout="xyz", block=256):
+                     layout="xyz", block=256, augment=False):
     """
     Float64 Rayleigh-Ritz refinement of approximate ANM modes.
 
@@ -364,6 +364,17 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     block : int
         Atom rows per streamed Hessian panel (peak host memory
         ``~ 72 * block * n`` bytes).
+    augment : bool
+        Augment the Rayleigh-Ritz basis with the residual block
+        ``H Q - Q (Q^T H Q)`` (one extra panel sweep, 2x cost).
+        Rarely needed: the *last* input mode (subspace boundary) always
+        converges slowest, and the effective fix is passing a few
+        buffer modes beyond the ones you need and slicing — measured at
+        n=1000 (sdENM), a 4-mode buffer takes the worst refined rtol
+        from 1.4e-6 to 7e-10, while augmentation alone does not move it
+        (the raw residual is dominated by high-frequency components,
+        ``lambda_max/lambda_k ~ 3e3``).  :meth:`ANM.lowest_modes`
+        with ``refine=True`` applies the buffer automatically.
 
     Returns
     -------
@@ -397,25 +408,40 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     w3 = (np.repeat(1.0 / np.sqrt(np.asarray(masses, np.float64)), 3)
           if masses is not None else None)
 
+    def stream_apply(x):
+        hx = np.empty((m, x.shape[1]), dtype=np.float64)
+        for rs in range(0, n, block):
+            b = min(block, n - rs)
+            panel = np.asarray(
+                assembly.hessian_rows(coord, params, rs, b, np,
+                                      dtype=np.float64),
+                dtype=np.float64)
+            if w3 is not None:
+                panel = (w3[3 * rs:3 * (rs + b), None] * panel
+                         ) * w3[None, :]
+            hx[3 * rs:3 * (rs + b)] = panel @ x
+        return hx
+
     # f64 re-orthonormalization with the rigid null space projected out
     t = _rigid_basis_np(coord, masses=masses)
     u = u - t @ (t.T @ u)
     q, _ = np.linalg.qr(u)
+    hq = stream_apply(q)
 
-    hq = np.empty((m, k), dtype=np.float64)
-    for rs in range(0, n, block):
-        b = min(block, n - rs)
-        panel = assembly.hessian_rows(coord, params, rs, b, np,
-                                      dtype=np.float64)
-        panel = np.asarray(panel, dtype=np.float64)
-        if w3 is not None:
-            panel = (w3[3 * rs:3 * (rs + b), None] * panel) * w3[None, :]
-        hq[3 * rs:3 * (rs + b)] = panel @ q
+    if augment and 2 * k + 6 < m:
+        w = hq - q @ (q.T @ hq)          # residual block, already _|_ q
+        w = w - t @ (t.T @ w)
+        q2, _ = np.linalg.qr(w)
+        basis = np.concatenate([q, q2], axis=1)
+        hb = np.concatenate([hq, stream_apply(q2)], axis=1)
+    else:
+        basis, hb = q, hq
 
-    s = q.T @ hq
-    theta, y = np.linalg.eigh((s + s.T) / 2)
-    vecs = q @ y
-    r = hq @ y - vecs * theta[None, :]
+    s = basis.T @ hb
+    theta_all, y = np.linalg.eigh((s + s.T) / 2)
+    theta = theta_all[:k]
+    vecs = basis @ y[:, :k]
+    r = hb @ y[:, :k] - vecs * theta[None, :]
     res = np.linalg.norm(r, axis=0) / np.abs(theta)
 
     if layout == "xyz":
