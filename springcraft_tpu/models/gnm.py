@@ -73,14 +73,21 @@ class GNM(ElasticNetworkModel):
         """Dynamic cross-correlation between nodes."""
         return nma.dcc(self, mode_subset, norm, tem, tem_factors)
 
-    def lowest_modes(self, k, matrix_free=False, **options):
+    def lowest_modes(self, k, matrix_free=False, refine=False,
+                     **options):
         """
         The `k` lowest non-trivial GNM modes on device without a full
         eigendecomposition (see :meth:`ANM.lowest_modes`): dense
         Cholesky shift-invert by default, or the matrix-free Chebyshev
         solver (`matrix_free=True`) when the Kirchhoff matrix exceeds
-        device memory.  Returns ``(values, modes (k, n), residuals)``.
+        device memory.  ``refine=True`` adds the float64 host
+        Rayleigh-Ritz pass (``ops.modes.refine_modes_f64_gnm``,
+        streamed Kirchhoff row panels, ``refine_buffer`` extra device
+        modes) for ~1e-9-rtol eigenvalues and true f64 residuals.
+        Returns ``(values, modes (k, n), residuals)``.
         """
+        import numpy as np
+
         import jax.numpy as jnp
 
         from ..ops import assembly, matfree, modes, rigid
@@ -91,22 +98,33 @@ class GNM(ElasticNetworkModel):
         coord = self._coord
         masses = self._masses
 
-        if matrix_free:
-            return matfree.lowest_modes_matfree_gnm(
-                coord, params, k, masses=masses, **options)
+        refine_block = options.pop("refine_block", 2048)
+        buffer = options.pop("refine_buffer", 4) if refine else 0
+        k_solve = k + buffer
 
-        dtype = options.pop("dtype", jnp.float32)
-        kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp,
-                                              dtype=dtype)
-        if masses is not None:
-            w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
-            kirchhoff = kirchhoff * w[:, None] * w[None, :]
-        basis = rigid.null_mode_gnm(coord.shape[0], masses=masses,
-                                    dtype=dtype)
-        if 2 * max(k, 8) + 2 * k >= kirchhoff.shape[0]:
-            vals, vecs = modes._dense_lowest(kirchhoff, k, basis)
+        if matrix_free:
+            vals, vecs, res = matfree.lowest_modes_matfree_gnm(
+                coord, params, k_solve, masses=masses, **options)
         else:
-            vals, vecs = modes.lowest_modes_shift_invert(
-                kirchhoff, basis, k=k, **options)
-        res = modes.mode_residuals(kirchhoff, vals, vecs)
+            dtype = options.pop("dtype", jnp.float32)
+            kirchhoff = assembly.kirchhoff_matrix(coord, params, jnp,
+                                                  dtype=dtype)
+            if masses is not None:
+                w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+                kirchhoff = kirchhoff * w[:, None] * w[None, :]
+            basis = rigid.null_mode_gnm(coord.shape[0], masses=masses,
+                                        dtype=dtype)
+            if 2 * max(k_solve, 8) + 2 * k_solve >= kirchhoff.shape[0]:
+                vals, vecs = modes._dense_lowest(kirchhoff, k_solve,
+                                                 basis)
+            else:
+                vals, vecs = modes.lowest_modes_shift_invert(
+                    kirchhoff, basis, k=k_solve, **options)
+            res = modes.mode_residuals(kirchhoff, vals, vecs)
+
+        if refine:
+            vals, vecs, res = modes.refine_modes_f64_gnm(
+                coord, params, np.asarray(vecs), masses=masses,
+                block=refine_block)
+            vals, vecs, res = vals[:k], vecs[:k], res[:k]
         return vals, vecs, res

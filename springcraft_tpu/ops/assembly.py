@@ -32,6 +32,7 @@ from .ffparams import force_constant_matrix, pairwise_sq_distance
 
 __all__ = [
     "kirchhoff_matrix",
+    "kirchhoff_rows",
     "hessian_matrix",
     "hessian_rows",
     "atom_to_xyz_permutation",
@@ -54,6 +55,37 @@ def kirchhoff_matrix(coord, params, xp, dtype=None):
     k = force_constant_matrix(sq_dist, params, xp, dtype=coord.dtype)
     # K = diag(col-sums of k) - k
     return xp.diag(xp.sum(k, axis=0)) - k
+
+
+def kirchhoff_rows(coord, params, row_start, block, xp, dtype=None):
+    """
+    One row-block of the Kirchhoff matrix without materializing the
+    full ``(n, n)`` plane — the GNM counterpart of
+    :func:`hessian_rows`.  Returns shape ``(block, n)`` covering rows
+    ``[row_start, row_start + block)``.  The diagonal of row ``i``
+    equals the row sum of force constants (column sum by symmetry,
+    reference ``interaction.py:50-52``), so each block is computable
+    locally.
+    """
+    coord = xp.asarray(coord)
+    if dtype is not None:
+        coord = coord.astype(dtype)
+    n = coord.shape[0]
+    rows = xp.asarray(coord)[row_start:row_start + block] \
+        if isinstance(row_start, int) else None
+    if rows is None:
+        import jax.lax as lax
+        rows = lax.dynamic_slice_in_dim(coord, row_start, block, axis=0)
+
+    disp = rows[:, None, :] - coord[None, :, :]
+    sq_dist = xp.sum(disp * disp, axis=-1)
+    k = _row_force_constants(sq_dist, params, row_start, block, xp,
+                             rows.dtype)
+    diag = xp.sum(k, axis=1)
+    row_ids = _arange(block, xp) + row_start
+    col_ids = _arange(n, xp)
+    eye = row_ids[:, None] == col_ids[None, :]
+    return xp.where(eye, diag[:, None], -k)
 
 
 def _hessian_blocks(coord, params, xp, dtype):

@@ -37,6 +37,7 @@ __all__ = [
     "modes_from_covariance",
     "mode_residuals",
     "refine_modes_f64",
+    "refine_modes_f64_gnm",
 ]
 
 
@@ -422,13 +423,26 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
             hx[3 * rs:3 * (rs + b)] = panel @ x
         return hx
 
-    # f64 re-orthonormalization with the rigid null space projected out
     t = _rigid_basis_np(coord, masses=masses)
+    theta, vecs, res = _rayleigh_ritz_f64(stream_apply, t, u,
+                                          augment=augment)
+    if layout == "xyz":
+        vecs = vecs[np.argsort(perm)]
+    return theta, vecs.T, res
+
+
+def _rayleigh_ritz_f64(stream_apply, t, u, *, augment=False):
+    """Shared f64 Rayleigh-Ritz core: orthonormalize `u` against the
+    null basis `t`, project the operator, optionally augment with the
+    residual block, and return (theta, vectors-as-columns, residuals)."""
+    import numpy as np
+
+    m, k = u.shape
     u = u - t @ (t.T @ u)
     q, _ = np.linalg.qr(u)
     hq = stream_apply(q)
 
-    if augment and 2 * k + 6 < m:
+    if augment and 2 * k + t.shape[1] < m:
         w = hq - q @ (q.T @ hq)          # residual block, already _|_ q
         w = w - t @ (t.T @ w)
         q2, _ = np.linalg.qr(w)
@@ -443,9 +457,56 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     vecs = basis @ y[:, :k]
     r = hb @ y[:, :k] - vecs * theta[None, :]
     res = np.linalg.norm(r, axis=0) / np.abs(theta)
+    return theta, vecs, res
 
-    if layout == "xyz":
-        vecs = vecs[np.argsort(perm)]
+
+def refine_modes_f64_gnm(coord, params, eig_vectors, *, masses=None,
+                         block=2048, augment=False):
+    """
+    Float64 Rayleigh-Ritz refinement of approximate GNM modes — the
+    Kirchhoff counterpart of :func:`refine_modes_f64`: row panels of
+    the ``(n, n)`` Kirchhoff matrix are streamed in f64
+    (:func:`..assembly.kirchhoff_rows`), the null space (the constant
+    mode; ``sqrt(m)``-scaled under mass weighting) is deflated, and a
+    k-dim Rayleigh-Ritz projection returns refined eigenvalues with
+    true f64 residuals.  Pass a few buffer modes beyond the ones you
+    report (see ``augment`` notes on :func:`refine_modes_f64`).
+
+    Returns ``(eig_values (k,), eig_vectors (k, n), residuals (k,))``,
+    all float64.
+    """
+    import numpy as np
+
+    from . import assembly
+
+    coord = np.asarray(coord, dtype=np.float64)
+    n = coord.shape[0]
+    u = np.asarray(eig_vectors, dtype=np.float64).T  # (n, k)
+    if u.shape[0] != n:
+        raise ValueError(
+            f"eig_vectors have dimension {u.shape[0]}, expected {n}")
+
+    w = (1.0 / np.sqrt(np.asarray(masses, np.float64))
+         if masses is not None else None)
+
+    def stream_apply(x):
+        kx = np.empty((n, x.shape[1]), dtype=np.float64)
+        for rs in range(0, n, block):
+            b = min(block, n - rs)
+            panel = np.asarray(
+                assembly.kirchhoff_rows(coord, params, rs, b, np,
+                                        dtype=np.float64),
+                dtype=np.float64)
+            if w is not None:
+                panel = (w[rs:rs + b, None] * panel) * w[None, :]
+            kx[rs:rs + b] = panel @ x
+        return kx
+
+    null = (np.sqrt(np.asarray(masses, np.float64))
+            if masses is not None else np.ones(n))
+    t = (null / np.linalg.norm(null))[:, None]
+    theta, vecs, res = _rayleigh_ritz_f64(stream_apply, t, u,
+                                          augment=augment)
     return theta, vecs.T, res
 
 

@@ -399,6 +399,18 @@ def test_anm_lowest_modes_refine_f64(ca_1l2y, masses):
     assert vecs.shape == (k, 3 * ca_1l2y.array_length())
 
 
+def test_gnm_lowest_modes_refine_f64(ca_1l2y):
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    ref_vals, _ = gnm.eigen()   # host f64 (NumPy backend)
+    k = 3
+    vals, vecs, res = gnm.lowest_modes(k, refine=True, refine_block=9)
+    truth = np.asarray(ref_vals[1:1 + k], dtype=np.float64)
+    assert vals.dtype == np.float64
+    assert np.max(np.abs(vals - truth) / truth) <= 1e-6
+    assert vecs.shape == (k, ca_1l2y.array_length())
+    assert np.all(np.asarray(res) < 1e-4)
+
+
 def test_estimate_lambda_max_bounds_spectrum():
     coord = random_coord(19, 80, box=30.0)
     params = ffparams.invariant_params(12.0)

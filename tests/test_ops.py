@@ -307,6 +307,44 @@ def test_shift_invert_matches_dense():
     assert np.all(res < 1e-5)
 
 
+@pytest.mark.parametrize("kind", ["invariant", "hinsen"])
+def test_kirchhoff_rows_match_full(kind):
+    from springcraft_tpu.ops import assembly, ffparams
+
+    rng = np.random.RandomState(3)
+    coord = rng.rand(50, 3) * 20
+    params = (ffparams.invariant_params(9.0) if kind == "invariant"
+              else ffparams.hinsen_params(11.0))
+    full = np.asarray(assembly.kirchhoff_matrix(coord, params, np,
+                                                dtype=np.float64))
+    for start, block in ((0, 13), (13, 20), (33, 17)):
+        rows = np.asarray(assembly.kirchhoff_rows(
+            coord, params, start, block, np, dtype=np.float64))
+        assert np.allclose(rows, full[start:start + block], atol=1e-12)
+
+
+def test_refine_modes_f64_gnm_matches_truth():
+    from springcraft_tpu.ops import assembly, ffparams, modes
+
+    rng = np.random.RandomState(9)
+    n, k = 120, 6
+    coord = rng.rand(n, 3) * 18
+    params = ffparams.invariant_params(9.0)
+    k64 = np.asarray(assembly.kirchhoff_matrix(coord, params, np,
+                                               dtype=np.float64))
+    truth_vals, truth_vecs = np.linalg.eigh(k64)
+
+    noise = rng.randn(k, n)
+    noise *= 1e-4 / np.linalg.norm(noise, axis=1, keepdims=True)
+    approx = (truth_vecs[:, 1:1 + k].T + noise).astype(np.float32)
+    vals, vecs, res = modes.refine_modes_f64_gnm(coord, params, approx,
+                                                 block=37)
+    assert np.max(np.abs(vals - truth_vals[1:1 + k])
+                  / truth_vals[1:1 + k]) <= 1e-6
+    r = k64 @ vecs.T - vecs.T * vals[None, :]
+    assert np.max(np.linalg.norm(r, axis=0) / vals) < 5e-3
+
+
 def test_refine_modes_f64_hits_north_star_rtol():
     """f32 shift-invert modes carry O(1e-4) eigenvalue error; the f64
     Rayleigh-Ritz refinement must recover <=1e-6 rtol vs f64 eigh truth
