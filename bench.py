@@ -521,20 +521,16 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         f"residual {float(jnp.max(out[2])):.1e}, "
         f"{eigh_s / lowk_s:.1f}x eigh)")
 
-    # CPU reference architecture: f64 assembly + np.linalg.eigh.  The
-    # full 5,328-dim f64 eigh takes minutes on this single-core host;
-    # measure at half dimension and extrapolate n^3 (annotated).
-    n_half = n // 2
-    ca_half = ca[:n_half]
-    ff_half = sc.TabulatedForceField.e_anm(ca_half)
-    anm_half = sc.ANM(ca_half, ff_half)
+    # CPU reference architecture: f64 assembly + np.linalg.eigh,
+    # measured at full 7cal size (~30 s single-thread)
+    anm_cpu = sc.ANM(ca, ff)
     t0 = time.perf_counter()
-    anm_half.eigen()
-    half_s = time.perf_counter() - t0
-    est_full = half_s * 8.0
-    log(f"cpu single-structure reference (f64 eigh, measured at "
-        f"n={n_half}): {half_s:.1f}s -> n^3-extrapolated 7cal "
-        f"~{est_full:.0f}s; tpu full eigh speedup ~{est_full / eigh_s:.0f}x")
+    anm_cpu.eigen()
+    cpu_s = time.perf_counter() - t0
+    log(f"cpu single-structure reference (f64 assembly + eigh, "
+        f"n={n}): {cpu_s:.1f}s; tpu full eigh speedup "
+        f"{cpu_s / eigh_s:.0f}x, lowest-{k_modes} speedup "
+        f"{cpu_s / lowk_s:.0f}x")
 
     if not ensemble_point:
         return
