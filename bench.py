@@ -495,14 +495,25 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         f"{eigh_s:.2f}s (compile {c_s:.1f}s)")
     mfu("7cal-eigh", 1.0 / eigh_s, 9 * m**3)
 
-    # (b) two-stage banded full eigensystem
+    # (b) two-stage banded full eigensystem (staged: four separate
+    # device programs — the monolithic form crashed the remote
+    # compiler at this size until the use_pallas VMEM-guard fix; the
+    # batched mid-size pipelines remain the banded solver's win,
+    # while at large single-structure sizes XLA eigh is faster)
     from springcraft_tpu.ops import spectrum
-    banded_fn = jax.jit(lambda c: spectrum.eigh_banded(build(c)))
     try:
-        c_s, banded_s, _ = timed_once(banded_fn, coord)
+        hmat = build(coord)
+        t0 = time.perf_counter()
+        out_b = spectrum.eigh_banded_staged(hmat)
+        float(jnp.sum(out_b[0]))
+        c_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out_b = spectrum.eigh_banded_staged(hmat)
+        float(jnp.sum(out_b[0]) + jnp.sum(out_b[1]))
+        banded_s = time.perf_counter() - t0
         log(f"tpu single-structure 7cal: two-stage banded full "
-            f"eigensystem {banded_s:.2f}s (compile {c_s:.1f}s, "
-            f"{eigh_s / banded_s:.2f}x eigh)")
+            f"eigensystem (staged) {banded_s:.2f}s (compile "
+            f"{c_s:.1f}s, {eigh_s / banded_s:.2f}x eigh)")
         mfu("7cal-banded", 1.0 / banded_s, 9 * m**3)
     except Exception as exc:
         log(f"tpu single-structure banded failed: "

@@ -63,6 +63,7 @@ __all__ = [
     "back_transform",
     "eigvalsh_banded",
     "eigh_banded",
+    "eigh_banded_staged",
 ]
 
 
@@ -1226,6 +1227,7 @@ def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
         vecs_ = (vecs[0].T if squeeze
                  else jnp.swapaxes(vecs, -1, -2))
         return vals_, vecs_
+    vec_pallas = use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and bandwidth <= 8
 
@@ -1235,9 +1237,14 @@ def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
         vals = banded_eigenvalues_pallas(diags, n_iter=n_iter)
     else:
         vals = banded_eigenvalues(diags, n_iter=n_iter)
+    # Pass the CALLER's use_pallas (usually None) to the eigenvector
+    # stage, not the bisection's resolved True: banded_eigenvectors
+    # has its own VMEM guard, and forcing its Pallas kernel past that
+    # guard at large n (5,328 dims: ~54 MB of per-cell VMEM) crashes
+    # the TPU compiler.
     u_band = banded_eigenvectors(diags, vals, n_solves=n_solves,
                                  shift_chunk=shift_chunk, window=window,
-                                 use_pallas=use_pallas)
+                                 use_pallas=vec_pallas)
     u = jax.vmap(back_transform)(v_all, t_all, u_band)
     # Refinement against the original matrix (all matmuls + small
     # batched eighs): two perturbative polish rounds remove the
@@ -1257,3 +1264,69 @@ def eigh_banded(matrix, bandwidth=8, n_iter=40, use_pallas=None,
     u, vals = jax.vmap(refine)(matrix, u, vals, min_gap)
     vecs = jnp.swapaxes(u, -1, -2)  # modes in rows
     return (vals[0], vecs[0]) if squeeze else (vals, vecs)
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth",))
+def _staged_reduce(matrix, bandwidth):
+    return band_reduce_with_reflectors(matrix, bandwidth)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_solves", "shift_chunk", "window",
+                                    "use_pallas"))
+def _staged_vectors(diags, vals, *, n_solves, shift_chunk, window,
+                    use_pallas):
+    return banded_eigenvectors(diags, vals, n_solves=n_solves,
+                               shift_chunk=shift_chunk, window=window,
+                               use_pallas=use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _staged_finish(matrix, v_all, t_all, u_band, vals, *, window):
+    u = back_transform(v_all, t_all, u_band)
+    span = vals[-1] - vals[0]
+    min_gap = 0.01 * span
+    u = _perturbative_polish(matrix, u, vals, min_gap)
+    u = _perturbative_polish(matrix, u, vals, min_gap)
+    u, vals = _window_refine(matrix, u, vals, max(32, window))
+    return vals, u.T  # modes in rows
+
+
+def eigh_banded_staged(matrix, bandwidth=8, n_iter=40, use_pallas=None,
+                       n_solves=2, shift_chunk=256, window=8):
+    """
+    :func:`eigh_banded` executed as four separately compiled device
+    programs (reduce -> bisect -> band vectors -> back-transform +
+    refine) instead of one.
+
+    At large single-structure sizes (measured: 5,328 dims / 7cal) the
+    monolithic program crashes the remote TPU compile helper, while
+    every stage compiles and runs fine on its own — so the staged form
+    is the production path for big matrices; the fused form remains
+    best for batched mid-size pipelines (the relay charges ~28 ms per
+    program launch, which four launches quadruple — irrelevant at
+    seconds-long stage runtimes).  Single matrix only (no batch dim).
+    Returns ``(eig_values, modes-in-rows)`` like :func:`eigh_banded`.
+    """
+    matrix = jnp.asarray(matrix)
+    if matrix.ndim != 2:
+        raise ValueError("eigh_banded_staged takes a single (n, n) "
+                         "matrix; use eigh_banded for batches")
+    n = matrix.shape[-1]
+    if n <= bandwidth + 1:
+        vals, vecs = jnp.linalg.eigh(matrix)
+        return vals, vecs.T
+    vec_pallas = use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and bandwidth <= 8
+
+    diags, v_all, t_all = _staged_reduce(matrix, bandwidth)
+    if use_pallas:
+        vals = banded_eigenvalues_pallas(diags[None], n_iter=n_iter)[0]
+    else:
+        vals = banded_eigenvalues(diags[None], n_iter=n_iter)[0]
+    u_band = _staged_vectors(diags[None], vals[None], n_solves=n_solves,
+                             shift_chunk=shift_chunk, window=window,
+                             use_pallas=vec_pallas)[0]
+    return _staged_finish(matrix, v_all, t_all, u_band, vals,
+                          window=window)

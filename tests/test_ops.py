@@ -440,6 +440,25 @@ def test_eigh_banded_matches_eigh(bandwidth):
     _eigh_banded_checks(a, vals, vecs, 1e-8, 1e-9)
 
 
+def test_eigh_banded_staged_matches_eigh():
+    """Staged (four separate device programs) == fused eigh_banded —
+    the large-single-structure path where the monolithic program used
+    to crash the remote TPU compiler."""
+    from springcraft_tpu.ops import spectrum
+
+    rng = np.random.RandomState(13)
+    a = rng.randn(70, 70)
+    a = (a + a.T) / 2
+    vals, vecs = spectrum.eigh_banded_staged(jnp.asarray(a),
+                                             bandwidth=4)
+    assert np.allclose(np.asarray(vals), np.linalg.eigvalsh(a),
+                       atol=1e-9)
+    _eigh_banded_checks(a, vals, vecs, 1e-8, 1e-9)
+
+    with pytest.raises(ValueError, match="single"):
+        spectrum.eigh_banded_staged(jnp.zeros((2, 8, 8)))
+
+
 def test_eigh_banded_batched():
     from springcraft_tpu.ops import spectrum
 
