@@ -881,21 +881,47 @@ def banded_eigenvectors(diags, eigvals, n_solves=2, shift_chunk=256,
 
     pivot_floor = jnp.max(span) * eps
 
+    # f32 no-pivot LDL element growth can overflow interior-shift
+    # solves into inf/NaN; at mid sizes the polish absorbs the damage,
+    # but at n >= ~4k whole columns go non-finite (measured at 5,328:
+    # NaN output on a real Hessian).  The rescue pass re-solves with
+    # jittered shifts and keeps the finite result — doubles this
+    # stage's cost, so it is gated to large n.
+    rescue = n >= 2048
+
     def solve_chunk(inp):
         shift_plane, idx = inp  # (batch, chunk), (chunk,)
-        d, l = _banded_factorize(feed, shift_plane,
-                                 pivot_floor=pivot_floor)
         # A distinct pseudo-random start per shift: within an exactly
         # degenerate cluster the resolvent amplifies the whole
         # eigenspace identically, so a shared start would collapse all
         # cluster vectors onto one direction and Gram-Schmidt would be
         # left with pure noise.
         row = jnp.arange(n, dtype=dtype)[:, None, None]
-        x = jnp.cos(row * 0.7 + seed + 2.347 * idx[None, None, :]) + 1e-3
-        x = jnp.broadcast_to(x, (n, n_batch, chunk))
-        for _ in range(n_solves):
-            x = _banded_solve(d, l, x)
-            x = x / jnp.linalg.norm(x, axis=0, keepdims=True)
+        x0 = jnp.cos(row * 0.7 + seed + 2.347 * idx[None, None, :]) + 1e-3
+        x0 = jnp.broadcast_to(x0, (n, n_batch, chunk))
+        x0 = x0 / jnp.linalg.norm(x0, axis=0, keepdims=True)
+
+        def run(shift_p):
+            d, l = _banded_factorize(feed, shift_p,
+                                     pivot_floor=pivot_floor)
+            x = x0
+            for _ in range(n_solves):
+                x = _banded_solve(d, l, x)
+                x = x / jnp.maximum(
+                    jnp.linalg.norm(x, axis=0, keepdims=True), 1e-30)
+            return x
+
+        x = run(shift_plane)
+        if rescue:
+            bad = ~jnp.all(jnp.isfinite(x), axis=0)      # (batch, chunk)
+            # Small jitter: element growth is hypersensitive to the
+            # shift (near-zero pivot cascades), so a few separations
+            # escape the pocket while staying closest to the same
+            # eigenvalue
+            x2 = run(shift_plane + 5.0 * sep)
+            x = jnp.where(bad[None], x2, x)
+            still_bad = ~jnp.all(jnp.isfinite(x), axis=0)
+            x = jnp.where(still_bad[None], x0, x)
         return x  # (n, batch, chunk)
 
     x = jax.lax.map(solve_chunk,
