@@ -511,9 +511,11 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         out_b = spectrum.eigh_banded_staged(hmat)
         float(jnp.sum(out_b[0]) + jnp.sum(out_b[1]))
         banded_s = time.perf_counter() - t0
+        ok = bool(np.all(np.isfinite(np.asarray(out_b[1]))))
         log(f"tpu single-structure 7cal: two-stage banded full "
             f"eigensystem (staged) {banded_s:.2f}s (compile "
-            f"{c_s:.1f}s, {eigh_s / banded_s:.2f}x eigh)")
+            f"{c_s:.1f}s, {eigh_s / banded_s:.2f}x eigh, "
+            f"finite={ok})")
         mfu("7cal-banded", 1.0 / banded_s, 9 * m**3)
     except Exception as exc:
         log(f"tpu single-structure banded failed: "
