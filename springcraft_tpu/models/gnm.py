@@ -69,9 +69,51 @@ class GNM(ElasticNetworkModel):
         """Isotropic B-factors from the MSF."""
         return nma.bfactor(self, mode_subset, tem, tem_factors)
 
-    def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B):
-        """Dynamic cross-correlation between nodes."""
-        return nma.dcc(self, mode_subset, norm, tem, tem_factors)
+    def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B,
+            matrix_free=False, sites=None, msf=None, **options):
+        """Dynamic cross-correlation between nodes.
+
+        ``matrix_free=True`` computes all-mode DCC *rows* for the given
+        `sites` by deflated CG on the implicit Kirchhoff operator
+        (``ops.matfree.dcc_rows_matfree_gnm``) — for systems whose
+        covariance exceeds device memory.  ``norm=True`` requires
+        `msf` (the all-mode GNM MSF, e.g. the mode-sum from
+        :meth:`lowest_modes` at mega scale).  Extra `options` (``tol``,
+        ``max_iter``, ``precond``, ...) pass through to the solver.
+        """
+        if not matrix_free:
+            return nma.dcc(self, mode_subset, norm, tem, tem_factors)
+
+        import numpy as np
+
+        from ..ops import matfree
+        from ..parallel.pipeline import _resolve_params
+
+        if sites is None:
+            raise ValueError(
+                "dcc(matrix_free=True) needs sites=<atom indices>: the "
+                "full (n, n) DCC requires the dense covariance")
+        if mode_subset is not None:
+            raise ValueError(
+                "dcc(matrix_free=True) is an all-mode quantity; "
+                "mode_subset is not supported")
+        self._require_force_field_matrix("dcc(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        tol = options.setdefault("tol", 1e-6)
+        rows, n_it, res = matfree.dcc_rows_matfree_gnm(
+            self._coord, params, sites, norm=norm, msf=msf,
+            masses=self._masses, **options)
+        rows = np.asarray(rows)
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(rows)) or max_res > 10 * tol:
+            raise ValueError(
+                f"matrix-free DCC did not converge: max relative "
+                f"residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        if tem is not None:
+            rows = rows * tem * tem_factors
+        return rows
 
     def lowest_modes(self, k, matrix_free=False, refine=False,
                      **options):

@@ -14,7 +14,10 @@ from . import (
 from .assembly import hessian_matrix, hessian_rows, kirchhoff_matrix
 from .matfree import (
     covariance_solve_matfree,
+    covariance_solve_matfree_gnm,
     dcc_rows_matfree,
+    dcc_rows_matfree_gnm,
+    kirchhoff_degree,
     hessian_apply,
     kirchhoff_apply,
     linear_response_matfree,
@@ -39,8 +42,11 @@ __all__ = [
     "lowest_modes_matfree",
     "lowest_modes_matfree_gnm",
     "covariance_solve_matfree",
+    "covariance_solve_matfree_gnm",
     "linear_response_matfree",
     "dcc_rows_matfree",
+    "dcc_rows_matfree_gnm",
+    "kirchhoff_degree",
     "prs_rows_matfree",
     "nma_core",
     "rigid",

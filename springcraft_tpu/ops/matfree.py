@@ -69,7 +69,10 @@ __all__ = [
     "lowest_modes_matfree_gnm",
     "hessian_diag_blocks",
     "covariance_solve_matfree",
+    "covariance_solve_matfree_gnm",
     "dcc_rows_matfree",
+    "dcc_rows_matfree_gnm",
+    "kirchhoff_degree",
     "prs_rows_matfree",
     "linear_response_matfree",
     "matfree_mode_residuals",
@@ -1635,6 +1638,188 @@ def prs_rows_matfree(coord, params, sites, *, norm=True, masses=None,
         diag = prs[jnp.arange(n_sites), jnp.asarray(sites)]
         prs = prs / diag[:, None]
     return prs, n_it, res
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def kirchhoff_degree(coord, params, *, block=512, dtype=jnp.float32):
+    """Per-atom Kirchhoff diagonal (the degree, ``sum_j k_ij``) by a
+    blocked matrix-free pass — the GNM Jacobi preconditioner.  O(block
+    * n) memory; O(n^2) work (fine to ~100k atoms; beyond that pass
+    ``precond=False`` to the GNM CG instead)."""
+    _check_params(params)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    n_pad = _round_up(n, block)
+    coord_p = jnp.zeros((n_pad, 3), dtype).at[:n].set(coord)
+    meta = (_pad_compact_meta(params, n, n_pad)
+            if params.kind == "table_compact" else None)
+    cols = jnp.arange(n_pad)
+
+    def one_block(r0):
+        rows = r0 + jnp.arange(block)
+        cr = jax.lax.dynamic_slice(coord_p, (r0, 0), (block, 3))
+        d = cr[:, None, :] - coord_p[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        kmat = _rect_constants(sq, rows, cols, n, params, meta)
+        return jnp.sum(kmat, axis=1)
+
+    starts = jnp.arange(n_pad // block) * block
+    deg = jax.lax.map(one_block, starts).reshape(n_pad)
+    return deg[:n]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("op", "n", "tol", "max_iter"))
+def _deflated_pcg_gnm(op, t, inv_diag, rhs, n, *, tol, max_iter):
+    """GNM counterpart of :func:`_deflated_pcg`: vectors are ``(n, k)``
+    and the preconditioner is the inverse degree diagonal."""
+    def deflate(x):
+        return x - jnp.matmul(
+            t, jnp.matmul(t.T, x, precision=_HIGHEST),
+            precision=_HIGHEST)
+
+    def precond(r):
+        return deflate(inv_diag[:, None] * r)
+
+    b = deflate(rhs)
+    b_norm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0, axis=0)
+    active0 = jnp.linalg.norm(r0, axis=0) / b_norm > tol
+
+    def cond(state):
+        i, _, _, _, _, _, active = state
+        return (i < max_iter) & jnp.any(active)
+
+    def body(state):
+        i, x, r, z, p, rz, active = state
+        hp = deflate(op(p))
+        denom = jnp.sum(p * hp, axis=0)
+        ok = active & jnp.isfinite(denom) & (denom > 0) & (rz > 0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
+        x = x + p * alpha[None, :]
+        r = r - hp * alpha[None, :]
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        p = jnp.where(ok[None, :], z + p * beta[None, :], p)
+        rel = jnp.linalg.norm(r, axis=0) / b_norm
+        return i + 1, x, r, z, p, rz_new, ok & (rel > tol)
+
+    state = (jnp.asarray(0), x0, r0, z0, z0, rz0, active0)
+    i, x, r, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    res = jnp.linalg.norm(r, axis=0) / b_norm
+    return deflate(x), i, res
+
+
+def covariance_solve_matfree_gnm(coord, params, rhs, *, masses=None,
+                                 tol=1e-6, max_iter=1000, tile=256,
+                                 block=512, use_pallas=None,
+                                 sparse=None, dtype=jnp.float32,
+                                 precond=True):
+    """
+    ``pinv(K) @ rhs`` for the GNM Kirchhoff matrix without
+    materializing it — the GNM counterpart of
+    :func:`covariance_solve_matfree` (constant-mode deflation, degree
+    Jacobi preconditioner, per-column CG step sizes).  `rhs` is
+    ``(n, k)`` or ``(n,)``.  ``precond=False`` skips the O(n^2)
+    degree pass (identity preconditioner — use beyond ~100k atoms).
+    Requires a *connected* network.
+
+    Returns ``(x, n_iter, residuals)`` like the ANM version.
+    """
+    concrete = not isinstance(coord, jax.core.Tracer)
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sparse is None:
+        sparse = use_pallas and params.has_cutoff and concrete
+
+    rhs = jnp.asarray(rhs, dtype=dtype)
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+
+    if precond:
+        deg = kirchhoff_degree(coord, params, block=block, dtype=dtype)
+        if masses is not None:
+            w2 = 1.0 / jnp.asarray(masses, dtype)
+            deg = deg * w2
+        inv_diag = 1.0 / jnp.maximum(deg, 1e-30)
+    else:
+        inv_diag = jnp.ones(n, dtype)
+
+    perm = None
+    if sparse:
+        coord_s, params_s, masses_s, nbr, counts, perm = _sparse_setup(
+            coord, params, masses, tile, dtype, concrete)
+        base = functools.partial(
+            kirchhoff_apply_pallas_sparse, coord_s, params=params_s,
+            nbr=nbr, counts=counts,
+            orig_ids=jnp.asarray(perm, jnp.int32), tile=tile,
+            dtype=dtype)
+        coord = coord_s
+        masses = masses_s
+        inv_diag = inv_diag[perm]
+        rhs = rhs[perm]
+    else:
+        base = functools.partial(kirchhoff_apply, coord, params=params,
+                                 block=block, dtype=dtype)
+
+    if masses is not None:
+        w = 1.0 / jnp.sqrt(jnp.asarray(masses, dtype))
+
+        def op(x):
+            return w[:, None] * base(w[:, None] * x)
+    else:
+        op = base
+
+    null = (jnp.sqrt(jnp.asarray(masses, dtype))
+            if masses is not None else jnp.ones(n, dtype))
+    t = (null / jnp.linalg.norm(null))[:, None]
+
+    x, n_it, res = _deflated_pcg_gnm(op, t, inv_diag, rhs, n, tol=tol,
+                                     max_iter=max_iter)
+    if perm is not None:
+        x = x[np.argsort(perm)]
+    return (x[:, 0], n_it, res) if squeeze else (x, n_it, res)
+
+
+def dcc_rows_matfree_gnm(coord, params, sites, *, norm=True, msf=None,
+                         masses=None, dtype=jnp.float32, **options):
+    """
+    GNM DCC rows without the covariance: the all-mode GNM DCC *is* the
+    covariance (reference ``nma.py:324-325``), so each requested row is
+    one ``pinv(K) @ e_site`` solve (:func:`covariance_solve_matfree_gnm`).
+    `msf` (the covariance diagonal) is required for ``norm=True`` —
+    at mega scale use the mode-sum MSF from
+    :func:`lowest_modes_matfree_gnm`.
+
+    Returns ``(dcc_rows (len(sites), n), n_iter, residuals)``.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    sites = np.asarray(sites, dtype=np.int64)
+    if sites.ndim != 1 or np.any(sites < 0) or np.any(sites >= n):
+        raise IndexError(f"sites must be flat indices in [0, {n})")
+    if norm and msf is None:
+        raise ValueError(
+            "norm=True needs the covariance diagonal: pass msf=(all-"
+            "mode GNM MSF; at mega scale the mode-sum MSF from "
+            "lowest_modes_matfree_gnm), or use norm=False")
+
+    rhs = np.zeros((n, len(sites)), dtype=np.float64)
+    rhs[sites, np.arange(len(sites))] = 1.0
+    x, n_it, res = covariance_solve_matfree_gnm(
+        coord, params, rhs, masses=masses, dtype=dtype, **options)
+    rows = jnp.transpose(x, (1, 0))
+    if norm:
+        diag = jnp.asarray(msf, dtype=rows.dtype)
+        rows = rows / jnp.sqrt(diag[None, :] * diag[sites][:, None])
+    return rows, n_it, res
 
 
 def dcc_rows_matfree(coord, params, sites, *, norm=True, msf=None,

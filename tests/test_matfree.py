@@ -399,6 +399,58 @@ def test_anm_lowest_modes_refine_f64(ca_1l2y, masses):
     assert vecs.shape == (k, 3 * ca_1l2y.array_length())
 
 
+def test_kirchhoff_degree_matches_diagonal(ca_1l2y):
+    coord = np.asarray(ca_1l2y.coord, np.float64)
+    params = ffparams.invariant_params(9.0)
+    k64 = np.asarray(assembly.kirchhoff_matrix(coord, params, np,
+                                               dtype=np.float64))
+    deg = matfree.kirchhoff_degree(jnp.asarray(coord), params, block=8,
+                                   dtype=jnp.float64)
+    assert np.allclose(np.asarray(deg), np.diagonal(k64), atol=1e-10)
+
+
+@pytest.mark.parametrize("precond", [True, False])
+def test_gnm_dcc_rows_matfree_match_dense(ca_1l2y, precond):
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    dcc_norm = np.asarray(gnm.dcc(norm=True))
+    dcc_raw = np.asarray(gnm.dcc(norm=False))
+    msf = np.asarray(gnm.mean_square_fluctuation())
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(7.0)
+    sites = [0, 9, 19]
+    rows_raw, n_it, res = matfree.dcc_rows_matfree_gnm(
+        coord, params, sites, norm=False, tol=1e-11, block=16,
+        use_pallas=False, dtype=jnp.float64, precond=precond)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(np.asarray(rows_raw), dcc_raw[sites],
+                       rtol=1e-6, atol=1e-10)
+
+    rows_norm, _, _ = matfree.dcc_rows_matfree_gnm(
+        coord, params, sites, norm=True, msf=msf, tol=1e-11, block=16,
+        use_pallas=False, dtype=jnp.float64, precond=precond)
+    assert np.allclose(np.asarray(rows_norm), dcc_norm[sites],
+                       rtol=1e-6, atol=1e-9)
+
+
+def test_gnm_dcc_matrix_free_surface(ca_1l2y):
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    dense = np.asarray(gnm.dcc(norm=True))
+    msf = np.asarray(gnm.mean_square_fluctuation())
+    sites = [3, 14]
+    rows = gnm.dcc(matrix_free=True, sites=sites, msf=msf, tol=1e-10,
+                   block=16, use_pallas=False, dtype=jnp.float64)
+    assert rows.shape == (2, ca_1l2y.array_length())
+    assert np.allclose(rows, dense[sites], rtol=1e-5, atol=1e-8)
+
+    with pytest.raises(ValueError, match="sites"):
+        gnm.dcc(matrix_free=True)
+    with pytest.raises(ValueError, match="msf"):
+        matfree.dcc_rows_matfree_gnm(
+            np.asarray(ca_1l2y.coord), ffparams.invariant_params(7.0),
+            sites, norm=True)
+
+
 def test_gnm_lowest_modes_refine_f64(ca_1l2y):
     gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
     ref_vals, _ = gnm.eigen()   # host f64 (NumPy backend)
