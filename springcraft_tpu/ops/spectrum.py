@@ -1307,15 +1307,31 @@ def _staged_vectors(diags, vals, *, n_solves, shift_chunk, window,
                                use_pallas=use_pallas)
 
 
+_staged_back = jax.jit(back_transform)
+
+
+@jax.jit
+def _staged_polish(matrix, u, vals):
+    min_gap = 0.01 * (vals[-1] - vals[0])
+    u = _perturbative_polish(matrix, u, vals, min_gap)
+    return _perturbative_polish(matrix, u, vals, min_gap)
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
-def _staged_finish(matrix, v_all, t_all, u_band, vals, *, window):
-    u = back_transform(v_all, t_all, u_band)
-    span = vals[-1] - vals[0]
-    min_gap = 0.01 * span
-    u = _perturbative_polish(matrix, u, vals, min_gap)
-    u = _perturbative_polish(matrix, u, vals, min_gap)
-    u, vals = _window_refine(matrix, u, vals, max(32, window))
+def _staged_window(matrix, u, vals, *, window):
+    u, vals = _window_refine(matrix, u, vals, window)
     return vals, u.T  # modes in rows
+
+
+def _staged_finish(matrix, v_all, t_all, u_band, vals, *, window):
+    # Three separate device programs, NOT one: the fused form emitted
+    # non-finite columns at 5,328 dims on the remote TPU toolchain
+    # while the identical unfused sequence is finite (verified stage
+    # by stage) — a fusion-level numerics hazard we sidestep rather
+    # than depend on.
+    u = _staged_back(v_all, t_all, u_band)
+    u = _staged_polish(matrix, u, vals)
+    return _staged_window(matrix, u, vals, window=max(32, window))
 
 
 def eigh_banded_staged(matrix, bandwidth=8, n_iter=40, use_pallas=None,
