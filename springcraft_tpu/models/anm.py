@@ -193,7 +193,9 @@ class ANM(ElasticNetworkModel):
         north-star demands 1e-6 rtol, beyond raw f32).  The device
         solve is widened by ``refine_buffer`` (default 4) extra modes
         so the slow-converging subspace boundary stays outside the
-        returned block.
+        returned block.  The pass is O(k n^2) host work — ~1 min at
+        n=10k; pair it with ``matrix_free=True`` only if you can
+        afford ~n^2 host flops (tens of minutes at 100k atoms).
 
         Returns
         -------
