@@ -1158,8 +1158,19 @@ def _perturbative_polish(a, u, vals, min_gap):
     denom = vals[:, None] - vals[None, :]
     coef = jnp.where(jnp.abs(denom) > min_gap,
                      c / jnp.where(denom == 0, 1.0, denom), 0.0)
+    # First-order validity guard: a correction of O(1) norm says the
+    # column is mostly contamination — subtracting it leaves a
+    # near-zero column whose normalization overflows (measured at
+    # 5,328 dims: the fused double-polish program rounded such a
+    # column's norm to 0 -> inf -> NaN while the unfused sequence
+    # happened to keep a denormal).  Skip those columns (the windowed
+    # Rayleigh-Ritz repairs them) and floor the norm.
+    coef_norm = jnp.linalg.norm(coef, axis=0, keepdims=True)
+    coef = coef * (coef_norm <= 0.5)
     u = u - jnp.matmul(u, coef, precision=hp)
-    return u / jnp.linalg.norm(u, axis=0, keepdims=True)
+    return u / jnp.maximum(
+        jnp.linalg.norm(u, axis=0, keepdims=True),
+        jnp.asarray(1e-30, u.dtype))
 
 
 def _window_refine(a, u, vals, window):
