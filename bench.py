@@ -558,11 +558,17 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         for _ in range(3)
     ]
     params2 = ffparams.invariant_params(13.0)
+    # with_covariance=False: the plane-trace engine
+    # (ops.rigid.covariance_plane_traces) skips the full (3n, 3n)
+    # covariance Gram — measured 1.19x at this size (the crossover is
+    # ~N=1000; at N=300 the aligned full Gram is already MXU-efficient
+    # and trace-only does not pay — see docs/performance.md)
     fn2 = jax.jit(
         lambda b: sum(jnp.sum(v) for v in
                       pipeline.ensemble_anm_fluctuations(
                           b, params2, with_dcc=True, dtype=jnp.float32,
-                          inverse="auto").values()))
+                          inverse="auto",
+                          with_covariance=False).values()))
     t0 = time.perf_counter()
     float(fn2(batches[0]))
     c2 = time.perf_counter() - t0
@@ -571,7 +577,8 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         float(fn2(x))
     e2 = time.perf_counter() - t0
     rate2 = (len(batches) - 1) * b2 / e2
-    log(f"tpu ensemble point (N={n2}, batch {b2}): compile {c2:.1f}s; "
+    log(f"tpu ensemble point (N={n2}, batch {b2}, plane-trace "
+        f"covariance engine): compile {c2:.1f}s; "
         f"{rate2:.2f} fluctuation solves/s")
     mfu("ensemble-n2000", rate2, (3 * n2)**3 * 7 / 3)
 

@@ -28,7 +28,12 @@ from .matfree import (
 from .ffparams import FFParams, force_constant_matrix, pairwise_sq_distance
 from .linalg import eigensystem, eigh, pinvh
 from .modes import lowest_modes, lowest_modes_anm, refine_modes_f64
-from .rigid import covariance_cholesky, null_mode_gnm, rigid_modes_anm
+from .rigid import (
+    covariance_cholesky,
+    covariance_plane_traces,
+    null_mode_gnm,
+    rigid_modes_anm,
+)
 from .spectrum import eigh_banded, eigvalsh_banded
 
 __all__ = [
@@ -57,6 +62,7 @@ __all__ = [
     "lowest_modes_anm",
     "refine_modes_f64",
     "covariance_cholesky",
+    "covariance_plane_traces",
     "rigid_modes_anm",
     "null_mode_gnm",
     "FFParams",

@@ -39,6 +39,7 @@ __all__ = [
     "rigid_modes_anm",
     "null_mode_gnm",
     "covariance_cholesky",
+    "covariance_plane_traces",
     "pinv_diagonal",
 ]
 
@@ -209,6 +210,99 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
         inv = jnp.concatenate(list(blocks), axis=1)
     inv = inv * scale[..., :, None] * scale[..., None, :]
     return inv - ttt / sigma
+
+
+def covariance_plane_traces(matrix, null_basis, sigma=None,
+                            inverse="cho_solve", interpret=None):
+    """
+    Sum of the diagonal component-plane blocks of the pseudo-inverse of
+    an xyz-layout ANM Hessian:
+    ``traces[i, j] = sum_a pinv(H)[a*n + i, a*n + j]`` — the 3x3
+    superelement traces of the covariance, which is everything the
+    fluctuation observables consume (MSF = its diagonal, B-factors,
+    normalized DCC; reference ``nma.py:326-336`` computes the same
+    traces *from* the full covariance).
+
+    Skipping the full covariance changes the dominant cost: the Gram
+    contraction shrinks from ``(m, m) x (m, m)`` (``2 m^3`` flops) to a
+    single ``(n, 3m) x (3m, n)`` product (``2 m^3 / 9``), roughly
+    halving the whole fluctuation pipeline.  Use
+    :func:`covariance_cholesky` when the covariance itself is needed
+    (PRS, linear response, covariance export).
+
+    Parameters
+    ----------
+    matrix : ndarray, shape=(..., 3n, 3n)
+        ANM Hessian in xyz layout (PSD, null space = `null_basis`).
+    null_basis : ndarray, shape=(..., 3n, k)
+        Orthonormal null basis (the six rigid modes), xyz layout.
+    sigma : float, optional
+        Null-space regularization weight (default: mean diagonal).
+    inverse : {"cho_solve", "blocked"}
+        ``"blocked"`` routes through the Pallas panel-Cholesky inverse
+        factor (the fast batched TPU engine, float32); ``"cho_solve"``
+        uses XLA Cholesky + a triangular solve (any backend/dtype).
+
+    Returns
+    -------
+    traces : ndarray, shape=(..., n, n)
+    """
+    matrix = jnp.asarray(matrix)
+    m = matrix.shape[-1]
+    if m % 3:
+        raise ValueError(
+            f"xyz-layout ANM matrix dimension must be divisible by 3, "
+            f"got {m}")
+    n = m // 3
+    t = jnp.asarray(null_basis, dtype=matrix.dtype)
+    if sigma is None:
+        diag = jnp.diagonal(matrix, axis1=-2, axis2=-1)
+        sigma = jnp.mean(diag, axis=-1)[..., None, None]
+    else:
+        sigma = jnp.asarray(sigma, dtype=matrix.dtype)
+        if sigma.ndim:
+            sigma = sigma[..., None, None]
+    ttt = jnp.matmul(t, jnp.swapaxes(t, -1, -2), precision='highest')
+    reg = matrix + sigma * ttt
+    # Jacobi equilibration, as in covariance_cholesky
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
+    reg = reg * scale[..., :, None] * scale[..., None, :]
+
+    # W with pinv(reg_unscaled) = W^T W: fold the equilibration
+    # un-scaling into W's columns (S G^T G S = (G S)^T (G S)).
+    if inverse == "blocked":
+        from . import pallas_linalg
+
+        g = pallas_linalg.spd_inverse_factor(reg, interpret=interpret)
+        mp = g.shape[-1]
+        if mp != m:
+            scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
+            scale_p = scale_p.at[..., :m].set(scale)
+        else:
+            scale_p = scale
+        # Padding rows of G carry zeros in the first m columns (the
+        # identity-padded factorization decouples), so contracting over
+        # the full padded row range below stays exact.
+        w = (g * scale_p[..., None, :])[..., :, :m]
+    elif inverse == "cho_solve":
+        chol = jnp.linalg.cholesky(reg)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=matrix.dtype),
+                               matrix.shape)
+        w = jsl.solve_triangular(chol, eye, lower=True)
+        w = w * scale[..., None, :]
+    else:
+        raise ValueError(f"unknown inverse engine {inverse!r}")
+
+    # traces = sum_a (W_a)^T W_a with W_a = columns of plane a; one
+    # contraction over (rows, planes) instead of three sliced Grams.
+    wc = w.reshape(w.shape[:-1] + (3, n))
+    traces = jnp.einsum("...kan,...kam->...nm", wc, wc,
+                        precision='highest')
+    # Null-space correction, plane-traced: sum_a T_a T_a^T / sigma
+    tp = t.reshape(t.shape[:-2] + (3, n, t.shape[-1]))
+    corr = jnp.einsum("...anp,...amp->...nm", tp, tp,
+                      precision='highest')
+    return traces - corr / sigma
 
 
 def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,

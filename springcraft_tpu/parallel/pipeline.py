@@ -544,10 +544,12 @@ def ensemble_gnm_spectral(coords, params, masses=None, *, n_modes=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_dcc", "with_prs", "dtype", "use_pallas")
+    jax.jit, static_argnames=("with_dcc", "with_prs", "with_covariance",
+                              "dtype", "use_pallas")
 )
 def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
-                     with_prs=False, dtype=jnp.float32, use_pallas=False):
+                     with_prs=False, with_covariance=True,
+                     dtype=jnp.float32, use_pallas=False):
     """
     Covariance-derived ANM observables via the fast Cholesky path —
     no eigendecomposition.
@@ -560,14 +562,39 @@ def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
     all-mode observable: MSF, B-factors, normalized DCC and optionally
     PRS + effector/sensor profiles.  (Results match the eigh path; for
     disconnected networks fall back to :func:`anm_observables`.)
+
+    With ``with_covariance=False`` the full ``(3n, 3n)`` covariance is
+    never formed: the pipeline computes only the ``(n, n)`` plane-trace
+    matrix (:func:`springcraft_tpu.ops.rigid.covariance_plane_traces`)
+    that MSF/B-factors/DCC consume — identical observables at roughly
+    half the cost (the ``covariance`` output is then omitted, and PRS
+    is unavailable since it needs all nine plane blocks).
     """
     coord = jnp.asarray(coord, dtype=dtype)
     hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
     if masses is not None:
         hessian = _mass_weight_xyz(hessian, masses)
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
+    if not with_covariance:
+        if with_prs:
+            raise ValueError(
+                "with_prs=True requires with_covariance=True — PRS "
+                "consumes all nine covariance plane blocks, not just "
+                "the traces")
+        traces = rigid.covariance_plane_traces(hessian, basis)
+        return _anm_trace_observables(traces, with_dcc)
     cov = rigid.covariance_cholesky(hessian, basis)
     return _anm_cov_observables(cov, coord.shape[0], with_dcc, with_prs)
+
+
+def _anm_trace_observables(traces, with_dcc):
+    # `traces` is the (n, n) plane-trace matrix of the covariance —
+    # see ops.rigid.covariance_plane_traces
+    out = {"msf": jnp.diagonal(traces)}
+    out["bfactor"] = nma_core.bfactor_from_msf(out["msf"])
+    if with_dcc:
+        out["dcc"] = nma_core.normalize_dcc(traces, jnp)
+    return out
 
 
 def _anm_cov_observables(cov, n, with_dcc, with_prs):
@@ -630,6 +657,12 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     XLA Cholesky's ~m sequential HBM-bound steps dominate the pipeline;
     ``"cho_solve"`` vmaps the per-conformer path; ``"auto"`` picks
     ``"blocked"`` on TPU backends for float32.
+
+    Pass ``with_covariance=False`` when only MSF/B-factors/DCC are
+    needed: the pipeline then computes the ``(n, n)`` covariance
+    plane-trace matrix directly and never materializes the ``(3n, 3n)``
+    covariance — identical observables at roughly half the cost (see
+    :func:`anm_fluctuations`).
     """
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
@@ -692,11 +725,12 @@ def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_dcc", "with_prs", "dtype",
-                              "use_pallas")
+    jax.jit, static_argnames=("with_dcc", "with_prs", "with_covariance",
+                              "dtype", "use_pallas")
 )
 def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
                                        with_dcc=True, with_prs=False,
+                                       with_covariance=True,
                                        dtype=jnp.float32,
                                        use_pallas=False):
     coords = jnp.asarray(coords, dtype=dtype)
@@ -710,6 +744,17 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
         return hessian, basis
 
     hessians, bases = jax.vmap(build)(coords)
+    if not with_covariance:
+        if with_prs:
+            raise ValueError(
+                "with_prs=True requires with_covariance=True — PRS "
+                "consumes all nine covariance plane blocks, not just "
+                "the traces")
+        traces = rigid.covariance_plane_traces(hessians, bases,
+                                               inverse="blocked")
+        return jax.vmap(
+            lambda t: _anm_trace_observables(t, with_dcc)
+        )(traces)
     cov = rigid.covariance_cholesky(hessians, bases, inverse="blocked")
     return jax.vmap(
         lambda c: _anm_cov_observables(c, n, with_dcc, with_prs)

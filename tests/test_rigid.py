@@ -128,6 +128,103 @@ def test_covariance_cholesky_blocked(ca_1l2y):
         rigid.covariance_cholesky(jnp.asarray(h), basis, block_size=7)
 
 
+def test_covariance_plane_traces_matches_full(ca_1l2y):
+    """Trace-only engine == plane traces of the full pseudo-inverse,
+    both inverse engines, unbatched and batched."""
+    params = ffparams.invariant_params(13.0)
+    coord = ca_1l2y.coord.astype(np.float64)
+    n = len(coord)
+    h = np.asarray(assembly.hessian_matrix(coord, params, jnp,
+                                           layout="xyz"))
+    basis = rigid.rigid_modes_anm(coord, layout="xyz")
+
+    cov = np.linalg.pinv(h, hermitian=True, rcond=1e-6)
+    planes = cov.reshape(3, n, 3, n)
+    ref = sum(planes[a, :, a, :] for a in range(3))
+
+    traces = np.asarray(
+        rigid.covariance_plane_traces(jnp.asarray(h), basis)
+    )
+    assert traces.shape == (n, n)
+    assert np.allclose(traces, ref, atol=1e-8)
+
+    # Blocked (Pallas) engine: float32, interpret mode off-TPU
+    traces32 = np.asarray(
+        rigid.covariance_plane_traces(
+            jnp.asarray(h, jnp.float32),
+            jnp.asarray(np.asarray(basis), jnp.float32),
+            inverse="blocked")
+    )
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(traces32 - ref)) / scale < 5e-4
+
+    # Batched: three perturbed conformers through both paths
+    rng = np.random.RandomState(0)
+    coords = coord[None] + 0.05 * rng.randn(3, n, 3)
+    hs = jnp.stack([
+        assembly.hessian_matrix(c, params, jnp, layout="xyz")
+        for c in coords
+    ])
+    bases = jnp.stack([
+        rigid.rigid_modes_anm(c, layout="xyz") for c in coords
+    ])
+    batched = np.asarray(rigid.covariance_plane_traces(hs, bases))
+    full = np.asarray(rigid.covariance_cholesky(hs, bases))
+    full_planes = full.reshape(3, 3, n, 3, n)
+    ref_b = full_planes[:, 0, :, 0, :] + full_planes[:, 1, :, 1, :] \
+        + full_planes[:, 2, :, 2, :]
+    assert np.allclose(batched, ref_b, atol=1e-8)
+
+    with pytest.raises(ValueError):
+        rigid.covariance_plane_traces(jnp.asarray(h), basis,
+                                      inverse="nope")
+
+
+def test_anm_fluctuations_trace_only(ca_1l2y):
+    """with_covariance=False must reproduce the full-path observables
+    without materializing the covariance."""
+    ff = sc.InvariantForceField(13.0)
+    full = anm_fluctuations(
+        ca_1l2y.coord.astype(np.float64), ff.to_params(),
+        with_dcc=True, dtype=jnp.float64,
+    )
+    lean = anm_fluctuations(
+        ca_1l2y.coord.astype(np.float64), ff.to_params(),
+        with_dcc=True, with_covariance=False, dtype=jnp.float64,
+    )
+    assert "covariance" not in lean
+    assert np.allclose(lean["msf"], full["msf"], atol=1e-9)
+    assert np.allclose(lean["bfactor"], full["bfactor"], atol=1e-8)
+    assert np.allclose(lean["dcc"], full["dcc"], atol=1e-9)
+
+    with pytest.raises(ValueError):
+        anm_fluctuations(
+            ca_1l2y.coord.astype(np.float64), ff.to_params(),
+            with_prs=True, with_covariance=False, dtype=jnp.float64,
+        )
+
+
+def test_ensemble_anm_fluctuations_trace_only(ca_1l2y):
+    """Blocked ensemble trace-only path == full blocked path."""
+    from springcraft_tpu.parallel import ensemble_anm_fluctuations
+
+    rng = np.random.RandomState(1)
+    coords = (ca_1l2y.coord[None]
+              + 0.05 * rng.randn(4, len(ca_1l2y), 3)).astype(np.float32)
+    params = ffparams.invariant_params(13.0)
+    full = ensemble_anm_fluctuations(
+        coords, params, with_dcc=True, inverse="blocked")
+    lean = ensemble_anm_fluctuations(
+        coords, params, with_dcc=True, with_covariance=False,
+        inverse="blocked")
+    assert "covariance" not in lean
+    for key in ("msf", "bfactor", "dcc"):
+        scale = np.max(np.abs(np.asarray(full[key])))
+        assert np.max(
+            np.abs(np.asarray(lean[key]) - np.asarray(full[key]))
+        ) / scale < 5e-4
+
+
 def test_pinv_diagonal(ca_1l2y):
     params = ffparams.invariant_params(13.0)
     coord = ca_1l2y.coord.astype(np.float64)
