@@ -11,16 +11,20 @@ panel state through HBM.
 The TPU-native formulation here splits the work by what each unit is
 good at:
 
-* the unavoidable ``m`` sequential elimination steps run inside ONE
-  Pallas kernel over a small diagonal panel with the whole batch
-  resident in VMEM (`panel_cholesky_batched`) — each step is one fused
-  rank-1 pass over a ``(batch, pb, pb)`` block, no HBM traffic.  The
-  panel inverses ``Ld^-1`` come from exact log-depth Newton iterations
-  on the factors (MXU matmuls, outside the kernel);
-* everything else — trailing updates, the blocked substitution for
-  ``L^-1``, and the final Gram product ``A^-1 = L^-T L^-1`` — is
-  matmul-rich XLA (MXU at full tilt, streamed through HBM), built only
-  from the panel inverses: **no** ``triangular_solve`` anywhere.
+* the unavoidable sequential elimination steps run inside ONE Pallas
+  kernel over small diagonal leaf panels with the whole batch resident
+  in VMEM (`panel_cholesky_batched`) — each step is one fused rank-1
+  pass over a ``(batch, pb, pb)`` block, no HBM traffic.  The panel
+  inverses ``Ld^-1`` come from exact log-depth Newton iterations on
+  the factors (MXU matmuls, outside the kernel);
+* everything else is a divide-and-conquer inverse factor
+  (`_recursive_inverse_factor`): four *square* half-size batched
+  matmuls per node on 128-lane-aligned splits, plus the final Gram
+  product ``A^-1 = G^T G`` — matmul-rich XLA (MXU at full tilt,
+  streamed through HBM): **no** ``triangular_solve`` anywhere.  (A
+  left-looking panel scheme was measured first: its 64-wide trailing
+  updates and substitution rows ran at ~2.6% MFU — 49.6 ms/call at
+  (64, 900) f32 where the aligned recursion takes 37.6 ms.)
 
 The batch lives *inside* the kernel: ``vmap`` of a sequential kernel
 would serialize grid instances, so callers with an ensemble use the
@@ -164,15 +168,17 @@ def panel_cholesky_batched(panels, interpret=None, batch_chunk=None):
 
 def spd_inverse_blocked(a, block=64, interpret=None):
     """
-    Dense inverse of a batch of SPD matrices via blocked Cholesky with
-    Pallas panel factorization — the fast path for ensemble covariance
-    solves (several-fold faster than ``cho_solve`` against the identity
-    on TPU at ensemble shapes, e.g. ``(64, 900, 900)`` float32).
+    Dense inverse of a batch of SPD matrices via recursive blocked
+    Cholesky with Pallas panel factorization — the fast path for
+    ensemble covariance solves (several-fold faster than ``cho_solve``
+    against the identity on TPU at ensemble shapes, e.g.
+    ``(64, 900, 900)`` float32).
 
-    Algorithm: left-looking blocked Cholesky (panel factor + inverse
-    from :func:`panel_cholesky_batched`, trailing updates as batched
-    matmuls), then ``G = L^-1`` by blocked forward substitution using
-    only the panel inverses (matmuls), then ``A^-1 = G^T G`` (one Gram
+    Algorithm: divide-and-conquer inverse factor
+    (:func:`_recursive_inverse_factor`: square half-size batched
+    matmuls at every node, the sequential elimination confined to
+    VMEM-resident Pallas leaf panels from
+    :func:`panel_cholesky_batched`), then ``A^-1 = G^T G`` (one Gram
     matmul).  All contractions run at ``precision='highest'`` (MXU
     bf16 hazard — see CLAUDE.md).
 
@@ -182,7 +188,10 @@ def spd_inverse_blocked(a, block=64, interpret=None):
         SPD batch (use Jacobi equilibration upstream for
         ill-conditioned inputs — see ``ops.rigid.covariance_cholesky``).
     block : int
-        Panel width (multiple of 8; 64 suits v5e).
+        Leaf-panel cap (multiple of 8, <= 128).  64 measures fastest on
+        v5e at ensemble shapes — the in-kernel elimination work scales
+        as ``leaf**2`` per matrix element (43.1 ms/call at leaf 128 vs
+        37.6 at leaf 64, (64, 900) f32).
 
     Returns
     -------
@@ -205,7 +214,8 @@ def spd_inverse_factor(a, block=64, interpret=None):
     """
     Inverse Gram factor of an SPD batch: returns ``G`` of shape
     ``(..., mp, mp)`` — the padded factorization's ``L^-1``, with
-    ``mp = ceil(m / block) * block`` — such that
+    ``mp = base * 2**d`` the recursion-friendly padded size
+    (``base <= block``; e.g. 960 for m = 900) — such that
     ``A^-1 = (G^T @ G)[:m, :m]``.  G stays at the padded (tile-aligned)
     size: trimming before the Gram product would force an unaligned
     matmul, which measures slower than the padded one on TPU.  Callers
@@ -224,58 +234,69 @@ def spd_inverse_factor(a, block=64, interpret=None):
     return g.reshape(batch_shape + g.shape[-2:])
 
 
+def _choose_padding(m, base_max):
+    """Padded size for the recursive inverse factor: the next multiple
+    of 128 (so every recursion level splits on a lane-aligned
+    boundary — measured at (64, 900) f32 the 128-aligned mp=1024
+    recursion beats the smaller but misaligned mp=960 one by ~11%
+    despite 21% more flops), or the next multiple of 8 for single-leaf
+    inputs."""
+    if m <= max(8, min(128, base_max)):
+        return _round_up(m, 8)
+    if m <= 256:
+        return _round_up(m, 64)
+    return _round_up(m, 128)
+
+
 def _padded_inverse_factor(a, m, block, interpret):
     """(b, m, m) SPD -> (b, mp, mp) inverse factor of the
     identity-padded problem (exact: padding decouples)."""
-    mp = _round_up(m, block)
+    mp = _choose_padding(m, block)
     if mp != m:
         pad = mp - m
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
         # identity on the padding diagonal keeps the factorization exact
         diag = jnp.arange(m, mp)
         a = a.at[:, diag, diag].set(1.0)
-    lfull, panel_invs = _blocked_cholesky(a, block, interpret)
-    return _blocked_tri_inverse(lfull, panel_invs, block)
+    return _recursive_inverse_factor(a, max(8, min(128, block)), interpret)
 
 
-def _blocked_cholesky(a, block, interpret=None):
-    """Left-looking blocked Cholesky of padded SPD ``(b, mp, mp)``:
-    returns the lower factor and the list of panel-diagonal inverses."""
-    mp = a.shape[-1]
-    k_panels = mp // block
-    lfull = jnp.zeros_like(a)
-    panel_invs = []
-    for k in range(k_panels):
-        r0 = k * block
-        strip = a[:, r0:, r0:r0 + block]
-        if k:
-            prior = lfull[:, r0:, :r0]
-            prow = lfull[:, r0:r0 + block, :r0]
-            strip = strip - jnp.einsum(
-                "bik,bjk->bij", prior, prow, precision=_HIGH)
-        ld, w = panel_cholesky_batched(strip[:, :block], interpret=interpret)
-        below = strip[:, block:]
-        l21 = jnp.einsum("bij,bkj->bik", below, w, precision=_HIGH)
-        strip_l = jnp.concatenate([ld, l21], axis=1)
-        lfull = lfull.at[:, r0:, r0:r0 + block].set(strip_l)
-        panel_invs.append(w)
-    return lfull, panel_invs
+def _recursive_inverse_factor(a, base, interpret):
+    """``G = L^-1`` of batched SPD ``(b, s, s)`` by divide-and-conquer:
+
+        A = [[A11,   .], [A21, A22]]
+        G11 = invfactor(A11);  L21 = A21 @ G11^T
+        G22 = invfactor(A22 - L21 @ L21^T)
+        G21 = -G22 @ (L21 @ G11)
+
+    Every node is four *square-ish* half-size batched matmuls —
+    MXU-shaped, unlike the left-looking panel scheme whose trailing
+    updates and substitution rows are 64-wide (measured ~2.6% MFU at
+    (64, 960): the 15-step panel loop cost 28 ms where this recursion's
+    matmuls are square at every level).  The split point rounds up to
+    the 128-lane boundary so every sub-block stays tile-aligned; the
+    sequential elimination only ever runs inside the VMEM-resident
+    Pallas leaf panels (size <= ``base``).
+    """
+    s = a.shape[-1]
+    if s <= base:
+        _, w = panel_cholesky_batched(a, interpret=interpret)
+        return w
+    h = _round_up(s // 2, 128)
+    if h >= s:
+        h = s // 2
+    g11 = _recursive_inverse_factor(a[:, :h, :h], base, interpret)
+    l21 = jnp.einsum("bij,bkj->bik", a[:, h:, :h], g11, precision=_HIGH)
+    s22 = a[:, h:, h:] - jnp.einsum("bik,bjk->bij", l21, l21,
+                                    precision=_HIGH)
+    g22 = _recursive_inverse_factor(s22, base, interpret)
+    g21 = -jnp.einsum(
+        "bij,bjk->bik", g22,
+        jnp.einsum("bij,bjk->bik", l21, g11, precision=_HIGH),
+        precision=_HIGH)
+    top = jnp.concatenate(
+        [g11, jnp.zeros(a.shape[:-2] + (h, s - h), a.dtype)], axis=2)
+    bot = jnp.concatenate([g21, g22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
 
 
-def _blocked_tri_inverse(lfull, panel_invs, block):
-    """``G = L^-1`` by blocked forward substitution: row-block i of G
-    is ``-W_i @ (L[i, :i] @ G[:i, :i])`` with diagonal block ``W_i`` —
-    matmuls against the panel inverses, no triangular solves."""
-    k_panels = lfull.shape[-1] // block
-    g = jnp.zeros_like(lfull)
-    for i in range(k_panels):
-        ri = i * block
-        if i:
-            lrow = lfull[:, ri:ri + block, :ri]
-            acc = jnp.einsum("bij,bjk->bik", lrow, g[:, :ri, :ri],
-                             precision=_HIGH)
-            grow = -jnp.einsum("bij,bjk->bik", panel_invs[i], acc,
-                               precision=_HIGH)
-            g = g.at[:, ri:ri + block, :ri].set(grow)
-        g = g.at[:, ri:ri + block, ri:ri + block].set(panel_invs[i])
-    return g
