@@ -124,9 +124,10 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "n_iter", "oversample", "seed"))
+                   static_argnames=("k", "n_iter", "oversample", "seed",
+                                    "engine"))
 def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
-                              seed=0):
+                              seed=0, engine="auto"):
     """
     The `k` smallest non-null eigenpairs by Cholesky shift-invert
     subspace iteration.
@@ -157,6 +158,15 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
         Inverse-iteration steps (each = one preconditioned solve + QR).
     oversample : int, optional
         Extra subspace vectors (default ``max(k, 8)``).
+    engine : {"auto", "chol", "invfactor"}
+        Preconditioner engine.  ``"chol"`` factors with XLA Cholesky
+        and runs two sequential triangular solves per iteration
+        (HBM-bound substitution).  ``"invfactor"`` builds the explicit
+        inverse Gram factor once
+        (:func:`ops.pallas_linalg.spd_inverse_factor`, float32) so
+        every iteration's solve is two MXU matmuls — measured 2x+
+        end-to-end on single large structures on v5e.  ``"auto"``
+        picks ``"invfactor"`` on TPU float32, ``"chol"`` otherwise.
 
     Returns
     -------
@@ -165,11 +175,36 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
     """
     matrix = jnp.asarray(matrix)
     t = jnp.asarray(t, dtype=matrix.dtype)
+    m = matrix.shape[0]
 
     sigma = jnp.mean(jnp.diagonal(matrix))
     reg = matrix + sigma * jnp.matmul(t, t.T, precision="highest")
     scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
     reg = reg * scale[:, None] * scale[None, :]
+    if engine == "auto":
+        engine = ("invfactor"
+                  if (jax.default_backend() == "tpu"
+                      and matrix.dtype == jnp.float32) else "chol")
+    if engine == "invfactor":
+        from . import pallas_linalg
+
+        g = pallas_linalg.spd_inverse_factor(reg[None])[0]
+        mp = g.shape[-1]
+        # Fold the equilibration un-scaling into the factor columns
+        # (zero past m): inv(reg_unscaled) = W^T W with W = G S.
+        scale_p = jnp.zeros((mp,), scale.dtype).at[:m].set(scale)
+        w = g * scale_p[None, :]
+
+        def inv_apply(x):
+            xp = jnp.pad(x, ((0, mp - m), (0, 0)))
+            y = jnp.matmul(w, xp, precision="highest")
+            return jnp.matmul(w.T, y, precision="highest")[:m]
+
+        return _shift_invert_iterate(matrix, inv_apply, t, k=k,
+                                     n_iter=n_iter, oversample=oversample,
+                                     seed=seed)
+    elif engine != "chol":
+        raise ValueError(f"unknown engine {engine!r}")
     chol = jnp.linalg.cholesky(reg)
     return shift_invert_from_chol(matrix, chol, scale, t, k=k,
                                   n_iter=n_iter, oversample=oversample,
@@ -185,7 +220,19 @@ def shift_invert_from_chol(matrix, chol, scale, t, *, k, n_iter=24,
     """
     import jax.scipy.linalg as jsl
 
-    matrix = jnp.asarray(matrix)
+    def inv_apply(x):
+        y = jsl.cho_solve((chol, True), scale[:, None] * x)
+        return scale[:, None] * y
+
+    return _shift_invert_iterate(jnp.asarray(matrix), inv_apply, t, k=k,
+                                 n_iter=n_iter, oversample=oversample,
+                                 seed=seed)
+
+
+def _shift_invert_iterate(matrix, inv_apply, t, *, k, n_iter, oversample,
+                          seed):
+    """Deflated subspace iteration through a preconditioned solve
+    closure + final Rayleigh-Ritz on the original matrix."""
     m = matrix.shape[0]
     q = max(k, 8) if oversample is None else oversample
     p = k + q
@@ -194,10 +241,6 @@ def shift_invert_from_chol(matrix, chol, scale, t, *, k, n_iter=24,
         return x - jnp.matmul(
             t, jnp.matmul(t.T, x, precision="highest"),
             precision="highest")
-
-    def inv_apply(x):
-        y = jsl.cho_solve((chol, True), scale[:, None] * x)
-        return scale[:, None] * y
 
     key = jnp.arange(m * p, dtype=matrix.dtype).reshape(m, p)
     x = jnp.cos(key * 0.7 + seed) + 1e-3
@@ -511,7 +554,7 @@ def refine_modes_f64_gnm(coord, params, eig_vectors, *, masses=None,
 
 
 def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
-                     method="shift_invert"):
+                     method="shift_invert", engine="auto"):
     """
     The `k` lowest non-trivial ANM modes of an xyz-layout Hessian, with
     the six rigid-body modes deflated analytically.
@@ -519,7 +562,9 @@ def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
     `method` is ``"shift_invert"`` (default — Cholesky-preconditioned
     subspace iteration, reliable at mega-assembly scale; `n_iter` ~ 24)
     or ``"lobpcg"`` (the reflected-spectrum LOBPCG; only trustworthy
-    with a residual check, `n_iter` ~ 200).
+    with a residual check, `n_iter` ~ 200).  `engine` selects the
+    shift-invert solve engine (see
+    :func:`lowest_modes_shift_invert`).
     """
     basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
     if method == "shift_invert":
@@ -527,6 +572,7 @@ def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
         if 2 * max(k, 8) + 2 * k >= matrix.shape[0]:
             return _dense_lowest(matrix, k, basis)
         return lowest_modes_shift_invert(
-            matrix, jnp.asarray(basis, matrix.dtype), k=k, n_iter=n_iter
+            matrix, jnp.asarray(basis, matrix.dtype), k=k, n_iter=n_iter,
+            engine=engine
         )
     return lowest_modes(hessian_xyz, k, null_basis=basis, n_iter=n_iter)

@@ -307,6 +307,25 @@ def test_shift_invert_matches_dense():
     assert np.all(res < 1e-5)
 
 
+def test_shift_invert_invfactor_engine_matches_dense():
+    """The explicit-inverse-factor engine (two MXU matmuls per
+    iteration instead of two sequential triangular solves) must agree
+    with the chol engine and the dense truth at f32 accuracy."""
+    from springcraft_tpu.ops import assembly, ffparams, modes
+
+    rng = np.random.RandomState(5)
+    coord = jnp.asarray((rng.rand(150, 3) * 19).astype(np.float32))
+    h = assembly.hessian_matrix(coord, ffparams.invariant_params(9.0),
+                                jnp, dtype=jnp.float32, layout="xyz")
+    vals, vecs = modes.lowest_modes_anm(h, coord, k=10,
+                                        engine="invfactor")
+    truth = np.linalg.eigvalsh(np.asarray(h, np.float64))[6:16]
+    assert np.max(np.abs(np.asarray(vals, np.float64) - truth)
+                  / truth) < 1e-4
+    res = np.asarray(modes.mode_residuals(h, vals, vecs))
+    assert np.all(res < 5e-3)
+
+
 @pytest.mark.parametrize("kind", ["invariant", "hinsen"])
 def test_kirchhoff_rows_match_full(kind):
     from springcraft_tpu.ops import assembly, ffparams
