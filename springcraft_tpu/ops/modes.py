@@ -164,9 +164,12 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
         (HBM-bound substitution).  ``"invfactor"`` builds the explicit
         inverse Gram factor once
         (:func:`ops.pallas_linalg.spd_inverse_factor`, float32) so
-        every iteration's solve is two MXU matmuls — measured 2x+
-        end-to-end on single large structures on v5e.  ``"auto"``
-        picks ``"invfactor"`` on TPU float32, ``"chol"`` otherwise.
+        every iteration's solve is two MXU matmuls.  Measured on v5e:
+        wins at mid sizes (0.050 vs 0.058 s at dim 5,328) but loses at
+        mega scale (1.82 vs 1.00 s at dim 30,720 — the O(m^3) inverse
+        construction overtakes the per-iteration solve savings).
+        ``"auto"`` picks ``"invfactor"`` on TPU float32 for
+        ``m <= 8192``, ``"chol"`` otherwise.
 
     Returns
     -------
@@ -184,7 +187,8 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
     if engine == "auto":
         engine = ("invfactor"
                   if (jax.default_backend() == "tpu"
-                      and matrix.dtype == jnp.float32) else "chol")
+                      and matrix.dtype == jnp.float32
+                      and m <= 8192) else "chol")
     if engine == "invfactor":
         from . import pallas_linalg
 
