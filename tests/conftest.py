@@ -49,12 +49,8 @@ _EIGH_MIN_DIM = 3000
 _orig_eigh = np.linalg.eigh
 
 
-def _cached_eigh(a, *args, **kwargs):
-    arr = np.asarray(a)
-    if (args or kwargs or arr.ndim != 2 or arr.dtype != np.float64
-            or arr.shape[0] < _EIGH_MIN_DIM
-            or arr.shape[0] != arr.shape[1]):
-        return _orig_eigh(a, *args, **kwargs)
+def _memo_eigh(arr, compute):
+    """SHA1-of-bytes disk memo around a concrete f64 eigh call."""
     import hashlib
 
     key = hashlib.sha1(arr.tobytes()).hexdigest()
@@ -62,15 +58,51 @@ def _cached_eigh(a, *args, **kwargs):
     if os.path.exists(path):
         with np.load(path) as f:
             return f["vals"], f["vecs"]
-    vals, vecs = _orig_eigh(arr)
+    vals, vecs = compute()
     os.makedirs(_EIGH_CACHE_DIR, exist_ok=True)
     tmp = f"{path}.{os.getpid()}.tmp.npz"  # savez appends .npz otherwise
-    np.savez(tmp, vals=vals, vecs=vecs)
+    np.savez(tmp, vals=np.asarray(vals), vecs=np.asarray(vecs))
     os.replace(tmp, path)
     return vals, vecs
 
 
+def _memoizable(arr):
+    return (arr.ndim == 2 and arr.dtype == np.float64
+            and arr.shape[0] >= _EIGH_MIN_DIM
+            and arr.shape[0] == arr.shape[1])
+
+
+def _cached_eigh(a, *args, **kwargs):
+    arr = np.asarray(a)
+    if args or kwargs or not _memoizable(arr):
+        return _orig_eigh(a, *args, **kwargs)
+    return _memo_eigh(arr, lambda: _orig_eigh(arr))
+
+
 np.linalg.eigh = _cached_eigh
+
+# With x64 enabled (this suite), `ops.linalg` routes float64 host
+# matrices through the *JAX* CPU eigh, so the NumPy patch above never
+# sees the heavy 7cal decompositions — wrap the eager jnp path too.
+# Tracers (jit/vmap) bypass the memo untouched.
+import jax.numpy as _jnp  # noqa: E402
+
+_orig_jnp_eigh = _jnp.linalg.eigh
+
+
+def _cached_jnp_eigh(a, *args, **kwargs):
+    from jax.core import Tracer
+
+    if args or kwargs or isinstance(a, Tracer):
+        return _orig_jnp_eigh(a, *args, **kwargs)
+    arr = np.asarray(a)
+    if not _memoizable(arr):
+        return _orig_jnp_eigh(a, *args, **kwargs)
+    vals, vecs = _memo_eigh(arr, lambda: _orig_jnp_eigh(a))
+    return _jnp.asarray(vals), _jnp.asarray(vecs)
+
+
+_jnp.linalg.eigh = _cached_jnp_eigh
 
 
 def load_csv(name, skip_header=0):
