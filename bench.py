@@ -173,6 +173,32 @@ def bench_tpu():
     mfu("fluctuation", fluct_rate, m**3 * 7 / 3,
         "chol + m-rhs cho_solve canonical")
 
+    # Production-throughput configuration — the same deliverables as the
+    # CPU baseline (MSF/B-factors/DCC; no covariance materialized):
+    # plane-trace covariance engine + Pallas assembly (auto tile) + ONE
+    # megabatch program (lax.map over 128-conformer chunks pays the
+    # ~28 ms relay call floor once instead of once per batch)
+    mega = [
+        jax.device_put(jnp.asarray(b))
+        for b in make_batches(2, TPU_ITERS * BATCH, N_RES, seed=3)
+    ]
+    prod_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in
+                      pipeline.ensemble_anm_fluctuations(
+                          b, params, with_dcc=True,
+                          with_covariance=False, dtype=jnp.float32,
+                          use_pallas=True, inverse="blocked",
+                          chunk=BATCH).values())
+    )
+    compile_s, elapsed, _ = _timed(prod_fn, mega)
+    prod_rate = (TPU_ITERS * BATCH) / elapsed
+    log(f"tpu fluctuation pipeline (megabatch {TPU_ITERS * BATCH}, "
+        f"chunk={BATCH}, trace engine, Pallas assembly): compile "
+        f"{compile_s:.1f}s; {TPU_ITERS * BATCH} solves in {elapsed:.3f}s "
+        f"-> {prod_rate:.1f} solves/s")
+    mfu("fluctuation-megabatch", prod_rate, m**3 * 7 / 3,
+        "chol + m-rhs cho_solve canonical")
+
     # The per-conformer cho_solve formulation, for comparison
     cho_fn = jax.jit(
         lambda b: sum(jnp.sum(v) for v in
@@ -234,7 +260,8 @@ def bench_tpu():
     mfu("spectral-two-stage-full", banded_rate, 9 * m**3,
         "canonical full-eigensystem 9m^3")
 
-    return fluct_rate, max(spectral_rate, fast_rate, banded_rate)
+    return max(fluct_rate, prod_rate), max(spectral_rate, fast_rate,
+                                           banded_rate)
 
 
 def bench_tabulated_tpu():
@@ -648,6 +675,35 @@ def run_smoke():
         )(coord)
         check(f"kirchhoff pallas==xla [invariant, n={n}]", k_pal, k_xla,
               5e-5)
+
+    # batched ensemble assembly (hoisted pair-constant planes) must
+    # match vmap of the single-structure kernel, compiled
+    sd_small = TabulatedForceField.sd_enm(
+        make_ca_atoms(300, seed=2)
+    ).to_compact_params()
+    rng = np.random.RandomState(4)
+    ens_coords = jnp.asarray(
+        make_batches(1, 4, 300, seed=4)[0].astype(np.float32))
+    h_ens = jax.jit(
+        lambda c: pallas_kernels.hessian_pallas_ensemble(
+            c, sd_small, dtype=jnp.float32)
+    )(ens_coords)
+    h_vmap = jax.jit(
+        jax.vmap(lambda c: pallas_kernels.hessian_pallas(
+            c, sd_small, dtype=jnp.float32))
+    )(ens_coords)
+    check("ensemble hessian kernel == vmap [sdENM]", h_ens, h_vmap,
+          5e-5)
+    k_ens = jax.jit(
+        lambda c: pallas_kernels.kirchhoff_pallas_ensemble(
+            c, sd_small, dtype=jnp.float32)
+    )(ens_coords)
+    k_vmap = jax.jit(
+        jax.vmap(lambda c: pallas_kernels.kirchhoff_pallas(
+            c, sd_small, dtype=jnp.float32))
+    )(ens_coords)
+    check("ensemble kirchhoff kernel == vmap [sdENM]", k_ens, k_vmap,
+          5e-5)
 
     # blocked-inverse engine (compiled Mosaic panel kernel + matmul
     # substitution) must match the XLA cho_solve covariance end to end

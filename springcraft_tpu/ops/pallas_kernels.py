@@ -40,7 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["hessian_pallas", "kirchhoff_pallas", "supports_params"]
+__all__ = [
+    "hessian_pallas",
+    "kirchhoff_pallas",
+    "hessian_pallas_ensemble",
+    "kirchhoff_pallas_ensemble",
+    "pair_constant_planes",
+    "supports_params",
+    "supports_ensemble",
+]
 
 
 def supports_params(params):
@@ -50,6 +58,22 @@ def supports_params(params):
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _auto_tile(n):
+    """Default tile edge for the assembly kernels.
+
+    A single lane-aligned tile that exactly covers ``n`` beats the fixed
+    256 default whenever it fits VMEM: padding waste dominates at small
+    n (n=300 pads to 512 under tile 256 — 2.9x the useful pair plane).
+    Measured on v5e at (128 conformers, n=300) sdENM fluctuation
+    pipeline: tile 384 -> 1613 solves/s, tile 128 -> 1463, tile 256
+    (old default) -> 1259.  Beyond 384 the nine double-buffered output
+    tiles approach the 16 MB VMEM budget, so large systems stay on 256.
+    """
+    if n <= 384:
+        return max(128, _round_up(n, 128))
+    return 256
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +245,7 @@ def _hessian_kernel(params, n, n_tiles, tile, *refs):
                 )
 
 
-def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
+def hessian_pallas(coord, params, tile=None, dtype=jnp.float32,
                    interpret=None):
     """
     Fused tiled ANM Hessian on TPU.
@@ -231,8 +255,9 @@ def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
     coord : ndarray, shape=(n, 3)
     params : FFParams
         Must satisfy :func:`supports_params`.
-    tile : int
-        Square tile edge (atoms per tile); 256 suits v5e VMEM.
+    tile : int, optional
+        Square tile edge (atoms per tile); default picks a single
+        covering tile for small n and 256 otherwise (:func:`_auto_tile`).
 
     Returns
     -------
@@ -252,6 +277,8 @@ def hessian_pallas(coord, params, tile=256, dtype=jnp.float32,
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
+    if tile is None:
+        tile = _auto_tile(n)
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
 
@@ -413,7 +440,7 @@ def _kirchhoff_kernel(params, n, n_tiles, tile, *refs):
         out_ref[:] = -k + jnp.where(eye, acc_ref[0, :][:, None], 0.0)
 
 
-def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
+def kirchhoff_pallas(coord, params, tile=None, dtype=jnp.float32,
                      interpret=None):
     """Fused tiled GNM Kirchhoff matrix on TPU (see
     :func:`hessian_pallas`)."""
@@ -430,6 +457,8 @@ def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
+    if tile is None:
+        tile = _auto_tile(n)
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
 
@@ -489,4 +518,333 @@ def kirchhoff_pallas(coord, params, tile=256, dtype=jnp.float32,
 
     if n_pad != n:
         out = out[:n, :n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched ensemble kernels (one parameter set, many conformers)
+# ---------------------------------------------------------------------------
+#
+# A conformer ensemble shares its type/chain/bond metadata — only the
+# coordinates vary.  For the tabulated family that makes every one-hot
+# table product batch-invariant: :func:`pair_constant_planes` resolves
+# the per-bin pair-constant planes ONCE with large MXU-friendly matmuls,
+# and the batched kernel reduces to distances + one bin select per pair
+# — zero matmuls inside the batch.  (``vmap(hessian_pallas)`` instead
+# repeats 3*n_bins inner-dim-32 matmuls per tile *per conformer*:
+# measured ~36 ms of the 128-conformer sdENM ensemble call at n=300.)
+
+
+def _ensemble_tile(n, n_bins):
+    """Tile edge for the ensemble kernels: start from the padding-free
+    :func:`_auto_tile` choice and shrink (in lane-aligned steps) until
+    the double-buffered ``(n_bins, tile, tile)`` plane block plus the
+    nine output tiles fit the ~16 MB VMEM budget."""
+    tile = _auto_tile(n)
+    while tile > 128 and n_bins * tile * tile * 4 * 2 > 8 * 1024**2:
+        tile -= 128
+    return tile
+
+
+def supports_ensemble(params, n, max_plane_bytes=2 * 1024**3):
+    """Whether :func:`hessian_pallas_ensemble` handles ``params`` at
+    ``n``: tabulated compact family only (the analytic families carry no
+    per-pair tables worth hoisting — vmap the single-structure kernel),
+    with the precomputed planes capped to ``max_plane_bytes`` of HBM."""
+    if not supports_params(params) or params.kind != "table_compact":
+        return False
+    n_pad = _round_up(n, _ensemble_tile(n, params.n_bins))
+    return params.n_bins * n_pad * n_pad * 4 <= max_plane_bytes
+
+
+def pair_constant_planes(params, n, n_pad, dtype=jnp.float32):
+    """Context-resolved per-bin pair force constants, ``(n_bins, n_pad,
+    n_pad)`` — the batch-invariant part of tabulated assembly.
+
+    ``planes[b, i, j]`` is the force constant for pair (i, j) *if* its
+    distance falls in bin ``b``: the bonded/intra/inter context tables
+    are selected per pair here, so the batched kernel only bins the
+    per-conformer distances and selects a plane.  Built from one-hot
+    matmuls over the full padded extent (inner dim 32 but n_pad-tall —
+    far better MXU shapes than per-tile products, and paid once per
+    ensemble rather than per conformer).
+    """
+    onehot, chain, bonded, tables = _compact_device_inputs(
+        params, n, n_pad, jnp.float32
+    )
+    hp = jax.lax.Precision.HIGHEST
+    # (n_bins, 3, n_pad, 32): fold each 32x32 table into the row one-hots
+    left = jnp.einsum("ik,bckl->bcil", onehot, tables, precision=hp)
+
+    same_chain = chain[0][:, None] == chain[0][None, :]
+    idx = jnp.arange(n_pad)
+    delta = idx[None, :] - idx[:, None]
+    bnext = bonded[0]
+    bonded_pair = ((delta == 1) & (bnext[:, None] != 0)) | (
+        (delta == -1) & (bnext[None, :] != 0)
+    )
+
+    planes = []
+    for b in range(tables.shape[0]):
+        # (3, n_pad, n_pad) candidate values for bin b, then resolve the
+        # context per pair: bonded > same-chain intra > inter
+        vals = jnp.einsum("cil,jl->cij", left[b], onehot, precision=hp)
+        planes.append(
+            jnp.where(bonded_pair, vals[2],
+                      jnp.where(same_chain, vals[0], vals[1]))
+        )
+    return jnp.stack(planes).astype(dtype)
+
+
+def _planes_tile_constants(sq, params, kplanes_ref):
+    """Tabulated constants for one tile from precomputed pair planes:
+    bin the squared distances (statically unrolled edges, as in
+    :func:`_compact_tile_constants`) and select the matching plane."""
+    n_bins = kplanes_ref.shape[0]
+    if n_bins == 1:
+        return kplanes_ref[0]
+    bins = jnp.zeros(sq.shape, jnp.int32)
+    for edge_sq in np.asarray(params.edges_sq, dtype=np.float32):
+        bins = bins + (sq > edge_sq).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    k = kplanes_ref[0]
+    for b in range(1, n_bins):
+        k = jnp.where(bins == b, kplanes_ref[b], k)
+    return k
+
+
+def _valid_pair_mask(sq, row0, col0, n, params):
+    ti, tj = sq.shape
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    valid = (rows != cols) & (rows < n) & (cols < n)
+    if params.has_cutoff:
+        valid &= sq <= np.float32(params.cutoff_sq)
+    return valid
+
+
+def _tile_sq_distance(coord_row_ref, coord_col_ref):
+    rows = coord_row_ref[0]  # (3, T)
+    cols = coord_col_ref[0]  # (3, T)
+    dx = rows[0][:, None] - cols[0][None, :]
+    dy = rows[1][:, None] - cols[1][None, :]
+    dz = rows[2][:, None] - cols[2][None, :]
+    return dx, dy, dz, dx * dx + dy * dy + dz * dz
+
+
+def _hessian_ensemble_kernel(params, n, n_tiles, tile, *refs):
+    """Grid ``(row-tile i, conformer b, rolled col j)``: identical math
+    to :func:`_hessian_kernel`, with the tabulated constants read from
+    the precomputed pair planes instead of in-kernel one-hot matmuls.
+    ``j`` is innermost so the diagonal-last accumulator trick carries
+    per (i, b)."""
+    if params.kind == "table_compact":
+        coord_row_ref, coord_col_ref, kplanes_ref = refs[:3]
+        out_refs = refs[3:12]
+        acc_ref = refs[12]
+    else:
+        coord_row_ref, coord_col_ref = refs[:2]
+        out_refs = refs[2:11]
+        acc_ref = refs[11]
+
+    i = pl.program_id(0)
+    j = pl.program_id(2)
+
+    col_tile = (i + 1 + j) % n_tiles
+    row0 = i * tile
+    col0 = col_tile * tile
+
+    dx, dy, dz, sq = _tile_sq_distance(coord_row_ref, coord_col_ref)
+
+    valid = _valid_pair_mask(sq, row0, col0, n, params)
+    if params.kind == "table_compact":
+        k = _planes_tile_constants(sq, params, kplanes_ref)
+    else:
+        k = _analytic_constants(params.kind, sq)
+    k = jnp.where(valid, k, 0.0)
+    g = -k / jnp.where(sq == 0, 1.0, sq)
+    disp = (dx, dy, dz)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    is_diag_tile = j == n_tiles - 1
+    rows_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, sq.shape, 0)
+    cols_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, sq.shape, 1)
+    eye = rows_ids == cols_ids
+
+    for a in range(3):
+        for b in range(3):
+            plane = g * disp[a] * disp[b]
+            acc_ref[3 * a + b, :] += jnp.sum(plane, axis=1)
+
+            @pl.when(jnp.logical_not(is_diag_tile))
+            def _(plane=plane, a=a, b=b):
+                out_refs[3 * a + b][0] = plane
+
+            @pl.when(is_diag_tile)
+            def _(plane=plane, a=a, b=b):
+                out_refs[3 * a + b][0] = plane + jnp.where(
+                    eye, -acc_ref[3 * a + b, :][:, None], 0.0
+                )
+
+
+def _kirchhoff_ensemble_kernel(params, n, n_tiles, tile, *refs):
+    if params.kind == "table_compact":
+        coord_row_ref, coord_col_ref, kplanes_ref, out_ref, acc_ref = refs
+    else:
+        coord_row_ref, coord_col_ref, out_ref, acc_ref = refs
+
+    i = pl.program_id(0)
+    j = pl.program_id(2)
+
+    col_tile = (i + 1 + j) % n_tiles
+    row0 = i * tile
+    col0 = col_tile * tile
+
+    _, _, _, sq = _tile_sq_distance(coord_row_ref, coord_col_ref)
+
+    valid = _valid_pair_mask(sq, row0, col0, n, params)
+    if params.kind == "table_compact":
+        k = _planes_tile_constants(sq, params, kplanes_ref)
+    else:
+        k = _analytic_constants(params.kind, sq)
+    k = jnp.where(valid, k, 0.0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[0, :] += jnp.sum(k, axis=1)
+
+    is_diag_tile = j == n_tiles - 1
+
+    @pl.when(jnp.logical_not(is_diag_tile))
+    def _():
+        out_ref[0] = -k
+
+    @pl.when(is_diag_tile)
+    def _():
+        rows_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        cols_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+        eye = rows_ids == cols_ids
+        out_ref[0] = -k + jnp.where(eye, acc_ref[0, :][:, None], 0.0)
+
+
+def _ensemble_setup(coords, params, tile, dtype, interpret):
+    if not supports_params(params):
+        raise ValueError(
+            f"Pallas path does not support kind={params.kind!r} "
+            f"with overlays={bool(params.overlays)}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    coords = jnp.asarray(coords, dtype=dtype)
+    batch, n = coords.shape[0], coords.shape[1]
+    if tile is None:
+        tile = (_ensemble_tile(n, params.n_bins)
+                if params.kind == "table_compact" else _auto_tile(n))
+    n_pad = _round_up(n, tile)
+    n_tiles = n_pad // tile
+
+    coords_t = jnp.zeros((batch, 3, n_pad), dtype=dtype)
+    coords_t = coords_t.at[:, :, :n].set(jnp.swapaxes(coords, 1, 2))
+
+    nt = n_tiles
+    in_specs = [
+        pl.BlockSpec((1, 3, tile), lambda i, b, j: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, tile),
+                     lambda i, b, j, _nt=nt: (b, 0, (i + 1 + j) % _nt),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [coords_t, coords_t]
+    if params.kind == "table_compact":
+        kplanes = pair_constant_planes(params, n, n_pad, jnp.float32)
+        in_specs.append(
+            pl.BlockSpec((params.n_bins, tile, tile),
+                         lambda i, b, j, _nt=nt: (0, i, (i + 1 + j) % _nt),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(kplanes)
+    return (interpret, coords, batch, n, n_pad, n_tiles, tile,
+            in_specs, inputs)
+
+
+def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
+                            interpret=None):
+    """Batched fused ANM Hessians for a conformer ensemble sharing one
+    parameter set: ``(B, n, 3) -> (B, 3n, 3n)`` (xyz plane layout).
+
+    Equivalent to ``vmap(hessian_pallas)`` but with the batch inside the
+    kernel grid and — for the tabulated family — all one-hot table work
+    hoisted out of the batch via :func:`pair_constant_planes`.  Check
+    :func:`supports_ensemble` before calling with tabulated params (the
+    planes are O(n_bins * n_pad^2) in HBM).
+    """
+    (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
+     inputs) = _ensemble_setup(coords, params, tile, dtype, interpret)
+
+    kernel = functools.partial(
+        _hessian_ensemble_kernel, params, n, n_tiles, tile)
+    nt = n_tiles
+    plane_spec = pl.BlockSpec(
+        (1, tile, tile),
+        lambda i, b, j, _nt=nt: (b, i, (i + 1 + j) % _nt),
+        memory_space=pltpu.VMEM,
+    )
+    planes = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, batch, n_tiles),
+        in_specs=in_specs,
+        out_specs=[plane_spec] * 9,
+        out_shape=[jax.ShapeDtypeStruct((batch, n_pad, n_pad), dtype)] * 9,
+        scratch_shapes=[pltpu.VMEM((9, tile), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if n_pad != n:
+        planes = [p[:, :n, :n] for p in planes]
+    return jnp.concatenate(
+        [
+            jnp.concatenate([planes[3 * a + b] for b in range(3)], axis=2)
+            for a in range(3)
+        ],
+        axis=1,
+    )
+
+
+def kirchhoff_pallas_ensemble(coords, params, tile=None,
+                              dtype=jnp.float32, interpret=None):
+    """Batched fused GNM Kirchhoff matrices, ``(B, n, 3) -> (B, n, n)``
+    (see :func:`hessian_pallas_ensemble`)."""
+    (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
+     inputs) = _ensemble_setup(coords, params, tile, dtype, interpret)
+
+    kernel = functools.partial(
+        _kirchhoff_ensemble_kernel, params, n, n_tiles, tile)
+    nt = n_tiles
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, batch, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile, tile),
+            lambda i, b, j, _nt=nt: (b, i, (i + 1 + j) % _nt),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_pad, n_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((1, tile), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if n_pad != n:
+        out = out[:, :n, :n]
     return out

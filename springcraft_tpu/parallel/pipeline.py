@@ -170,13 +170,8 @@ def ensemble_anm_banded(coords, params, masses=None, *, with_dcc=False,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[-2]
 
-    def build(coord):
-        hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
-        if masses is not None:
-            hessian = _mass_weight_xyz(hessian, masses)
-        return hessian
-
-    hessians = jax.vmap(build)(coords)
+    hessians = _build_hessians_batched(coords, params, masses, dtype,
+                                       use_pallas)
     vals, vecs = spectrum.eigh_banded(hessians, bandwidth=bandwidth,
                                       n_iter=n_iter_bisect)
     return jax.vmap(
@@ -200,6 +195,57 @@ def _build_kirchhoff(coord, params, dtype, use_pallas):
 
         return pallas_kernels.kirchhoff_pallas(coord, params, dtype=dtype)
     return assembly.kirchhoff_matrix(coord, params, jnp, dtype=dtype)
+
+
+def _build_hessians_batched(coords, params, masses, dtype, use_pallas):
+    """Ensemble Hessian stack ``(B, 3n, 3n)``.
+
+    On the Pallas path the tabulated family uses the batch-inside-kernel
+    ensemble kernel with the one-hot table products hoisted out of the
+    batch (:func:`springcraft_tpu.ops.pallas_kernels.
+    hessian_pallas_ensemble`) — ``vmap(hessian_pallas)`` repeats
+    3*n_bins inner-dim-32 matmuls per tile per conformer instead.
+    Everything else vmaps the single-structure build."""
+    if use_pallas:
+        from ..ops import pallas_kernels
+
+        if pallas_kernels.supports_ensemble(params, coords.shape[1]):
+            hessians = pallas_kernels.hessian_pallas_ensemble(
+                coords, params, dtype=dtype)
+            if masses is not None:
+                hessians = jax.vmap(
+                    lambda h: _mass_weight_xyz(h, masses))(hessians)
+            return hessians
+
+    def build(coord):
+        h = _build_hessian_xyz(coord, params, dtype, use_pallas)
+        if masses is not None:
+            h = _mass_weight_xyz(h, masses)
+        return h
+
+    return jax.vmap(build)(coords)
+
+
+def _build_kirchhoffs_batched(coords, params, masses, dtype, use_pallas):
+    """Ensemble Kirchhoff stack ``(B, n, n)`` (see
+    :func:`_build_hessians_batched`)."""
+    if use_pallas:
+        from ..ops import pallas_kernels
+
+        if pallas_kernels.supports_ensemble(params, coords.shape[1]):
+            matrices = pallas_kernels.kirchhoff_pallas_ensemble(
+                coords, params, dtype=dtype)
+            if masses is not None:
+                matrices = jax.vmap(
+                    lambda m: _mass_weight(m, masses, repeat3=False)
+                )(matrices)
+            return matrices
+
+    def build(coord):
+        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
+        return _mass_weight(kirchhoff, masses, repeat3=False)
+
+    return jax.vmap(build)(coords)
 
 
 @functools.partial(
@@ -270,11 +316,8 @@ def ensemble_gnm_banded(coords, params, masses=None, *, with_dcc=False,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[-2]
 
-    def build(coord):
-        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
-        return _mass_weight(kirchhoff, masses, repeat3=False)
-
-    matrices = jax.vmap(build)(coords)
+    matrices = _build_kirchhoffs_batched(coords, params, masses, dtype,
+                                         use_pallas)
     vals, vecs = spectrum.eigh_banded(matrices, bandwidth=bandwidth,
                                       n_iter=n_iter_bisect)
     return jax.vmap(
@@ -370,15 +413,13 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
-    def build(coord):
-        h = _build_hessian_xyz(coord, params, dtype, use_pallas)
-        if masses is not None:
-            h = _mass_weight_xyz(h, masses)
-        return h, jnp.asarray(
-            rigid.rigid_modes_anm(coord, masses=masses, layout="xyz"),
+    hessians = _build_hessians_batched(coords, params, masses, dtype,
+                                       use_pallas)      # (B, 3n, 3n)
+    bases = jax.vmap(
+        lambda c: jnp.asarray(
+            rigid.rigid_modes_anm(c, masses=masses, layout="xyz"),
             dtype=dtype)
-
-    hessians, bases = jax.vmap(build)(coords)      # (B, 3n, 3n)
+    )(coords)
     covs = rigid.covariance_cholesky(hessians, bases, inverse=inverse)
 
     planes = covs.reshape(-1, 3, n, 3, n)
@@ -490,11 +531,8 @@ def _ensemble_gnm_spectral_impl(coords, params, masses, *, n_modes,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
-    def build(coord):
-        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
-        return _mass_weight(kirchhoff, masses, repeat3=False)
-
-    kirchhoffs = jax.vmap(build)(coords)
+    kirchhoffs = _build_kirchhoffs_batched(coords, params, masses, dtype,
+                                           use_pallas)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
     covs = rigid.covariance_cholesky(kirchhoffs, basis, inverse=inverse)
     vals = spectrum.eigvalsh_banded(kirchhoffs, bandwidth=bandwidth,
@@ -663,16 +701,61 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     plane-trace matrix directly and never materializes the ``(3n, 3n)``
     covariance — identical observables at roughly half the cost (see
     :func:`anm_fluctuations`).
+
+    ``chunk`` (int, blocked engine only): process a megabatch as ONE
+    device program that maps over ``chunk``-conformer chunks — pays the
+    relayed-TPU per-call dispatch floor (~28 ms) once per megabatch
+    instead of once per chunk while keeping the blocked kernels at
+    their batch sweet spot.  The batch must divide by ``chunk``; 128 is
+    the measured optimum at N=300.
     """
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
+    chunk = options.pop("chunk", None)
     inverse = _resolve_inverse(inverse, options.get("dtype", jnp.float32))
     if inverse == "blocked":
+        if chunk is not None and coords.shape[0] > chunk:
+            return _anm_fluctuations_megabatch(
+                coords, params, masses, chunk, _freeze_options(options))
         return _ensemble_anm_fluctuations_blocked(
             coords, params, masses, **options)
     fn = functools.partial(anm_fluctuations, params=params, masses=masses,
                            **options)
     return jax.vmap(lambda c: fn(c))(coords)
+
+
+def _freeze_options(options):
+    return tuple(sorted(options.items()))
+
+
+def _reshape_chunks(coords, chunk):
+    batch = coords.shape[0]
+    if batch % chunk:
+        raise ValueError(
+            f"megabatch of {batch} conformers must divide into chunks "
+            f"of {chunk}")
+    return coords.reshape(batch // chunk, chunk, *coords.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "frozen_options"))
+def _anm_fluctuations_megabatch(coords, params, masses, chunk,
+                                frozen_options):
+    """One device program over a conformer megabatch: ``lax.map`` of the
+    blocked pipeline over fixed-size chunks.
+
+    Each jitted call on the relayed TPU target pays a ~28 ms dispatch
+    floor — ~40% of a 128-conformer fluctuation call at N=300.  Mapping
+    chunks *inside* one program pays that floor once per megabatch while
+    the per-chunk working set keeps the blocked covariance kernels in
+    their measured batch-128 sweet spot (192 shows HBM pressure, 256
+    trips the remote compiler)."""
+    chunks = _reshape_chunks(coords, chunk)
+    out = jax.lax.map(
+        lambda c: _ensemble_anm_fluctuations_blocked(
+            c, params, masses, **dict(frozen_options)),
+        chunks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(coords.shape[0], *x.shape[2:]), out)
 
 
 def _blocked_auto_ok(dtype):
@@ -689,13 +772,19 @@ def _resolve_inverse(inverse, dtype):
 
 def ensemble_gnm_fluctuations(coords, params, masses=None, *,
                               inverse="auto", with_dcc=True,
-                              dtype=jnp.float32, use_pallas=False):
+                              dtype=jnp.float32, use_pallas=False,
+                              chunk=None):
     """GNM analogue of :func:`ensemble_anm_fluctuations` (same
-    ``inverse`` engine selection)."""
+    ``inverse`` engine selection and ``chunk`` megabatch option)."""
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
     inverse = _resolve_inverse(inverse, dtype)
     if inverse == "blocked":
+        if chunk is not None and coords.shape[0] > chunk:
+            return _gnm_fluctuations_megabatch(
+                coords, params, masses, chunk,
+                _freeze_options(dict(with_dcc=with_dcc, dtype=dtype,
+                                     use_pallas=use_pallas)))
         return _ensemble_gnm_fluctuations_blocked(
             coords, params, masses, with_dcc=with_dcc, dtype=dtype,
             use_pallas=use_pallas)
@@ -703,6 +792,19 @@ def ensemble_gnm_fluctuations(coords, params, masses=None, *,
                            with_dcc=with_dcc, dtype=dtype,
                            use_pallas=use_pallas)
     return jax.vmap(lambda c: fn(c))(coords)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "frozen_options"))
+def _gnm_fluctuations_megabatch(coords, params, masses, chunk,
+                                frozen_options):
+    """GNM analogue of :func:`_anm_fluctuations_megabatch`."""
+    chunks = _reshape_chunks(coords, chunk)
+    out = jax.lax.map(
+        lambda c: _ensemble_gnm_fluctuations_blocked(
+            c, params, masses, **dict(frozen_options)),
+        chunks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(coords.shape[0], *x.shape[2:]), out)
 
 
 @functools.partial(
@@ -714,11 +816,8 @@ def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
-    def build(coord):
-        kirchhoff = _build_kirchhoff(coord, params, dtype, use_pallas)
-        return _mass_weight(kirchhoff, masses, repeat3=False)
-
-    kirchhoffs = jax.vmap(build)(coords)
+    kirchhoffs = _build_kirchhoffs_batched(coords, params, masses, dtype,
+                                           use_pallas)
     basis = rigid.null_mode_gnm(n, masses=masses, dtype=dtype)
     cov = rigid.covariance_cholesky(kirchhoffs, basis, inverse="blocked")
     return jax.vmap(lambda c: _gnm_cov_observables(c, with_dcc))(cov)
@@ -736,14 +835,11 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
-    def build(coord):
-        hessian = _build_hessian_xyz(coord, params, dtype, use_pallas)
-        if masses is not None:
-            hessian = _mass_weight_xyz(hessian, masses)
-        basis = rigid.rigid_modes_anm(coord, masses=masses, layout="xyz")
-        return hessian, basis
-
-    hessians, bases = jax.vmap(build)(coords)
+    hessians = _build_hessians_batched(coords, params, masses, dtype,
+                                       use_pallas)
+    bases = jax.vmap(
+        lambda c: rigid.rigid_modes_anm(c, masses=masses, layout="xyz")
+    )(coords)
     if not with_covariance:
         if with_prs:
             raise ValueError(

@@ -118,3 +118,92 @@ def test_unsupported_params_raise(coords):
     with pytest.raises(ValueError):
         pallas_kernels.hessian_pallas(coords, params)
     assert not pallas_kernels.supports_params(params)
+
+# ---------------------------------------------------------------------------
+# Batched ensemble kernels
+# ---------------------------------------------------------------------------
+
+def _jiggle(coord, n_conf, scale=0.3, seed=7):
+    rng = np.random.RandomState(seed)
+    return (coord[None] + scale * rng.randn(n_conf, *coord.shape)
+            ).astype(np.float32)
+
+
+@pytest.mark.parametrize("maker", ["e_anm", "sd_enm"])
+def test_hessian_ensemble_tabulated(shifted_two_chain, maker):
+    """Batch-inside-kernel assembly with hoisted pair-constant planes
+    must match vmap of the single-structure kernel exactly (the same
+    table values are selected either way)."""
+    ff = getattr(sc.TabulatedForceField, maker)(shifted_two_chain)
+    params = ff.to_compact_params()
+    coords = _jiggle(shifted_two_chain.coord, 3)
+
+    assert pallas_kernels.supports_ensemble(params, coords.shape[1])
+    test = np.asarray(
+        pallas_kernels.hessian_pallas_ensemble(coords, params, tile=16,
+                                               interpret=True)
+    )
+    for c, t in zip(coords, test):
+        ref = np.asarray(
+            assembly.hessian_matrix(c.astype(np.float64), params, jnp,
+                                    layout="xyz")
+        ).astype(np.float32)
+        assert _rel_err(t, ref) < 1e-5
+
+    ktest = np.asarray(
+        pallas_kernels.kirchhoff_pallas_ensemble(coords, params, tile=16,
+                                                 interpret=True)
+    )
+    for c, t in zip(coords, ktest):
+        kref = np.asarray(
+            assembly.kirchhoff_matrix(c.astype(np.float64), params, jnp)
+        ).astype(np.float32)
+        assert _rel_err(t, kref) < 1e-5
+
+
+def test_hessian_ensemble_analytic(coords):
+    """The analytic families run through the same batched kernel when
+    called explicitly (the pipelines vmap them instead)."""
+    params = ffparams.invariant_params(8.0)
+    batch = _jiggle(coords[:70], 2)
+    test = np.asarray(
+        pallas_kernels.hessian_pallas_ensemble(batch, params, tile=32,
+                                               interpret=True)
+    )
+    assert test.shape == (2, 210, 210)
+    for c, t in zip(batch, test):
+        ref = np.asarray(
+            assembly.hessian_matrix(c.astype(np.float64), params, jnp,
+                                    layout="xyz")
+        ).astype(np.float32)
+        assert _rel_err(t, ref) < 1e-6
+
+
+def test_pair_constant_planes_values(shifted_two_chain):
+    """The precomputed planes must reproduce the reference interaction
+    rules: bonded neighbours read the bonded table, same-chain pairs the
+    intra table, cross-chain pairs the inter table."""
+    ff = sc.TabulatedForceField.sd_enm(shifted_two_chain)
+    params = ff.to_compact_params()
+    n = len(shifted_two_chain)
+    planes = np.asarray(
+        pallas_kernels.pair_constant_planes(params, n, n)
+    )
+    assert planes.shape == (params.n_bins, n, n)
+    ti = np.asarray(params.type_idx)
+    bins_to_check = [0, params.n_bins // 2, params.n_bins - 1]
+    n_half = n // 2  # two equal chains appended
+    for b in bins_to_check:
+        # bonded neighbour inside chain A
+        assert planes[b, 0, 1] == pytest.approx(
+            float(np.asarray(params.bonded_table)[ti[0], ti[1], b]))
+        # non-bonded same-chain pair
+        assert planes[b, 0, 2] == pytest.approx(
+            float(np.asarray(params.intra_table)[ti[0], ti[2], b]))
+        # cross-chain pair
+        assert planes[b, 0, n_half + 2] == pytest.approx(
+            float(np.asarray(params.inter_table)[ti[0], ti[n_half + 2], b]))
+        # chain boundary: last of A / first of B must NOT be bonded
+        assert planes[b, n_half - 1, n_half] == pytest.approx(
+            float(np.asarray(params.inter_table)[
+                ti[n_half - 1], ti[n_half], b]))

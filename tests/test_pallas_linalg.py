@@ -190,3 +190,33 @@ def test_ensemble_fluctuations_blocked_masses():
     for key in ref:
         scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
         assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-4
+
+
+def test_ensemble_fluctuations_megabatch_chunked():
+    """chunk= must produce identical results to the unchunked blocked
+    pipeline (one lax.map program vs one call), ANM and GNM."""
+    coords = _random_coords(6, 30, seed=6)
+    params = ffparams.invariant_params(7.0)
+    ref = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked")
+    got = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked", chunk=2)
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 1e-6
+
+    gref = pipeline.ensemble_gnm_fluctuations(
+        coords, params, inverse="blocked")
+    ggot = pipeline.ensemble_gnm_fluctuations(
+        coords, params, inverse="blocked", chunk=3)
+    for key in gref:
+        scale = float(jnp.max(jnp.abs(gref[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(ggot[key] - gref[key]))) / scale < 1e-6
+
+    # chunk >= batch is a no-op; non-divisible batches are rejected
+    same = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked", chunk=6)
+    assert set(same) == set(ref)
+    with pytest.raises(ValueError, match="divide"):
+        pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", chunk=4)
