@@ -46,9 +46,24 @@ def _mass_weight(matrix, masses, repeat3):
     return matrix * jnp.outer(w, w)
 
 
+def _resolve_use_pallas(use_pallas, params, dtype):
+    """``"auto"`` (the default) takes the fused Pallas assembly on TPU
+    for float32 whenever the family is supported — measured ~10x for
+    tabulated assembly vs the XLA dense path, parity-checked compiled
+    in ``bench.py --smoke``.  Compiled Mosaic needs a real TPU and the
+    kernels are f32; everything else resolves to the XLA path."""
+    if use_pallas == "auto":
+        from ..ops import pallas_kernels
+
+        return (jax.default_backend() == "tpu"
+                and dtype == jnp.float32
+                and pallas_kernels.supports_params(params))
+    return use_pallas
+
+
 def _build_hessian_xyz(coord, params, dtype, use_pallas):
     """Dense (3n, 3n) xyz-layout Hessian via XLA or the Pallas kernel."""
-    if use_pallas:
+    if _resolve_use_pallas(use_pallas, params, dtype):
         from ..ops import pallas_kernels
 
         return pallas_kernels.hessian_pallas(coord, params, dtype=dtype)
@@ -63,7 +78,7 @@ def _build_hessian_xyz(coord, params, dtype, use_pallas):
 )
 def anm_observables(coord, params, masses=None, *, with_dcc=False,
                     with_covariance=False, n_modes=None, dtype=jnp.float32,
-                    use_pallas=False, tem=None, tem_factors=nma_core.K_B):
+                    use_pallas="auto", tem=None, tem_factors=nma_core.K_B):
     """
     Full ANM NMA for one structure: Hessian (xyz plane layout), batched
     eigensolve, and the standard observables with the six trivial modes
@@ -150,7 +165,7 @@ def _anm_observables_from_eigensystem(vals, vecs, n, *, with_dcc,
 )
 def ensemble_anm_banded(coords, params, masses=None, *, with_dcc=False,
                         with_covariance=False, n_modes=None,
-                        dtype=jnp.float32, use_pallas=False,
+                        dtype=jnp.float32, use_pallas="auto",
                         bandwidth=8, n_iter_bisect=40, tem=None,
                         tem_factors=nma_core.K_B):
     """
@@ -190,7 +205,7 @@ def _mass_weight_xyz(hessian, masses):
 
 
 def _build_kirchhoff(coord, params, dtype, use_pallas):
-    if use_pallas:
+    if _resolve_use_pallas(use_pallas, params, dtype):
         from ..ops import pallas_kernels
 
         return pallas_kernels.kirchhoff_pallas(coord, params, dtype=dtype)
@@ -206,6 +221,7 @@ def _build_hessians_batched(coords, params, masses, dtype, use_pallas):
     hessian_pallas_ensemble`) — ``vmap(hessian_pallas)`` repeats
     3*n_bins inner-dim-32 matmuls per tile per conformer instead.
     Everything else vmaps the single-structure build."""
+    use_pallas = _resolve_use_pallas(use_pallas, params, dtype)
     if use_pallas:
         from ..ops import pallas_kernels
 
@@ -229,6 +245,7 @@ def _build_hessians_batched(coords, params, masses, dtype, use_pallas):
 def _build_kirchhoffs_batched(coords, params, masses, dtype, use_pallas):
     """Ensemble Kirchhoff stack ``(B, n, n)`` (see
     :func:`_build_hessians_batched`)."""
+    use_pallas = _resolve_use_pallas(use_pallas, params, dtype)
     if use_pallas:
         from ..ops import pallas_kernels
 
@@ -253,7 +270,7 @@ def _build_kirchhoffs_batched(coords, params, masses, dtype, use_pallas):
     static_argnames=("with_dcc", "n_modes", "dtype", "use_pallas"),
 )
 def gnm_observables(coord, params, masses=None, *, with_dcc=False,
-                    n_modes=None, dtype=jnp.float32, use_pallas=False,
+                    n_modes=None, dtype=jnp.float32, use_pallas="auto",
                     tem=None, tem_factors=nma_core.K_B):
     """GNM analogue of :func:`anm_observables` over the Kirchhoff
     matrix (one trivial mode)."""
@@ -305,7 +322,7 @@ def _gnm_observables_from_eigensystem(vals, vecs, n, *, with_dcc,
 )
 def ensemble_gnm_banded(coords, params, masses=None, *, with_dcc=False,
                         n_modes=None, dtype=jnp.float32,
-                        use_pallas=False, bandwidth=8, n_iter_bisect=40,
+                        use_pallas="auto", bandwidth=8, n_iter_bisect=40,
                         tem=None, tem_factors=nma_core.K_B):
     """GNM analogue of :func:`ensemble_anm_banded`: full eigensystems
     of the Kirchhoff ensemble from the natively batched two-stage
@@ -333,7 +350,7 @@ def ensemble_gnm_banded(coords, params, masses=None, *, with_dcc=False,
                      "bandwidth", "n_iter_bisect", "n_iter_modes"),
 )
 def anm_spectral(coord, params, masses=None, *, n_modes=None,
-                 with_dcc=True, dtype=jnp.float32, use_pallas=False,
+                 with_dcc=True, dtype=jnp.float32, use_pallas="auto",
                  bandwidth=8, n_iter_bisect=40, n_iter_modes=24):
     """
     Full spectral ANM NMA **without a dense eigh** — the TPU-fast
@@ -453,7 +470,7 @@ def _ensemble_anm_spectral_impl(coords, params, masses, *, n_modes,
 
 def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
                           with_dcc=True, dtype=jnp.float32,
-                          use_pallas=False, bandwidth=8,
+                          use_pallas="auto", bandwidth=8,
                           n_iter_bisect=40, n_iter_modes=16,
                           inverse="auto"):
     """
@@ -481,7 +498,7 @@ def ensemble_anm_spectral(coords, params, masses=None, *, n_modes=None,
                      "n_iter_bisect"),
 )
 def gnm_spectral(coord, params, masses=None, *, with_dcc=True,
-                 dtype=jnp.float32, use_pallas=False, bandwidth=8,
+                 dtype=jnp.float32, use_pallas="auto", bandwidth=8,
                  n_iter_bisect=40):
     """
     GNM analogue of :func:`anm_spectral`: all Kirchhoff eigenvalues /
@@ -561,7 +578,7 @@ def _ensemble_gnm_spectral_impl(coords, params, masses, *, n_modes,
 
 def ensemble_gnm_spectral(coords, params, masses=None, *, n_modes=None,
                           with_dcc=True, dtype=jnp.float32,
-                          use_pallas=False, bandwidth=8,
+                          use_pallas="auto", bandwidth=8,
                           n_iter_bisect=40, n_iter_modes=16,
                           inverse="auto"):
     """
@@ -587,7 +604,7 @@ def ensemble_gnm_spectral(coords, params, masses=None, *, n_modes=None,
 )
 def anm_fluctuations(coord, params, masses=None, *, with_dcc=True,
                      with_prs=False, with_covariance=True,
-                     dtype=jnp.float32, use_pallas=False):
+                     dtype=jnp.float32, use_pallas="auto"):
     """
     Covariance-derived ANM observables via the fast Cholesky path —
     no eigendecomposition.
@@ -661,7 +678,7 @@ def _anm_cov_observables(cov, n, with_dcc, with_prs):
     jax.jit, static_argnames=("with_dcc", "dtype", "use_pallas")
 )
 def gnm_fluctuations(coord, params, masses=None, *, with_dcc=True,
-                     dtype=jnp.float32, use_pallas=False):
+                     dtype=jnp.float32, use_pallas="auto"):
     """GNM analogue of :func:`anm_fluctuations`: covariance via the
     regularized Cholesky solve with the analytic constant null mode."""
     coord = jnp.asarray(coord, dtype=dtype)
@@ -772,7 +789,7 @@ def _resolve_inverse(inverse, dtype):
 
 def ensemble_gnm_fluctuations(coords, params, masses=None, *,
                               inverse="auto", with_dcc=True,
-                              dtype=jnp.float32, use_pallas=False,
+                              dtype=jnp.float32, use_pallas="auto",
                               chunk=None):
     """GNM analogue of :func:`ensemble_anm_fluctuations` (same
     ``inverse`` engine selection and ``chunk`` megabatch option)."""
@@ -812,7 +829,7 @@ def _gnm_fluctuations_megabatch(coords, params, masses, chunk,
 )
 def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
                                        with_dcc=True, dtype=jnp.float32,
-                                       use_pallas=False):
+                                       use_pallas="auto"):
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
@@ -831,7 +848,7 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
                                        with_dcc=True, with_prs=False,
                                        with_covariance=True,
                                        dtype=jnp.float32,
-                                       use_pallas=False):
+                                       use_pallas="auto"):
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
 
