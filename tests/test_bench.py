@@ -1,0 +1,75 @@
+"""Guards on the driver-facing bench harness (``bench.py``).
+
+The bench runs on real TPU hardware only, but its host-side pieces —
+the CPU reference baseline, the batch generators, and the roofline
+accounting helpers — are pure NumPy and must not bit-rot: the headline
+``vs_baseline`` figure is only meaningful if the CPU baseline computes
+the *same observables* as the TPU pipeline (reference semantics:
+``/root/reference/src/springcraft/anm.py:133-136``, ``nma.py:324-353``).
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_REPO, "bench.py"))
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def test_bench_surface(bench):
+    # The driver invokes main(); --smoke is a documented flag.
+    for name in ("main", "bench_tpu", "bench_mega_tpu", "run_smoke",
+                 "bench_cpu_baselines", "make_batches", "mfu",
+                 "bandwidth"):
+        assert callable(getattr(bench, name)), name
+
+
+def test_cpu_baseline_hessian_matches_library(bench):
+    """bench._cpu_hessian == the library's reference-parity assembly."""
+    from springcraft_tpu import InvariantForceField
+    from springcraft_tpu.models.interaction import compute_hessian
+
+    coord = bench.make_batches(1, 1, bench.N_RES, seed=3)[0][0]
+    coord = np.asarray(coord, dtype=np.float64)
+    baseline = bench._cpu_hessian(coord)
+    lib, _ = compute_hessian(
+        coord, InvariantForceField(bench.CUTOFF), return_pairs=False)
+    np.testing.assert_allclose(baseline, np.asarray(lib),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_cpu_baseline_observables(bench):
+    """The baseline solve returns finite MSF/B-factor/DCC with the
+    reference's shapes and the DCC unit diagonal."""
+    coord = np.asarray(
+        bench.make_batches(1, 1, bench.N_RES, seed=4)[0][0],
+        dtype=np.float64)
+    hessian = bench._cpu_hessian(coord)
+    cov = np.linalg.pinv(hessian, hermitian=True, rcond=1e-6)
+    traces = np.einsum(
+        "iaja->ij", cov.reshape(bench.N_RES, 3, bench.N_RES, 3))
+    msf = np.diagonal(traces)
+    dcc = traces / np.sqrt(msf[None, :] * msf[:, None])
+    assert msf.shape == (bench.N_RES,)
+    assert np.all(msf > 0)
+    np.testing.assert_allclose(np.diagonal(dcc), 1.0, atol=1e-12)
+    assert np.all(np.isfinite(dcc))
+
+
+def test_roofline_helpers(bench, capsys):
+    bench.mfu("unit-test", rate=10.0, flops_per_solve=1e9)
+    bench.bandwidth("unit-test", seconds=0.5, bytes_moved=1e9)
+    err = capsys.readouterr().err
+    assert "% of f32 peak" in err
+    assert "GB/s" in err
