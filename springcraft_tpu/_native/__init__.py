@@ -73,6 +73,38 @@ def get_lib():
                 ctypes.c_int64,
             ]
             lib.parse_pdb_coords.restype = ctypes.c_int64
+            lib.neighbor_pairs.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+            lib.neighbor_pairs.restype = ctypes.c_int64
+            lib.enm_hv_pairs.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.enm_hv_pairs.restype = None
+            lib.gnm_kv_pairs.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.gnm_kv_pairs.restype = None
             _lib = lib
         except OSError:
             _load_failed = True
@@ -100,3 +132,91 @@ def native_adjacency(coord, cutoff):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
+
+
+def native_neighbor_pairs(coord, cutoff, guess_per_atom=96):
+    """
+    Cell-list neighbor pair enumeration via the native library.
+
+    Returns ``(i, j)`` int64 arrays with ``i < j`` and
+    ``d^2(i, j) <= cutoff^2``, or ``None`` when the native path is
+    unavailable.  O(n + pairs) time and memory — the scalable host-side
+    neighbor representation (the adjacency-matrix form is O(n^2)).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    coord = np.ascontiguousarray(coord, dtype=np.float64)
+    n = len(coord)
+    cap = max(1024, n * int(guess_per_atom))
+    c_ptr = coord.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    while True:
+        i_out = np.empty(cap, dtype=np.int64)
+        j_out = np.empty(cap, dtype=np.int64)
+        total = lib.neighbor_pairs(
+            c_ptr, n, float(cutoff),
+            i_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            j_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if total <= cap:
+            return i_out[:total], j_out[:total]
+        cap = int(total)
+
+
+def native_enm_hv(coord, pair_i, pair_j, g, v):
+    """
+    Float64 pair-list ANM Hessian apply ``H @ v`` via the native kernel:
+    ``v`` has shape ``(n, 3, k)``; ``g`` holds ``k_ij / d^2`` per pair.
+    Returns the ``(n, 3, k)`` product, or ``None`` when unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    coord = np.ascontiguousarray(coord, dtype=np.float64)
+    pair_i = np.ascontiguousarray(pair_i, dtype=np.int64)
+    pair_j = np.ascontiguousarray(pair_j, dtype=np.int64)
+    g = np.ascontiguousarray(g, dtype=np.float64)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    n, _, k = v.shape
+    out = np.empty((n, 3, k), dtype=np.float64)
+    lib.enm_hv_pairs(
+        coord.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        pair_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pair_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(g),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def native_gnm_kv(pair_i, pair_j, k_vals, n, v):
+    """
+    Float64 pair-list Kirchhoff apply ``K @ v`` via the native kernel:
+    ``v`` has shape ``(n, k)``.  Returns the ``(n, k)`` product, or
+    ``None`` when unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pair_i = np.ascontiguousarray(pair_i, dtype=np.int64)
+    pair_j = np.ascontiguousarray(pair_j, dtype=np.int64)
+    k_vals = np.ascontiguousarray(k_vals, dtype=np.float64)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    k = v.shape[1]
+    out = np.empty((n, k), dtype=np.float64)
+    lib.gnm_kv_pairs(
+        pair_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pair_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        k_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(k_vals),
+        n,
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out

@@ -187,15 +187,16 @@ class ANM(ElasticNetworkModel):
 
         ``refine=True`` follows the f32 device solve with a float64
         Rayleigh-Ritz pass on host (``ops.modes.refine_modes_f64``):
-        Hessian row panels are streamed in f64 (never resident), giving
-        eigenvalues accurate to ~1e-9 rtol vs f64 truth and *true* f64
-        residuals — the mega-scale accuracy story (BASELINE.json
-        north-star demands 1e-6 rtol, beyond raw f32).  The device
-        solve is widened by ``refine_buffer`` (default 4) extra modes
-        so the slow-converging subspace boundary stays outside the
-        returned block.  The pass is O(k n^2) host work — ~1 min at
-        n=10k; pair it with ``matrix_free=True`` only if you can
-        afford ~n^2 host flops (tens of minutes at 100k atoms).
+        for cutoff force fields the f64 operator is applied from a
+        cell-list pair list (O(pairs * k) — ~0.3 s at n=10k, ~3 s at
+        100k atoms; native C++ kernels), so it composes freely with
+        ``matrix_free=True``; no-cutoff families fall back to streamed
+        dense f64 row panels (O(k n^2)).  Refined eigenvalues are
+        accurate to ~1e-9 rtol vs f64 truth with *true* f64 residuals —
+        the mega-scale accuracy story (BASELINE.json north-star demands
+        1e-6 rtol, beyond raw f32).  The device solve is widened by
+        ``refine_buffer`` (default 4) extra modes so the slow-converging
+        subspace boundary stays outside the returned block.
 
         Returns
         -------

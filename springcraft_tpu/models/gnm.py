@@ -123,9 +123,11 @@ class GNM(ElasticNetworkModel):
         Cholesky shift-invert by default, or the matrix-free Chebyshev
         solver (`matrix_free=True`) when the Kirchhoff matrix exceeds
         device memory.  ``refine=True`` adds the float64 host
-        Rayleigh-Ritz pass (``ops.modes.refine_modes_f64_gnm``,
-        streamed Kirchhoff row panels, ``refine_buffer`` extra device
-        modes) for ~1e-9-rtol eigenvalues and true f64 residuals.
+        Rayleigh-Ritz pass (``ops.modes.refine_modes_f64_gnm``:
+        O(pairs * k) cell-list pair apply for cutoff families — viable
+        even at 10^6 atoms — streamed dense Kirchhoff row panels
+        otherwise; ``refine_buffer`` extra device modes) for
+        ~1e-9-rtol eigenvalues and true f64 residuals.
         Returns ``(values, modes (k, n), residuals)``.
         """
         import numpy as np

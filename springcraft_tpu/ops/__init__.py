@@ -8,6 +8,7 @@ from . import (
     matfree,
     modes,
     nma_core,
+    pairs,
     rigid,
     spectrum,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "kirchhoff_degree",
     "prs_rows_matfree",
     "nma_core",
+    "pairs",
     "rigid",
     "spectrum",
     "eigh_banded",

@@ -374,21 +374,23 @@ def _rigid_basis_np(coord, masses=None):
 
 
 def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
-                     layout="xyz", block=256, augment=False):
+                     layout="xyz", block=256, augment=False,
+                     method="auto"):
     """
     Float64 Rayleigh-Ritz refinement of approximate ANM modes.
 
     The mega-assembly solvers run in float32 on the MXU; their
     eigenvalues carry O(1e-3) relative error from the single-precision
-    subspace.  This pass recovers float64-accurate eigenvalues at
-    O(k n^2) cost *without* a resident f64 Hessian: row panels of the
-    Hessian are streamed in float64 on host
-    (:func:`..assembly.hessian_rows` — 3.6 GB of transient panels
-    instead of a 7.2 GB matrix at 30k dims), ``H V`` is accumulated
-    panel by panel, and a k-dim Rayleigh-Ritz problem
-    ``(Q^T H Q) y = theta y`` on the f64-orthonormalized subspace
-    yields refined eigenvalues, rotated eigenvectors, and true f64
-    residuals.
+    subspace.  This pass recovers float64-accurate eigenvalues
+    *without* a resident f64 Hessian.  For force fields with a finite
+    cutoff the operator is applied sparsely from a host pair list
+    (:mod:`.pairs` — native C++ kernels, O(pairs * k) work: milliseconds
+    at 30k dims and viable through the matrix-free regime); no-cutoff
+    families stream dense f64 Hessian row panels
+    (:func:`..assembly.hessian_rows`, O(k n^2)).  ``H V`` feeds a k-dim
+    Rayleigh-Ritz problem ``(Q^T H Q) y = theta y`` on the
+    f64-orthonormalized subspace, yielding refined eigenvalues, rotated
+    eigenvectors, and true f64 residuals.
 
     Because the exact eigenvectors lie O(eps_f32) from the f32
     subspace, the Rayleigh-Ritz values land O(eps_f32^2) ~ 1e-7 off
@@ -410,8 +412,13 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     layout : {"xyz", "atom"}
         Component layout of the input (and output) mode vectors.
     block : int
-        Atom rows per streamed Hessian panel (peak host memory
-        ``~ 72 * block * n`` bytes).
+        Atom rows per streamed Hessian panel on the dense path (peak
+        host memory ``~ 72 * block * n`` bytes); unused on the sparse
+        path.
+    method : {"auto", "sparse", "dense"}
+        ``"sparse"`` applies the operator from a cell-list pair list
+        (requires a finite cutoff); ``"dense"`` streams f64 row panels.
+        ``"auto"`` picks sparse whenever the family has a cutoff.
     augment : bool
         Augment the Rayleigh-Ritz basis with the residual block
         ``H Q - Q (Q^T H Q)`` (one extra panel sweep, 2x cost).
@@ -434,7 +441,7 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     """
     import numpy as np
 
-    from . import assembly
+    from . import assembly, pairs
 
     coord = np.asarray(coord, dtype=np.float64)
     n = coord.shape[0]
@@ -456,19 +463,35 @@ def refine_modes_f64(coord, params, eig_vectors, *, masses=None,
     w3 = (np.repeat(1.0 / np.sqrt(np.asarray(masses, np.float64)), 3)
           if masses is not None else None)
 
-    def stream_apply(x):
-        hx = np.empty((m, x.shape[1]), dtype=np.float64)
-        for rs in range(0, n, block):
-            b = min(block, n - rs)
-            panel = np.asarray(
-                assembly.hessian_rows(coord, params, rs, b, np,
-                                      dtype=np.float64),
-                dtype=np.float64)
-            if w3 is not None:
-                panel = (w3[3 * rs:3 * (rs + b), None] * panel
-                         ) * w3[None, :]
-            hx[3 * rs:3 * (rs + b)] = panel @ x
-        return hx
+    if method == "auto":
+        method = "sparse" if params.has_cutoff else "dense"
+    if method == "sparse":
+        pi, pj, kvals = pairs.pair_list(coord, params)
+        disp = coord[pi] - coord[pj]
+        sq = np.sum(disp * disp, axis=1)
+        g = kvals / np.where(sq == 0, 1.0, sq)
+
+        def stream_apply(x):
+            xw = (w3[:, None] * x) if w3 is not None else x
+            hx = pairs.hessian_apply_pairs(
+                coord, pi, pj, g, xw.reshape(n, 3, -1)).reshape(m, -1)
+            return (w3[:, None] * hx) if w3 is not None else hx
+    elif method == "dense":
+        def stream_apply(x):
+            hx = np.empty((m, x.shape[1]), dtype=np.float64)
+            for rs in range(0, n, block):
+                b = min(block, n - rs)
+                panel = np.asarray(
+                    assembly.hessian_rows(coord, params, rs, b, np,
+                                          dtype=np.float64),
+                    dtype=np.float64)
+                if w3 is not None:
+                    panel = (w3[3 * rs:3 * (rs + b), None] * panel
+                             ) * w3[None, :]
+                hx[3 * rs:3 * (rs + b)] = panel @ x
+            return hx
+    else:
+        raise ValueError(f"Unknown method '{method}'")
 
     t = _rigid_basis_np(coord, masses=masses)
     theta, vecs, res = _rayleigh_ritz_f64(stream_apply, t, u,
@@ -508,23 +531,25 @@ def _rayleigh_ritz_f64(stream_apply, t, u, *, augment=False):
 
 
 def refine_modes_f64_gnm(coord, params, eig_vectors, *, masses=None,
-                         block=2048, augment=False):
+                         block=2048, augment=False, method="auto"):
     """
     Float64 Rayleigh-Ritz refinement of approximate GNM modes — the
-    Kirchhoff counterpart of :func:`refine_modes_f64`: row panels of
-    the ``(n, n)`` Kirchhoff matrix are streamed in f64
-    (:func:`..assembly.kirchhoff_rows`), the null space (the constant
-    mode; ``sqrt(m)``-scaled under mass weighting) is deflated, and a
-    k-dim Rayleigh-Ritz projection returns refined eigenvalues with
-    true f64 residuals.  Pass a few buffer modes beyond the ones you
-    report (see ``augment`` notes on :func:`refine_modes_f64`).
+    Kirchhoff counterpart of :func:`refine_modes_f64`: the ``(n, n)``
+    Kirchhoff operator is applied in f64 on host (sparse pair list for
+    cutoff families via :mod:`.pairs`, streamed dense row panels via
+    :func:`..assembly.kirchhoff_rows` otherwise), the null space (the
+    constant mode; ``sqrt(m)``-scaled under mass weighting) is
+    deflated, and a k-dim Rayleigh-Ritz projection returns refined
+    eigenvalues with true f64 residuals.  Pass a few buffer modes
+    beyond the ones you report (see ``augment`` notes on
+    :func:`refine_modes_f64`).
 
     Returns ``(eig_values (k,), eig_vectors (k, n), residuals (k,))``,
     all float64.
     """
     import numpy as np
 
-    from . import assembly
+    from . import assembly, pairs
 
     coord = np.asarray(coord, dtype=np.float64)
     n = coord.shape[0]
@@ -536,18 +561,30 @@ def refine_modes_f64_gnm(coord, params, eig_vectors, *, masses=None,
     w = (1.0 / np.sqrt(np.asarray(masses, np.float64))
          if masses is not None else None)
 
-    def stream_apply(x):
-        kx = np.empty((n, x.shape[1]), dtype=np.float64)
-        for rs in range(0, n, block):
-            b = min(block, n - rs)
-            panel = np.asarray(
-                assembly.kirchhoff_rows(coord, params, rs, b, np,
-                                        dtype=np.float64),
-                dtype=np.float64)
-            if w is not None:
-                panel = (w[rs:rs + b, None] * panel) * w[None, :]
-            kx[rs:rs + b] = panel @ x
-        return kx
+    if method == "auto":
+        method = "sparse" if params.has_cutoff else "dense"
+    if method == "sparse":
+        pi, pj, kvals = pairs.pair_list(coord, params)
+
+        def stream_apply(x):
+            xw = (w[:, None] * x) if w is not None else x
+            kx = pairs.kirchhoff_apply_pairs(pi, pj, kvals, n, xw)
+            return (w[:, None] * kx) if w is not None else kx
+    elif method == "dense":
+        def stream_apply(x):
+            kx = np.empty((n, x.shape[1]), dtype=np.float64)
+            for rs in range(0, n, block):
+                b = min(block, n - rs)
+                panel = np.asarray(
+                    assembly.kirchhoff_rows(coord, params, rs, b, np,
+                                            dtype=np.float64),
+                    dtype=np.float64)
+                if w is not None:
+                    panel = (w[rs:rs + b, None] * panel) * w[None, :]
+                kx[rs:rs + b] = panel @ x
+            return kx
+    else:
+        raise ValueError(f"Unknown method '{method}'")
 
     null = (np.sqrt(np.asarray(masses, np.float64))
             if masses is not None else np.ones(n))
