@@ -161,14 +161,55 @@ class ANM(ElasticNetworkModel):
             rows = rows * tem * tem_factors
         return rows
 
-    def prs_effector_sensor(self, norm=True):
+    def prs_effector_sensor(self, norm=True, matrix_free=False,
+                            sites=None, prs_diag=None, **options):
         """
         Perturbation-response-scanning matrix plus the derived effector
         (row-average) and sensor (column-average) profiles.
+
+        ``matrix_free=True`` computes the effector/sensor profile
+        *values at selected sites* without the covariance
+        (``ops.matfree.effector_sensor_matfree``): three deflated-CG
+        covariance columns per site, one batched solve.  With
+        ``norm=True`` (the reference's standard normalization) pass
+        `prs_diag` — the ``(n,)`` folded-PRS diagonal ``P_ii``, e.g.
+        the mode-sum from ``ops.matfree.prs_diag_from_modes`` over
+        :meth:`lowest_modes` output (the same pass-the-normalizer
+        contract as ``dcc(matrix_free=True, msf=...)``).  Returns
+        ``(None, effector[sites], sensor[sites])`` — the full
+        ``(n, n)`` PRS matrix requires the dense covariance.
         """
-        prs_mat = nma.prs(self, norm)
-        eff, sens = nma.effector_sensor(prs_mat)
-        return prs_mat, eff, sens
+        if not matrix_free:
+            prs_mat = nma.prs(self, norm)
+            eff, sens = nma.effector_sensor(prs_mat)
+            return prs_mat, eff, sens
+
+        import numpy as np
+
+        from ..ops import matfree
+        from ..parallel.pipeline import _resolve_params
+
+        if sites is None:
+            raise ValueError(
+                "prs_effector_sensor(matrix_free=True) needs "
+                "sites=<atom indices>: the full (n, n) PRS matrix "
+                "requires the dense covariance")
+        self._require_force_field_matrix(
+            "prs_effector_sensor(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        tol = options.setdefault("tol", 1e-6)
+        eff, sens, n_it, res = matfree.effector_sensor_matfree(
+            self._coord, params, sites, prs_diag=prs_diag, norm=norm,
+            masses=self._masses, **options)
+        max_res = float(np.max(np.asarray(res)))
+        if (not (np.all(np.isfinite(eff)) and np.all(np.isfinite(sens)))
+                or max_res > 10 * tol):
+            raise ValueError(
+                f"matrix-free effector/sensor did not converge: max "
+                f"relative residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        return None, eff, sens
 
     def lowest_modes(self, k, matrix_free=False, refine=False,
                      **options):

@@ -18,10 +18,12 @@ from .matfree import (
     covariance_solve_matfree_gnm,
     dcc_rows_matfree,
     dcc_rows_matfree_gnm,
+    effector_sensor_matfree,
     kirchhoff_degree,
     hessian_apply,
     kirchhoff_apply,
     linear_response_matfree,
+    prs_diag_from_modes,
     prs_rows_matfree,
     lowest_modes_matfree,
     lowest_modes_matfree_gnm,
@@ -52,7 +54,9 @@ __all__ = [
     "linear_response_matfree",
     "dcc_rows_matfree",
     "dcc_rows_matfree_gnm",
+    "effector_sensor_matfree",
     "kirchhoff_degree",
+    "prs_diag_from_modes",
     "prs_rows_matfree",
     "nma_core",
     "pairs",

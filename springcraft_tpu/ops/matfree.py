@@ -74,6 +74,8 @@ __all__ = [
     "dcc_rows_matfree_gnm",
     "kirchhoff_degree",
     "prs_rows_matfree",
+    "prs_diag_from_modes",
+    "effector_sensor_matfree",
     "linear_response_matfree",
     "matfree_mode_residuals",
 ]
@@ -1638,6 +1640,109 @@ def prs_rows_matfree(coord, params, sites, *, norm=True, masses=None,
         diag = prs[jnp.arange(n_sites), jnp.asarray(sites)]
         prs = prs / diag[:, None]
     return prs, n_it, res
+
+
+def prs_diag_from_modes(eig_values, eig_vectors, *, layout="xyz"):
+    """
+    The folded-PRS diagonal ``P_ii = ||C_ii||_F^2`` (squared Frobenius
+    norm of each atom's diagonal 3x3 covariance block) from a truncated
+    mode set — the normalizer of the reference's row-normalized PRS
+    matrix (``nma.py:520-523``).  At mega scale the full covariance
+    diagonal blocks are unreachable; the mode-sum converges fast (each
+    mode enters as ``1/lambda^2``), the same regime argument as the
+    mode-sum MSF used by ``dcc(matrix_free=True)``.
+
+    ``eig_vectors``: ``(k, 3n)`` modes in rows; returns ``(n,)``.
+    """
+    vals = np.asarray(eig_values, np.float64)
+    vecs = np.asarray(eig_vectors, np.float64)
+    k = vecs.shape[0]
+    n = vecs.shape[1] // 3
+    if layout == "xyz":
+        planes = vecs.reshape(k, 3, n)
+    elif layout == "atom":
+        planes = vecs.reshape(k, n, 3).transpose(0, 2, 1)
+    else:
+        raise ValueError(f"Unknown layout '{layout}'")
+    # C_ii[a, b] = sum_k v[k, a, i] v[k, b, i] / lambda_k
+    blocks = np.einsum("kai,kbi->abi", planes / vals[:, None, None],
+                       planes, optimize=True)
+    return np.sum(blocks**2, axis=(0, 1))
+
+
+def effector_sensor_matfree(coord, params, sites, *, prs_diag=None,
+                            norm=True, masses=None, dtype=jnp.float32,
+                            **options):
+    """
+    Effector and sensor profile values at selected sites without the
+    covariance matrix — the mega-scale route to the reference's
+    ``effector_sensor`` (``nma.py:527-569``), which averages the
+    row-normalized PRS matrix over rows (effector) and columns
+    (sensor).
+
+    Three covariance columns per site are solved by the deflated CG
+    (:func:`covariance_solve_matfree`, one batched call).  Because the
+    covariance is symmetric, the *unnormalized* folded PRS is too —
+    so a site's solves yield both its PRS row (effector numerators)
+    and its PRS column (sensor numerators).  The row normalization
+    ``P_ij / P_ii`` makes the sensor average at site ``j`` need
+    ``P_ii`` for *all* perturbing atoms ``i``: pass `prs_diag`
+    (shape ``(n,)``, from :func:`prs_diag_from_modes` at scale —
+    the same pass-the-mode-sum contract as
+    ``ANM.dcc(matrix_free=True, msf=...)``).  With ``norm=False``
+    the averages use the raw folded PRS and `prs_diag` is not needed.
+
+    Returns
+    -------
+    effector : ndarray, shape=(len(sites),)
+        ``mean_{j != i} P_ij / P_ii`` at each site ``i``.
+    sensor : ndarray, shape=(len(sites),)
+        ``mean_{i != j} P_ij / P_ii`` at each site ``j``.
+    n_iter : int
+        CG iterations of the underlying batched solve.
+    residuals : ndarray, shape=(3 * len(sites),)
+        CG relative residuals.
+    """
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    sites = np.asarray(sites, dtype=np.int64)
+    if sites.ndim != 1 or np.any(sites < 0) or np.any(sites >= n):
+        raise IndexError(f"sites must be flat indices in [0, {n})")
+    if norm and prs_diag is None:
+        raise ValueError(
+            "effector_sensor_matfree(norm=True) needs prs_diag=<(n,) "
+            "folded-PRS diagonal>: the sensor column average divides "
+            "each perturbing row i by its self-response P_ii, which "
+            "the site columns alone cannot produce — compute it from "
+            "a truncated mode set via prs_diag_from_modes")
+    n_sites = sites.shape[0]
+
+    rhs = np.zeros((3 * n, 3 * n_sites), dtype=np.float64)
+    for s, site in enumerate(sites):
+        for a in range(3):
+            rhs[a * n + site, 3 * s + a] = 1.0
+
+    x, n_it, res = covariance_solve_matfree(
+        coord, params, rhs, masses=masses, dtype=dtype, **options)
+    cols = jnp.reshape(x, (3, n, n_sites, 3))       # [b, i, s, a]
+    p_col = np.asarray(jnp.sum(cols**2, axis=(0, 3)),
+                       np.float64)                  # (n, s): P[i, site]
+    self_p = p_col[sites, np.arange(n_sites)]       # P_ss
+    col_sums = p_col.sum(axis=0) - self_p           # sum_{i != s}
+
+    if norm:
+        prs_diag = np.asarray(prs_diag, np.float64)
+        if prs_diag.shape != (n,):
+            raise ValueError(
+                f"prs_diag has shape {prs_diag.shape}, expected ({n},)")
+        effector = col_sums / ((n - 1) * self_p)
+        weighted = p_col / prs_diag[:, None]
+        sensor = (weighted.sum(axis=0)
+                  - weighted[sites, np.arange(n_sites)]) / (n - 1)
+    else:
+        effector = col_sums / (n - 1)
+        sensor = col_sums / (n - 1)
+    return effector, sensor, n_it, res
 
 
 @functools.partial(jax.jit, static_argnames=("block", "dtype"))

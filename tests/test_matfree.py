@@ -791,3 +791,81 @@ def test_covariance_solve_stays_finite_past_precision_floor():
     ref = cov @ rhs
     rel = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
     assert rel < 1e-3
+
+
+def test_effector_sensor_matfree_match_dense(ca_1l2y):
+    """Site effector/sensor values by batched CG columns must match the
+    reference-semantics dense profiles (rows of the row-normalized PRS
+    averaged over columns / columns averaged over rows)."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    _, eff_full, sens_full = anm.prs_effector_sensor(norm=True)
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    sites = [0, 5, 19]
+    prs_diag = np.diagonal(np.asarray(prs_raw))
+
+    eff, sens, n_it, res = matfree.effector_sensor_matfree(
+        coord, params, sites, prs_diag=prs_diag, tol=1e-11, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.allclose(eff, np.asarray(eff_full)[sites], rtol=1e-6)
+    assert np.allclose(sens, np.asarray(sens_full)[sites], rtol=1e-6)
+
+    # norm=False needs no prs_diag; both profiles equal the raw
+    # averages of the (symmetric) unnormalized folded PRS
+    eff_raw, sens_raw, _, _ = matfree.effector_sensor_matfree(
+        coord, params, sites, norm=False, tol=1e-11, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    n = len(coord)
+    raw = np.asarray(prs_raw)
+    want = (raw[sites].sum(axis=1) - np.diagonal(raw)[sites]) / (n - 1)
+    assert np.allclose(eff_raw, want, rtol=1e-6)
+    assert np.allclose(sens_raw, want, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="prs_diag"):
+        matfree.effector_sensor_matfree(coord, params, sites)
+
+
+def test_prs_diag_from_modes_matches_dense(ca_1l2y):
+    """With the complete non-trivial mode set the mode-sum folded-PRS
+    diagonal equals the dense covariance diagonal exactly; a truncated
+    low-mode set converges to ~1% (each mode enters as 1/lambda^2)."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    exact = np.diagonal(np.asarray(prs_raw))
+
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    full = matfree.prs_diag_from_modes(vals[6:], vecs[6:],
+                                       layout="atom")
+    assert np.allclose(full, exact, rtol=1e-8)
+
+    # Truncation converges monotonically (1/lambda^2 weighting); on
+    # this 20-atom toy there is little scale separation, so only the
+    # trend and the 40-mode point are asserted — at mega scale the
+    # low-mode dominance is far stronger.
+    errs = [np.max(np.abs(matfree.prs_diag_from_modes(
+        vals[6:6 + k], vecs[6:6 + k], layout="atom") - exact) / exact)
+        for k in (10, 25, 40)]
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 0.15
+
+
+def test_anm_prs_effector_sensor_matrix_free(ca_1l2y):
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, eff_full, sens_full = anm.prs_effector_sensor(norm=False)
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    prs_diag = np.diagonal(np.asarray(
+        anm.prs_effector_sensor(norm=False)[0]))
+
+    sites = [2, 11]
+    none_mat, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, sites=sites, prs_diag=prs_diag, tol=1e-11,
+        block=32, use_pallas=False, dtype=jnp.float64)
+    assert none_mat is None
+    assert np.allclose(eff, np.asarray(eff_n)[sites], rtol=1e-6)
+    assert np.allclose(sens, np.asarray(sens_n)[sites], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="sites"):
+        anm.prs_effector_sensor(matrix_free=True)
