@@ -263,6 +263,50 @@ def _compact_row_constants(sq_dist, params, row_start, block, xp):
     return xp.where(bonded_mask, bonded_k, k)
 
 
+def overlay_correction_hessian_xyz(hessian, coord, params, xp):
+    """Add the patch-overlay correction to a base-family xyz-layout
+    Hessian as a sparse scatter of 3x3 superelements — O(P) for P
+    affected pairs, so the fused Pallas kernels keep their O(n)
+    parameterization while supporting ``PatchedForceField``
+    (reference ``forcefield.py:117-261``)."""
+    from . import ffparams as fp
+
+    ii, jj, delta, disp, safe_sq = fp.overlay_pair_delta(
+        coord, params, xp)
+    if len(ii) == 0:
+        return hessian
+    n = coord.shape[0]
+    g = (delta / safe_sq).astype(hessian.dtype)
+    disp = disp.astype(hessian.dtype)
+    for a in range(3):
+        for b in range(3):
+            v = g * disp[:, a] * disp[:, b]
+            # off-diagonal superelements carry -g d d^T on both
+            # triangles (d_ji d_ji^T == d_ij d_ij^T); the diagonal
+            # compensation adds +g d d^T at (i, i) and (j, j)
+            hessian = hessian.at[a * n + ii, b * n + jj].add(-v)
+            hessian = hessian.at[a * n + jj, b * n + ii].add(-v)
+            hessian = hessian.at[a * n + ii, b * n + ii].add(v)
+            hessian = hessian.at[a * n + jj, b * n + jj].add(v)
+    return hessian
+
+
+def overlay_correction_kirchhoff(kirchhoff, coord, params, xp):
+    """GNM counterpart of :func:`overlay_correction_hessian_xyz`:
+    sparse Kirchhoff correction for patch overlays."""
+    from . import ffparams as fp
+
+    ii, jj, delta, _, _ = fp.overlay_pair_delta(coord, params, xp)
+    if len(ii) == 0:
+        return kirchhoff
+    d = delta.astype(kirchhoff.dtype)
+    kirchhoff = kirchhoff.at[ii, jj].add(-d)
+    kirchhoff = kirchhoff.at[jj, ii].add(-d)
+    kirchhoff = kirchhoff.at[ii, ii].add(d)
+    kirchhoff = kirchhoff.at[jj, jj].add(d)
+    return kirchhoff
+
+
 def atom_to_xyz_permutation(n):
     """Permutation ``p`` with ``H_xyz = H_atom[p][:, p]``: index ``(a, i)``
     in xyz layout maps to ``3 * i + a`` in atom layout."""

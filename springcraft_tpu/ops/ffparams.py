@@ -200,6 +200,143 @@ def with_overlay(params, off_mask, on_mask, values, has_value):
     return dataclasses.replace(params, overlays=params.overlays + (overlay,))
 
 
+def strip_overlays(params):
+    """`params` without its patch overlays (the base family)."""
+    return dataclasses.replace(params, overlays=())
+
+
+def overlays_concrete(params):
+    """Whether every overlay mask is concrete (the fused/matrix-free
+    paths extract the affected pair set with ``np.nonzero`` at trace
+    time, which tracers cannot support)."""
+    return not any(
+        isinstance(getattr(o, f), jax.core.Tracer)
+        for o in params.overlays
+        for f in ("off_mask", "on_mask", "values", "has_value")
+    )
+
+
+def overlay_candidate_pairs(params):
+    """Upper-triangle pair indices ``(ii, jj)`` (concrete int32 numpy)
+    of every pair any overlay could touch — the support of the sparse
+    rank correction that lets the fused Pallas and matrix-free paths
+    handle :class:`PatchOverlay` (reference ``forcefield.py:117-261``)
+    without giving up their O(n)-parameter kernels."""
+    if not params.overlays:
+        return (np.empty(0, np.int32), np.empty(0, np.int32))
+    if not overlays_concrete(params):
+        raise ValueError(
+            "patch overlays must be concrete host arrays for the "
+            "fused/matrix-free paths (pass FFParams by closure, not "
+            "as a jit argument)")
+    n = np.asarray(params.overlays[0].off_mask).shape[0]
+    union = np.zeros((n, n), dtype=bool)
+    for o in params.overlays:
+        union |= np.asarray(o.off_mask)
+        union |= np.asarray(o.on_mask)
+        union |= np.asarray(o.has_value)
+    ii, jj = np.nonzero(np.triu(union, 1))
+    return ii.astype(np.int32), jj.astype(np.int32)
+
+
+def pair_base_constants(ii, jj, sq, params, xp, pos_i=None, pos_j=None):
+    """Unmasked per-pair force constants of the *base* family for 1-D
+    pair arrays — the sparse counterpart of :func:`_base_constants`.
+    ``pos_i``/``pos_j`` override the positional indices used for the
+    peptide-bond test of compact tables (needed when atoms have been
+    reordered, e.g. Morton-sorted: pass the original positions)."""
+    kind = params.kind
+    if kind == "invariant":
+        return xp.ones_like(sq)
+    if kind == "hinsen":
+        dist = xp.sqrt(sq)
+        dist = xp.clip(dist, 2.9, None)
+        return xp.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
+                        dist ** (-6) * 128e4)
+    if kind == "pfenm":
+        safe = xp.where(sq == 0, xp.ones_like(sq), sq)
+        return 1.0 / safe
+    if kind == "table_pair":
+        table = xp.asarray(params.pair_table)
+        bins = _pair_bin_indices(sq, params, xp)
+        if bins is None:
+            return table[ii, jj, 0]
+        return table[ii, jj, bins]
+    if kind == "table_compact":
+        t = xp.asarray(params.type_idx)
+        ti, tj = t[ii], t[jj]
+        bins = _pair_bin_indices(sq, params, xp)
+        if bins is None:
+            bins = xp.zeros(sq.shape, dtype=xp.int32)
+        intra = xp.asarray(params.intra_table)[ti, tj, bins]
+        inter = xp.asarray(params.inter_table)[ti, tj, bins]
+        chain = xp.asarray(params.chain_code)
+        k = xp.where(chain[ii] == chain[jj], intra, inter)
+        bonded_k = xp.asarray(params.bonded_table)[ti, tj, bins]
+        bnext = xp.asarray(params.bonded_next)
+        pi = ii if pos_i is None else pos_i
+        pj = jj if pos_j is None else pos_j
+        bonded = (((pj - pi) == 1) & bnext[ii]) | (
+            ((pi - pj) == 1) & bnext[jj])
+        return xp.where(bonded, bonded_k, k)
+    raise ValueError(f"Unknown force-field kind '{kind}'")
+
+
+def _pair_bin_indices(sq, params, xp):
+    """1-D counterpart of :func:`_bin_indices`."""
+    if params.edges_sq is None or params.n_bins == 1:
+        return None
+    idx = xp.searchsorted(xp.asarray(params.edges_sq), sq)
+    return xp.clip(idx, 0, params.n_bins - 1)
+
+
+def overlay_pair_delta(coord, params, xp, pos=None):
+    """The sparse force-constant correction of the patch overlays:
+    candidate pairs plus ``k_patched - k_base`` at each (traced where
+    `coord` is traced; the pair set itself is static).
+
+    ``pos`` optionally maps current slots to original atom positions
+    (e.g. the Morton permutation of the block-sparse paths) for the
+    compact-table peptide-bond test.
+
+    Returns ``(ii, jj, delta, disp, safe_sq)`` with ``disp`` the
+    ``(P, 3)`` pair displacements — everything a caller needs to
+    scatter the Hessian/Kirchhoff superelement correction or apply it
+    to a vector block at O(P) cost.
+    """
+    ii, jj = overlay_candidate_pairs(params)
+    pos_i = None if pos is None else xp.asarray(pos)[ii]
+    pos_j = None if pos is None else xp.asarray(pos)[jj]
+    coord = xp.asarray(coord)
+    disp = coord[ii] - coord[jj]
+    sq = xp.sum(disp * disp, axis=-1)
+    safe_sq = xp.where(sq == 0, xp.ones_like(sq), sq)
+
+    base_adj = (sq <= params.cutoff_sq) if params.has_cutoff \
+        else xp.ones(sq.shape, dtype=bool)
+    k_raw = pair_base_constants(ii, jj, sq, params, xp,
+                                pos_i=pos_i, pos_j=pos_j)
+    zero = xp.zeros_like(k_raw)
+    k_base = xp.where(base_adj, k_raw, zero)
+
+    # Value pipeline + adjacency, in the reference order (see
+    # force_constant_matrix / effective_adjacency)
+    k_full = k_raw
+    off_any = np.zeros(len(ii), dtype=bool)
+    on_any = np.zeros(len(ii), dtype=bool)
+    for o in params.overlays:
+        has_value = np.asarray(o.has_value)[ii, jj]
+        values = np.asarray(o.values)[ii, jj]
+        k_full = xp.where(sq <= params.cutoff_sq, k_full, zero)
+        k_full = xp.where(has_value, xp.asarray(values, k_raw.dtype),
+                          k_full)
+        off_any |= np.asarray(o.off_mask)[ii, jj]
+        on_any |= np.asarray(o.on_mask)[ii, jj]
+    adj = (base_adj & ~xp.asarray(off_any)) | xp.asarray(on_any)
+    k_full = xp.where(adj, k_full, zero)
+    return ii, jj, k_full - k_base, disp, safe_sq
+
+
 # ---------------------------------------------------------------------------
 # Dense evaluation
 # ---------------------------------------------------------------------------

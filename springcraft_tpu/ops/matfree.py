@@ -32,10 +32,13 @@ whose Hessian cannot be stored.  All stages are matmuls / QR on an
 ``(m, p)`` block; nothing O(n^2) is ever resident.
 
 Supported force-field families match the Pallas assembly kernels:
-``invariant``, ``hinsen``, ``pfenm``, ``table_compact`` (no overlays) —
-the families whose parameters are O(n).  ``table_pair`` / overlay
-fields are O(n^2)-parameterized by construction, so the dense path is
-the right tool there.
+``invariant``, ``hinsen``, ``pfenm``, ``table_compact`` — the families
+whose parameters are O(n).  Patch overlays (``PatchedForceField``)
+ride on top as a sparse O(P) rank correction
+(:func:`overlay_apply_hessian` / :func:`overlay_apply_kirchhoff`)
+applied after the base-family kernels.  ``table_pair`` fields are
+O(n^2)-parameterized by construction, so the dense path is the right
+tool there.
 """
 
 from __future__ import annotations
@@ -61,6 +64,8 @@ __all__ = [
     "hessian_apply_pallas_sparse",
     "kirchhoff_apply",
     "kirchhoff_apply_pallas_sparse",
+    "overlay_apply_hessian",
+    "overlay_apply_kirchhoff",
     "estimate_lambda_max",
     "hessian_degree_bound",
     "spatial_sort_permutation",
@@ -97,8 +102,9 @@ def _check_params(params):
     if not supports_params(params):
         raise ValueError(
             f"matrix-free path does not support kind={params.kind!r} "
-            f"with overlays={bool(params.overlays)} (O(n^2) parameters "
-            "— use the dense assembly instead)"
+            f"(O(n^2) parameters — use the dense assembly instead); "
+            "patch overlays are supported only with concrete masks "
+            "(pass FFParams by closure, not as a jit argument)"
         )
 
 
@@ -203,14 +209,73 @@ def _make_row_block(coord_p, x_p, params, meta, n, block):
     return one_block
 
 
-@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def overlay_apply_hessian(coord, x, params, *, dtype=jnp.float32,
+                          pos=None):
+    """``(Delta H) @ x`` for the patch-overlay sparse correction in xyz
+    layout — O(P * k) gathers/scatters for P affected pairs, letting
+    every matrix-free operator support ``PatchedForceField`` without
+    touching its O(n)-parameter kernel.  ``pos`` maps slots to original
+    atom positions for reordered (Morton-sorted) layouts."""
+    from . import ffparams as _ffp
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    xb, squeeze = _as_block_input(x, n, dtype)
+    ii, jj, delta, disp, safe_sq = _ffp.overlay_pair_delta(
+        coord, params, jnp, pos=pos)
+    k_vec = xb.shape[-1]
+    if len(ii) == 0:
+        z = jnp.zeros((3 * n, k_vec), dtype)
+        return z[:, 0] if squeeze else z
+    g = (delta / safe_sq).astype(dtype)
+    disp = disp.astype(dtype)
+    diff = xb[:, ii, :] - xb[:, jj, :]                  # (3, P, k)
+    s = g[:, None] * sum(disp[:, a][:, None] * diff[a]
+                         for a in range(3))             # (P, k)
+    y = jnp.zeros((3, n, k_vec), dtype)
+    for a in range(3):
+        contrib = disp[:, a][:, None] * s
+        y = y.at[a, ii].add(contrib).at[a, jj].add(-contrib)
+    y = y.reshape(3 * n, k_vec)
+    return y[:, 0] if squeeze else y
+
+
+def overlay_apply_kirchhoff(coord, x, params, *, dtype=jnp.float32,
+                            pos=None):
+    """``(Delta K) @ x`` — GNM counterpart of
+    :func:`overlay_apply_hessian` (``x``: ``(n, k)`` or ``(n,)``)."""
+    from . import ffparams as _ffp
+
+    coord = jnp.asarray(coord, dtype=dtype)
+    n = coord.shape[0]
+    x = jnp.asarray(x, dtype=dtype)
+    squeeze = x.ndim == 1
+    xb = x[:, None] if squeeze else x
+    ii, jj, delta, _, _ = _ffp.overlay_pair_delta(coord, params, jnp,
+                                                  pos=pos)
+    if len(ii) == 0:
+        z = jnp.zeros_like(xb)
+        return z[:, 0] if squeeze else z
+    t = delta.astype(dtype)[:, None] * (xb[ii] - xb[jj])
+    y = jnp.zeros_like(xb).at[ii].add(t).at[jj].add(-t)
+    return y[:, 0] if squeeze else y
+
+
+def _strip(params):
+    from . import ffparams as _ffp
+
+    return _ffp.strip_overlays(params)
+
+
 def hessian_apply(coord, x, params, *, block=512, dtype=jnp.float32):
     """
     ``H @ x`` for the xyz-layout ANM Hessian, without materializing it.
 
     Row-blocked XLA implementation: O(block * n) live memory.  Exactly
     matches ``assembly.hessian_matrix(coord, params, layout="xyz") @ x``
-    (reference semantics: ``interaction.py:57-111``).
+    (reference semantics: ``interaction.py:57-111``).  Patch overlays
+    are applied as a sparse O(P * k) correction on top of the base
+    family (:func:`overlay_apply_hessian`).
 
     Parameters
     ----------
@@ -218,12 +283,24 @@ def hessian_apply(coord, x, params, *, block=512, dtype=jnp.float32):
     x : ndarray, shape=(3n, k) or (3n,)
         Block of vectors in xyz plane layout.
     params : FFParams
-        Must have O(n) parameters (see :func:`supports_params`).
+        Must have O(n) base parameters (see :func:`supports_params`).
 
     Returns
     -------
     y : ndarray, same shape as `x`
     """
+    if params.overlays:
+        _check_params(params)
+        return (_hessian_apply_base(coord, x, _strip(params),
+                                    block=block, dtype=dtype)
+                + overlay_apply_hessian(coord, x, params, dtype=dtype))
+    return _hessian_apply_base(coord, x, params, block=block,
+                               dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def _hessian_apply_base(coord, x, params, *, block=512,
+                        dtype=jnp.float32):
     _check_params(params)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
@@ -244,14 +321,27 @@ def hessian_apply(coord, x, params, *, block=512, dtype=jnp.float32):
     return y[:, 0] if squeeze else y
 
 
-@functools.partial(jax.jit, static_argnames=("block", "dtype"))
 def kirchhoff_apply(coord, x, params, *, block=512, dtype=jnp.float32):
     """
     ``K @ x`` for the GNM Kirchhoff matrix, without materializing it
-    (reference semantics: ``interaction.py:14-54``).
+    (reference semantics: ``interaction.py:14-54``).  Patch overlays
+    are applied as a sparse correction (:func:`overlay_apply_kirchhoff`).
 
     `x` is ``(n, k)`` or ``(n,)``.
     """
+    if params.overlays:
+        _check_params(params)
+        return (_kirchhoff_apply_base(coord, x, _strip(params),
+                                      block=block, dtype=dtype)
+                + overlay_apply_kirchhoff(coord, x, params,
+                                          dtype=dtype))
+    return _kirchhoff_apply_base(coord, x, params, block=block,
+                                 dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def _kirchhoff_apply_base(coord, x, params, *, block=512,
+                          dtype=jnp.float32):
     _check_params(params)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
@@ -361,9 +451,15 @@ def hessian_apply_pallas(coord, x, params, tile=256, dtype=jnp.float32,
     VMEM — the Hessian never exists in HBM.
 
     `x` is ``(3n, k)`` or ``(3n,)`` in xyz plane layout; ``k`` is padded
-    to the 128-lane width internally.
+    to the 128-lane width internally.  Patch overlays apply as a sparse
+    O(P * k) correction on top of the base-family kernel.
     """
     _check_params(params)
+    if params.overlays:
+        return (hessian_apply_pallas(coord, x, _strip(params),
+                                     tile=tile, dtype=dtype,
+                                     interpret=interpret)
+                + overlay_apply_hessian(coord, x, params, dtype=dtype))
     if interpret is None:
         # Compiled Mosaic kernels need a TPU; interpret elsewhere.
         interpret = jax.default_backend() != "tpu"
@@ -810,6 +906,16 @@ def hessian_apply_pallas_sparse(coord, x, params, nbr, counts,
         relative residuals; operator experiments only.
     """
     _check_params(params)
+    if params.overlays:
+        # Overlay masks must arrive in the SAME (sorted) order as
+        # `coord` (see _sparse_setup); orig_ids supplies the original
+        # positions for the compact-table peptide-bond test.
+        return (hessian_apply_pallas_sparse(
+                    coord, x, _strip(params), nbr, counts,
+                    orig_ids=orig_ids, tile=tile, dtype=dtype,
+                    interpret=interpret, precision=precision)
+                + overlay_apply_hessian(coord, x, params, dtype=dtype,
+                                        pos=orig_ids))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
@@ -917,6 +1023,13 @@ def kirchhoff_apply_pallas_sparse(coord, x, params, nbr, counts,
     ``(n,)``).
     """
     _check_params(params)
+    if params.overlays:
+        return (kirchhoff_apply_pallas_sparse(
+                    coord, x, _strip(params), nbr, counts,
+                    orig_ids=orig_ids, tile=tile, dtype=dtype,
+                    interpret=interpret)
+                + overlay_apply_kirchhoff(coord, x, params,
+                                          dtype=dtype, pos=orig_ids))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     coord = jnp.asarray(coord, dtype=dtype)
@@ -980,7 +1093,6 @@ def estimate_lambda_max(matvec, m, n_iter=50, safety=1.1, seed=0,
     return safety * jnp.linalg.norm(w)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "dtype"))
 def hessian_degree_bound(coord, params, *, masses=None, block=512,
                          dtype=jnp.float32):
     """
@@ -993,8 +1105,37 @@ def hessian_degree_bound(coord, params, *, masses=None, block=512,
     block is the negated row sum).  With unit weights this is
     ``2 * max_i degree_i``.  One blocked matrix-free pass, O(block * n)
     memory.  Unlike power iteration this can never under-estimate, so
-    it is safe as the Chebyshev filter's upper edge.
+    it is safe as the Chebyshev filter's upper edge.  Patch overlays
+    add ``max_i w_i (sum_j |delta_ij| w_j + w_i sum_j |delta_ij|)`` —
+    still an upper bound (triangle inequality on the perturbed
+    constants), possibly looser.
     """
+    if params.overlays:
+        from . import ffparams as _ffp
+
+        base = _hessian_degree_bound_base(
+            coord, _strip(params), masses=masses, block=block,
+            dtype=dtype)
+        coord = jnp.asarray(coord, dtype=dtype)
+        n = coord.shape[0]
+        ii, jj, delta, _, _ = _ffp.overlay_pair_delta(coord, params,
+                                                      jnp)
+        if len(ii) == 0:
+            return base
+        w = (jnp.ones(n, dtype) if masses is None
+             else 1.0 / jnp.sqrt(jnp.asarray(masses, dtype)))
+        ad = jnp.abs(delta).astype(dtype)
+        wsum = (jnp.zeros(n, dtype).at[ii].add(ad * w[jj])
+                .at[jj].add(ad * w[ii]))
+        rsum = jnp.zeros(n, dtype).at[ii].add(ad).at[jj].add(ad)
+        return base + jnp.max(w * (wsum + w * rsum))
+    return _hessian_degree_bound_base(coord, params, masses=masses,
+                                      block=block, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def _hessian_degree_bound_base(coord, params, *, masses=None, block=512,
+                               dtype=jnp.float32):
     _check_params(params)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
@@ -1130,6 +1271,20 @@ def _sparse_setup(coord, params, masses, tile, dtype, concrete):
             chain_code=np.asarray(params.chain_code)[perm],
             bonded_next=np.asarray(params.bonded_next)[perm],
         )
+    if params.overlays:
+        # Overlay masks live in original atom order; the kernels (and
+        # the sparse correction) see the sorted order.
+        import dataclasses
+
+        from . import ffparams as _ffp
+
+        params = dataclasses.replace(params, overlays=tuple(
+            _ffp.PatchOverlay(
+                off_mask=np.asarray(o.off_mask)[perm][:, perm],
+                on_mask=np.asarray(o.on_mask)[perm][:, perm],
+                values=np.asarray(o.values)[perm][:, perm],
+                has_value=np.asarray(o.has_value)[perm][:, perm],
+            ) for o in params.overlays))
     if masses is not None:
         masses = np.asarray(masses)[perm]
     return coord, params, masses, nbr, counts, perm
@@ -1359,13 +1514,34 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
     return vals, vecs, res
 
 
-@functools.partial(jax.jit, static_argnames=("block", "dtype"))
 def hessian_diag_blocks(coord, params, *, block=512, dtype=jnp.float32):
     """
     The ``(n, 3, 3)`` diagonal superblocks of the ANM Hessian
     (``sum_j k_ij / d^2 * d d^T``) in one blocked matrix-free pass —
     the block-Jacobi preconditioner for :func:`covariance_solve_matfree`.
+    Patch overlays scatter their exact contribution in at O(P).
     """
+    if params.overlays:
+        from . import ffparams as _ffp
+
+        base = _hessian_diag_blocks_base(coord, _strip(params),
+                                         block=block, dtype=dtype)
+        coord = jnp.asarray(coord, dtype=dtype)
+        ii, jj, delta, disp, safe_sq = _ffp.overlay_pair_delta(
+            coord, params, jnp)
+        if len(ii) == 0:
+            return base
+        g = (delta / safe_sq).astype(dtype)
+        disp = disp.astype(dtype)
+        dd = g[:, None, None] * disp[:, :, None] * disp[:, None, :]
+        return base.at[ii].add(dd).at[jj].add(dd)
+    return _hessian_diag_blocks_base(coord, params, block=block,
+                                     dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def _hessian_diag_blocks_base(coord, params, *, block=512,
+                              dtype=jnp.float32):
     _check_params(params)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]
@@ -1745,12 +1921,31 @@ def effector_sensor_matfree(coord, params, sites, *, prs_diag=None,
     return effector, sensor, n_it, res
 
 
-@functools.partial(jax.jit, static_argnames=("block", "dtype"))
 def kirchhoff_degree(coord, params, *, block=512, dtype=jnp.float32):
     """Per-atom Kirchhoff diagonal (the degree, ``sum_j k_ij``) by a
     blocked matrix-free pass — the GNM Jacobi preconditioner.  O(block
     * n) memory; O(n^2) work (fine to ~100k atoms; beyond that pass
-    ``precond=False`` to the GNM CG instead)."""
+    ``precond=False`` to the GNM CG instead).  Patch overlays scatter
+    their exact delta in at O(P)."""
+    if params.overlays:
+        from . import ffparams as _ffp
+
+        base = _kirchhoff_degree_base(coord, _strip(params),
+                                      block=block, dtype=dtype)
+        coord = jnp.asarray(coord, dtype=dtype)
+        ii, jj, delta, _, _ = _ffp.overlay_pair_delta(coord, params,
+                                                      jnp)
+        if len(ii) == 0:
+            return base
+        d = delta.astype(dtype)
+        return base.at[ii].add(d).at[jj].add(d)
+    return _kirchhoff_degree_base(coord, params, block=block,
+                                  dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dtype"))
+def _kirchhoff_degree_base(coord, params, *, block=512,
+                           dtype=jnp.float32):
     _check_params(params)
     coord = jnp.asarray(coord, dtype=dtype)
     n = coord.shape[0]

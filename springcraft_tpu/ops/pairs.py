@@ -67,61 +67,16 @@ def neighbor_pairs(coord, cutoff):
     return i[order], j[order]
 
 
-def _pair_bins(sq, params):
-    """Distance-bin index per pair (1-D counterpart of
-    :func:`.ffparams._bin_indices`)."""
-    if params.edges_sq is None or params.n_bins == 1:
-        return None
-    idx = np.searchsorted(np.asarray(params.edges_sq), sq)
-    return np.clip(idx, 0, params.n_bins - 1)
-
-
-def _base_pair_constants(i, j, sq, params):
-    """Unmasked per-pair force constants for the base family."""
-    kind = params.kind
-    if kind == "invariant":
-        return np.ones_like(sq)
-    if kind == "hinsen":
-        dist = np.sqrt(sq)
-        dist = np.clip(dist, 2.9, None)
-        return np.where(dist < 4.0, dist * 8.6e2 - 2.39e3,
-                        dist ** (-6) * 128e4)
-    if kind == "pfenm":
-        safe = np.where(sq == 0, 1.0, sq)
-        return 1.0 / safe
-    if kind == "table_pair":
-        table = np.asarray(params.pair_table)
-        bins = _pair_bins(sq, params)
-        if bins is None:
-            return table[i, j, 0].astype(np.float64)
-        return table[i, j, bins].astype(np.float64)
-    if kind == "table_compact":
-        t = np.asarray(params.type_idx)
-        ti, tj = t[i], t[j]
-        bins = _pair_bins(sq, params)
-        if bins is None:
-            bins = np.zeros(len(i), dtype=np.int64)
-        intra = np.asarray(params.intra_table)[ti, tj, bins]
-        inter = np.asarray(params.inter_table)[ti, tj, bins]
-        chain = np.asarray(params.chain_code)
-        k = np.where(chain[i] == chain[j], intra, inter)
-        # Peptide-bonded (i, i+1) pairs overwrite the non-bonded values
-        # (reference forcefield.py:501-509); positional, so the pair
-        # list must be in the original atom order.
-        bonded_k = np.asarray(params.bonded_table)[ti, tj, bins]
-        bnext = np.asarray(params.bonded_next)
-        bonded = ((j - i == 1) & bnext[i]) | ((i - j == 1) & bnext[j])
-        return np.where(bonded, bonded_k, k).astype(np.float64)
-    raise ValueError(f"Unknown force-field kind '{kind}'")
-
-
 def pair_force_constants(i, j, sq, params):
     """
     Final per-pair force constants including the overlay value pipeline
     (reference ``forcefield.py:188-223``) — but NOT the adjacency
     decision: callers own the pair set (see :func:`pair_list`).
     """
-    k = _base_pair_constants(i, j, sq, params).astype(np.float64)
+    from . import ffparams as fp
+
+    k = np.asarray(fp.pair_base_constants(i, j, sq, params, np),
+                   dtype=np.float64)
     for overlay in params.overlays:
         has_value = np.asarray(overlay.has_value)[i, j]
         values = np.asarray(overlay.values)[i, j]

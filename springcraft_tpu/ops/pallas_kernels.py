@@ -52,8 +52,16 @@ __all__ = [
 
 
 def supports_params(params):
-    return params.kind in ("invariant", "hinsen", "pfenm", "table_compact") \
-        and not params.overlays
+    """O(n)-parameter families the fused kernels handle.  Patch
+    overlays are supported via a sparse post-pass rank correction
+    (``assembly.overlay_correction_*``) as long as their masks are
+    concrete — the affected pair set is extracted host-side at trace
+    time."""
+    from . import ffparams as _fp
+
+    return params.kind in ("invariant", "hinsen", "pfenm",
+                           "table_compact") \
+        and (not params.overlays or _fp.overlays_concrete(params))
 
 
 def _round_up(x, m):
@@ -269,6 +277,18 @@ def hessian_pallas(coord, params, tile=None, dtype=jnp.float32,
             f"Pallas path does not support kind={params.kind!r} "
             f"with overlays={bool(params.overlays)}"
         )
+    if params.overlays:
+        # Sparse rank correction on top of the base-family kernel:
+        # overlays touch a handful of pairs, so the fused kernel runs
+        # unmodified and the patches scatter in at O(P).
+        from . import assembly, ffparams as _fp
+
+        coord = jnp.asarray(coord, dtype=dtype)
+        base = hessian_pallas(coord, _fp.strip_overlays(params),
+                              tile=tile, dtype=dtype,
+                              interpret=interpret)
+        return assembly.overlay_correction_hessian_xyz(
+            base, coord, params, jnp)
     if interpret is None:
         # Compiled Mosaic kernels need a TPU; fall back to the
         # interpreter elsewhere (tests, CPU debugging).  The heuristic
@@ -449,6 +469,15 @@ def kirchhoff_pallas(coord, params, tile=None, dtype=jnp.float32,
             f"Pallas path does not support kind={params.kind!r} "
             f"with overlays={bool(params.overlays)}"
         )
+    if params.overlays:
+        from . import assembly, ffparams as _fp
+
+        coord = jnp.asarray(coord, dtype=dtype)
+        base = kirchhoff_pallas(coord, _fp.strip_overlays(params),
+                                tile=tile, dtype=dtype,
+                                interpret=interpret)
+        return assembly.overlay_correction_kirchhoff(
+            base, coord, params, jnp)
     if interpret is None:
         # Compiled Mosaic kernels need a TPU; fall back to the
         # interpreter elsewhere (tests, CPU debugging).  The heuristic
@@ -783,6 +812,16 @@ def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
     :func:`supports_ensemble` before calling with tabulated params (the
     planes are O(n_bins * n_pad^2) in HBM).
     """
+    if params.overlays and supports_params(params):
+        from . import assembly, ffparams as _fp
+
+        coords = jnp.asarray(coords, dtype=dtype)
+        base = hessian_pallas_ensemble(
+            coords, _fp.strip_overlays(params), tile=tile, dtype=dtype,
+            interpret=interpret)
+        corr = jax.vmap(lambda h, c: assembly.overlay_correction_hessian_xyz(
+            h, c, params, jnp))
+        return corr(base, coords)
     (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
      inputs) = _ensemble_setup(coords, params, tile, dtype, interpret)
 
@@ -822,6 +861,16 @@ def kirchhoff_pallas_ensemble(coords, params, tile=None,
                               dtype=jnp.float32, interpret=None):
     """Batched fused GNM Kirchhoff matrices, ``(B, n, 3) -> (B, n, n)``
     (see :func:`hessian_pallas_ensemble`)."""
+    if params.overlays and supports_params(params):
+        from . import assembly, ffparams as _fp
+
+        coords = jnp.asarray(coords, dtype=dtype)
+        base = kirchhoff_pallas_ensemble(
+            coords, _fp.strip_overlays(params), tile=tile, dtype=dtype,
+            interpret=interpret)
+        corr = jax.vmap(lambda k, c: assembly.overlay_correction_kirchhoff(
+            k, c, params, jnp))
+        return corr(base, coords)
     (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
      inputs) = _ensemble_setup(coords, params, tile, dtype, interpret)
 

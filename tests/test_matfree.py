@@ -869,3 +869,65 @@ def test_anm_prs_effector_sensor_matrix_free(ca_1l2y):
 
     with pytest.raises(ValueError, match="sites"):
         anm.prs_effector_sensor(matrix_free=True)
+
+
+def test_matfree_applies_support_overlays():
+    """Patch overlays apply as a sparse correction on every matrix-free
+    operator path — parity vs the dense assembly, including the
+    Morton-sorted block-sparse kernel end-to-end (overlay masks are
+    permuted alongside the atoms) and the preconditioner/degree/bound
+    helpers."""
+    rng = np.random.RandomState(2)
+    coord = (rng.rand(130, 3) * 22).astype(np.float64)
+    n = len(coord)
+    base = ffparams.invariant_params(9.0)
+    d2 = np.sum((coord[:, None] - coord[None, :]) ** 2, axis=-1)
+    off = np.zeros((n, n), bool)
+    on = np.zeros((n, n), bool)
+    values = np.zeros((n, n))
+    ci, cj = np.nonzero(np.triu(d2 <= 81.0, 1))
+    for t in range(4):
+        off[ci[t], cj[t]] = off[cj[t], ci[t]] = True
+    far = np.unravel_index(np.argmax(d2), d2.shape)
+    on[far] = on[far[::-1]] = True
+    values[far] = values[far[::-1]] = 2.0
+    params = ffparams.with_overlay(base, off, on, values, on.copy())
+
+    h_ref = np.asarray(assembly.hessian_matrix(
+        coord, params, np, dtype=np.float64, layout="xyz"))
+    k_ref = np.asarray(assembly.kirchhoff_matrix(
+        coord, params, np, dtype=np.float64))
+
+    x = rng.randn(3 * n, 4)
+    y = np.asarray(matfree.hessian_apply(coord, x, params, block=64,
+                                         dtype=jnp.float64))
+    assert np.allclose(y, h_ref @ x, atol=1e-10)
+    y2 = np.asarray(matfree.hessian_apply_pallas(
+        jnp.asarray(coord), jnp.asarray(x), params, tile=64,
+        dtype=jnp.float64, interpret=True))
+    assert np.allclose(y2, h_ref @ x, atol=1e-10)
+
+    xg = rng.randn(n, 4)
+    yg = np.asarray(matfree.kirchhoff_apply(coord, xg, params, block=64,
+                                            dtype=jnp.float64))
+    assert np.allclose(yg, k_ref @ xg, atol=1e-10)
+
+    # end-to-end through the sorted block-sparse kernel
+    vals, vecs, res = matfree.lowest_modes_matfree(
+        coord, params, 5, use_pallas=True, sparse=True,
+        dtype=jnp.float64, n_outer=12, degree=64, tol=1e-8)
+    truth = np.linalg.eigvalsh(h_ref)[6:11]
+    assert np.max(np.abs(np.asarray(vals) - truth) / truth) < 1e-7
+
+    # preconditioner / degree / Gershgorin bound stay exact / safe
+    db = np.asarray(matfree.hessian_diag_blocks(coord, params, block=64,
+                                                dtype=jnp.float64))
+    ref_db = np.stack([[[h_ref[a * n + i, b * n + i] for b in range(3)]
+                        for a in range(3)] for i in range(n)])
+    assert np.allclose(db, ref_db, atol=1e-10)
+    kd = np.asarray(matfree.kirchhoff_degree(coord, params, block=64,
+                                             dtype=jnp.float64))
+    assert np.allclose(kd, np.diagonal(k_ref), atol=1e-10)
+    bound = float(matfree.hessian_degree_bound(coord, params, block=64,
+                                               dtype=jnp.float64))
+    assert bound >= np.linalg.eigvalsh(h_ref)[-1]

@@ -207,3 +207,79 @@ def test_pair_constant_planes_values(shifted_two_chain):
         assert planes[b, n_half - 1, n_half] == pytest.approx(
             float(np.asarray(params.inter_table)[
                 ti[n_half - 1], ti[n_half], b]))
+
+
+# ---------------------------------------------------------------------------
+# Patch overlays: sparse rank correction on top of the fused kernels
+# ---------------------------------------------------------------------------
+
+
+def _overlay_params(coord, base):
+    """An overlay that switches off real contacts and forces on a
+    distant pair with an override value."""
+    n = len(coord)
+    d2 = np.sum((coord[:, None] - coord[None, :]) ** 2, axis=-1)
+    off = np.zeros((n, n), bool)
+    on = np.zeros((n, n), bool)
+    values = np.zeros((n, n))
+    ci, cj = np.nonzero(np.triu(d2 <= 36.0, 1))
+    for t in range(min(3, len(ci))):
+        off[ci[t], cj[t]] = off[cj[t], ci[t]] = True
+    far = np.unravel_index(np.argmax(d2), d2.shape)
+    on[far] = on[far[::-1]] = True
+    values[far] = values[far[::-1]] = 2.5
+    return ffparams.with_overlay(base, off, on, values, on.copy())
+
+
+def test_hessian_pallas_overlays_match_dense(coords):
+    params = _overlay_params(coords, ffparams.invariant_params(8.0))
+    assert pallas_kernels.supports_params(params)
+    ref = np.asarray(assembly.hessian_matrix(
+        coords.astype(np.float64), params, jnp, layout="xyz"))
+    test = np.asarray(pallas_kernels.hessian_pallas(
+        coords, params, tile=32, interpret=True))
+    assert _rel_err(test, ref.astype(np.float32)) < 1e-6
+
+
+def test_kirchhoff_pallas_overlays_match_dense(coords):
+    params = _overlay_params(coords, ffparams.invariant_params(8.0))
+    ref = np.asarray(assembly.kirchhoff_matrix(
+        coords.astype(np.float64), params, jnp))
+    test = np.asarray(pallas_kernels.kirchhoff_pallas(
+        coords, params, tile=32, interpret=True))
+    assert _rel_err(test, ref.astype(np.float32)) < 1e-6
+
+
+def test_ensemble_kernels_overlays_match_dense(coords):
+    params = _overlay_params(coords, ffparams.invariant_params(8.0))
+    rng = np.random.RandomState(5)
+    batch = np.stack([coords,
+                      coords + 0.02 * rng.randn(*coords.shape)
+                      .astype(np.float32)])
+    ref_h = np.stack([np.asarray(assembly.hessian_matrix(
+        c.astype(np.float64), params, jnp, layout="xyz")) for c in batch])
+    test_h = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+        batch, params, tile=32, interpret=True))
+    assert _rel_err(test_h, ref_h.astype(np.float32)) < 1e-6
+    ref_k = np.stack([np.asarray(assembly.kirchhoff_matrix(
+        c.astype(np.float64), params, jnp)) for c in batch])
+    test_k = np.asarray(pallas_kernels.kirchhoff_pallas_ensemble(
+        batch, params, tile=32, interpret=True))
+    assert _rel_err(test_k, ref_k.astype(np.float32)) < 1e-6
+
+
+def test_patched_force_field_routes_through_pallas(two_chain_ca):
+    """A model-level PatchedForceField (reference forcefield.py:117-261)
+    now satisfies supports_params, so the fused kernels accept its
+    to_params() output directly."""
+    inner = sc.InvariantForceField(8.0)
+    ff = sc.PatchedForceField(inner, contact_pair_on=[(0, 30)],
+                              force_constants=[4.0])
+    params = ff.to_params(two_chain_ca.array_length())
+    assert pallas_kernels.supports_params(params)
+    coord = np.asarray(two_chain_ca.coord, np.float32)
+    ref = np.asarray(assembly.hessian_matrix(
+        coord.astype(np.float64), params, jnp, layout="xyz"))
+    test = np.asarray(pallas_kernels.hessian_pallas(
+        coord, params, tile=32, interpret=True))
+    assert _rel_err(test, ref.astype(np.float32)) < 1e-6
