@@ -37,7 +37,9 @@ from . import pipeline
 __all__ = [
     "sharded_ensemble_anm",
     "sharded_ensemble_gnm",
+    "sharded_ensemble_anm_banded",
     "sharded_ensemble_anm_fluctuations",
+    "sharded_ensemble_gnm_banded",
     "sharded_hessian",
     "sharded_hessian_apply",
     "sharded_lowest_modes",
@@ -71,19 +73,62 @@ def sharded_ensemble_gnm(coords, params, mesh, masses=None, **options):
     return pipeline.ensemble_gnm(coords, params, masses=masses, **options)
 
 
+def _shard_map_ensemble(fn, coords, mesh):
+    """Run a batched ensemble pipeline with the conformer axis sharded
+    over the whole mesh via ``shard_map`` — manual SPMD for pipelines
+    whose Pallas kernels GSPMD cannot partition over a sharded batch
+    axis (each device runs the full kernel on its local shard)."""
+    spec = P(("ens", "row"))
+    # check_vma=False: the pipelines carry unvarying scan/loop constants
+    # that JAX's varying-axes check would reject; replication analysis
+    # is unnecessary here (purely data-parallel, no collectives).
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                       check_vma=False)
+    return mapped(jnp.asarray(coords))
+
+
 def sharded_ensemble_anm_fluctuations(coords, params, mesh, masses=None,
                                       **options):
     """Data-parallel fast-covariance ensemble ANM over `mesh`
     (see :func:`sharded_ensemble_anm`).
 
-    Defaults to the ``cho_solve`` covariance engine: GSPMD cannot
-    partition the blocked engine's Pallas panel kernel over the sharded
-    batch axis (pass ``inverse="blocked"`` explicitly only on a
-    single-device mesh)."""
+    Defaults to the ``cho_solve`` covariance engine under GSPMD.
+    ``inverse="blocked"`` routes through ``shard_map`` instead — GSPMD
+    cannot partition the blocked engine's Pallas panel kernel over the
+    sharded batch axis, but manual SPMD keeps each device's kernel
+    local to its conformer shard."""
     options.setdefault("inverse", "cho_solve")
+    if options.get("inverse") == "blocked":
+        def run(c):
+            return pipeline.ensemble_anm_fluctuations(
+                c, params, masses=masses, **options)
+        return _shard_map_ensemble(run, coords, mesh)
     coords = _shard_batch(coords, mesh)
     return pipeline.ensemble_anm_fluctuations(coords, params,
                                               masses=masses, **options)
+
+
+def sharded_ensemble_anm_banded(coords, params, mesh, masses=None,
+                                **options):
+    """Banded full-eigensystem ensemble ANM
+    (:func:`..parallel.pipeline.ensemble_anm_banded`) with the
+    conformer batch sharded over the whole mesh via ``shard_map`` —
+    each device runs the two-stage banded solver (band reduction,
+    bisection, factored inverse iteration) on its local shard; the
+    solver's batch-inside-lanes vectorization stays device-local."""
+    def run(c):
+        return pipeline.ensemble_anm_banded(c, params, masses=masses,
+                                            **options)
+    return _shard_map_ensemble(run, coords, mesh)
+
+
+def sharded_ensemble_gnm_banded(coords, params, mesh, masses=None,
+                                **options):
+    """GNM counterpart of :func:`sharded_ensemble_anm_banded`."""
+    def run(c):
+        return pipeline.ensemble_gnm_banded(c, params, masses=masses,
+                                            **options)
+    return _shard_map_ensemble(run, coords, mesh)
 
 
 @functools.lru_cache(maxsize=None)
