@@ -447,6 +447,40 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
     log(f"tpu mega-assembly accuracy proof (n={n_proof}, f64 eigh "
         f"truth): raw f32 eigenvalue rtol {raw_rtol:.1e} -> refined "
         f"{ref_rtol:.1e} (north-star clause: <=1e-6) {status}")
+
+    # All-mode observable accuracy at >=20k dims vs a COMMITTED f64
+    # ground truth (tests/data/golden_mega_msf_20736.npz, generated by
+    # tests/data/generate_golden_mega_msf.py — f64 Cholesky+trtri on
+    # host): the f32 pinv_diagonal all-mode MSF must track it.
+    golden_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), "tests", "data",
+        "golden_mega_msf_20736.npz")
+    if os.path.exists(golden_path):
+        from springcraft_tpu.ops import rigid
+        golden = np.load(golden_path)
+        n_g = int(golden["n_res"])
+        atoms_g = make_ca_atoms(n_g, seed=int(golden["seed"]))
+        params_g = TabulatedForceField.sd_enm(atoms_g)\
+            .to_compact_params()
+        coord_g = jax.device_put(jnp.asarray(atoms_g.coord))
+        h_g = jax.jit(functools.partial(
+            pallas_kernels.hessian_pallas, params=params_g,
+            dtype=jnp.float32))(coord_g)
+        t_g = jnp.asarray(rigid.rigid_modes_anm(coord_g, layout="xyz"),
+                          jnp.float32)
+        t0 = time.perf_counter()
+        diag = np.asarray(rigid.pinv_diagonal(h_g, t_g,
+                                              block_size=1296),
+                          np.float64)
+        allmode_s = time.perf_counter() - t0
+        msf_dev = diag[:n_g] + diag[n_g:2 * n_g] + diag[2 * n_g:]
+        truth = np.asarray(golden["msf"], np.float64)
+        allmode_err = float(np.sqrt(np.mean((msf_dev - truth) ** 2)
+                                    / np.mean(truth ** 2)))
+        am_status = "ok" if allmode_err <= 1e-3 else "FAIL"
+        log(f"tpu mega all-mode MSF (dim={3 * n_g}, f32 pinv_diagonal "
+            f"{allmode_s:.1f}s) vs committed f64 golden: rel RMSE "
+            f"{allmode_err:.1e} (tol 1e-03) {am_status}")
     return total
 
 

@@ -73,3 +73,48 @@ def test_roofline_helpers(bench, capsys):
     err = capsys.readouterr().err
     assert "% of f32 peak" in err
     assert "GB/s" in err
+
+
+def test_golden_mega_msf_artifact_and_generator_formula(bench):
+    """The committed 20,736-dim f64 all-mode MSF golden must (a) load
+    with consistent metadata and (b) be produced by a sound formula:
+    the generator's shift-trick (``diag(pinv(H)) = diag((H + sigma
+    T T^t)^-1) - diag(T T^t)/sigma``) is re-derived here at small scale
+    against ``pinvh``."""
+    path = os.path.join(_REPO, "tests", "data",
+                        "golden_mega_msf_20736.npz")
+    golden = np.load(path)
+    assert int(golden["n_res"]) == 6912
+    msf = np.asarray(golden["msf"])
+    assert msf.shape == (6912,)
+    assert np.all(np.isfinite(msf)) and np.all(msf > 0)
+
+    # formula check at n=120 vs exact pinvh
+    import jax.numpy as jnp
+    from scipy.linalg import cholesky, lapack
+
+    from springcraft_tpu.ops import assembly, ffparams, linalg, modes
+
+    from springcraft_tpu.utils import network
+
+    rng = np.random.RandomState(3)
+    coord = rng.rand(120, 3) * 14.0
+    params = ffparams.invariant_params(9.0)
+    # the shift trick assumes the six rigid modes are the WHOLE null
+    # space — guaranteed only on a connected network (same assert as
+    # the generator)
+    assert network.is_connected(coord, 9.0)
+    h = np.asarray(assembly.hessian_matrix(coord, params, np,
+                                           dtype=np.float64,
+                                           layout="xyz"))
+    t = modes._rigid_basis_np(coord)[
+        assembly.atom_to_xyz_permutation(120)]
+    sigma = float(np.mean(np.diagonal(h)))
+    a = h + sigma * (t @ t.T)
+    chol = cholesky(a, lower=True)
+    linv, info = lapack.dtrtri(chol, lower=1)
+    assert info == 0
+    diag = np.einsum("ki,ki->i", linv, linv) \
+        - np.sum(t * t, axis=1) / sigma
+    exact = np.diagonal(np.asarray(linalg.pinvh(jnp.asarray(h))))
+    assert np.allclose(diag, exact, rtol=1e-8, atol=1e-10)
