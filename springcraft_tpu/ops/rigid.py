@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -104,6 +105,38 @@ def null_mode_gnm(n, masses=None, dtype=jnp.float32):
     return v / jnp.linalg.norm(v)
 
 
+def _regularize_equilibrated(matrix, t, sigma):
+    """Null-space-regularized, Jacobi-equilibrated matrix in one
+    bandwidth-lean pass:
+
+        reg = S (M + sigma T T^t) S,   S = diag(reg_unscaled)^-1/2
+
+    The equilibration diagonal is computed *analytically*
+    (``diag(M) + sigma ||t_row||^2``) instead of from a materialized
+    ``T @ T^t``, and ``sqrt(sigma) S`` folds into T's rows before the
+    matmul — so the only O(m^2) traffic is one read of `matrix` and one
+    write of the result (the naive form costs two extra full passes plus
+    a materialized ``(m, m)`` ``T T^t``; measured ~10.7 ms of the 45 ms
+    (128, 900) fluctuation chunk before this fusion).
+
+    Returns ``(reg, scale, sigma)`` with ``scale`` shaped ``(..., m)``
+    and ``sigma`` shaped ``(..., 1, 1)``.
+    """
+    diag_m = jnp.diagonal(matrix, axis1=-2, axis2=-1)
+    if sigma is None:
+        sigma = jnp.mean(diag_m, axis=-1)[..., None, None]
+    else:
+        sigma = jnp.asarray(sigma, dtype=matrix.dtype)
+        sigma = sigma[..., None, None] if sigma.ndim else sigma[None, None]
+    tn2 = jnp.sum(t * t, axis=-1)
+    scale = jax.lax.rsqrt(diag_m + sigma[..., 0] * tn2)
+    ts = t * (scale * jnp.sqrt(sigma[..., 0]))[..., None]
+    reg = (matrix * scale[..., :, None] * scale[..., None, :]
+           + jnp.matmul(ts, jnp.swapaxes(ts, -1, -2),
+                        precision='highest'))
+    return reg, scale, sigma
+
+
 def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
                         inverse="cho_solve", interpret=None):
     """
@@ -141,21 +174,7 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
     """
     matrix = jnp.asarray(matrix)
     t = jnp.asarray(null_basis, dtype=matrix.dtype)
-    if sigma is None:
-        diag = jnp.diagonal(matrix, axis1=-2, axis2=-1)
-        sigma = jnp.mean(diag, axis=-1)[..., None, None]
-    else:
-        sigma = jnp.asarray(sigma, dtype=matrix.dtype)
-        if sigma.ndim:
-            sigma = sigma[..., None, None]
-
-    ttt = jnp.matmul(t, jnp.swapaxes(t, -1, -2), precision='highest')
-    reg = matrix + sigma * ttt
-    # Jacobi equilibration: factor D^-1/2 R D^-1/2 instead of R — keeps
-    # the float32 Cholesky stable for large, ill-conditioned networks
-    # (inv(R) = S inv(S R S) S with S = D^-1/2).
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
-    reg = reg * scale[..., :, None] * scale[..., None, :]
+    reg, scale, sigma = _regularize_equilibrated(matrix, t, sigma)
     m = matrix.shape[-1]
     if inverse == "blocked":
         if block_size is not None:
@@ -181,7 +200,8 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
         g = g * scale_p[..., None, :]
         inv = jnp.einsum("...ki,...kj->...ij", g, g,
                          precision='highest')[..., :m, :m]
-        return inv - ttt / sigma
+        return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
+                                precision='highest') / sigma
     elif inverse != "cho_solve":
         raise ValueError(f"unknown inverse engine {inverse!r}")
     chol = jnp.linalg.cholesky(reg)
@@ -209,7 +229,8 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
         )  # (m // B, m, B): block b holds inverse columns [bB, (b+1)B)
         inv = jnp.concatenate(list(blocks), axis=1)
     inv = inv * scale[..., :, None] * scale[..., None, :]
-    return inv - ttt / sigma
+    return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
+                            precision='highest') / sigma
 
 
 def covariance_plane_traces(matrix, null_basis, sigma=None,
@@ -255,18 +276,7 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
             f"got {m}")
     n = m // 3
     t = jnp.asarray(null_basis, dtype=matrix.dtype)
-    if sigma is None:
-        diag = jnp.diagonal(matrix, axis1=-2, axis2=-1)
-        sigma = jnp.mean(diag, axis=-1)[..., None, None]
-    else:
-        sigma = jnp.asarray(sigma, dtype=matrix.dtype)
-        if sigma.ndim:
-            sigma = sigma[..., None, None]
-    ttt = jnp.matmul(t, jnp.swapaxes(t, -1, -2), precision='highest')
-    reg = matrix + sigma * ttt
-    # Jacobi equilibration, as in covariance_cholesky
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
-    reg = reg * scale[..., :, None] * scale[..., None, :]
+    reg, scale, sigma = _regularize_equilibrated(matrix, t, sigma)
 
     # W with pinv(reg_unscaled) = W^T W: fold the equilibration
     # un-scaling into W's columns (S G^T G S = (G S)^T (G S)).
@@ -346,10 +356,11 @@ def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,
 
 
 def _regularize_impl(mat, t, sigma):
-    reg = mat + sigma * jnp.matmul(t, t.T, precision="highest")
-    # Jacobi equilibration (see covariance_cholesky)
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
-    return reg * scale[:, None] * scale[None, :], scale
+    # Jacobi equilibration (see _regularize_equilibrated: analytic
+    # diagonal + scale folded into T's rows — one read/one write of the
+    # O(m^2) buffer instead of three passes plus a dense T T^t)
+    reg, scale, _ = _regularize_equilibrated(mat, t, sigma)
+    return reg, scale
 
 
 def _make_staged_jits():

@@ -16,12 +16,27 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax  # noqa: E402
 
 # The environment may pin JAX_PLATFORMS to a TPU plugin before this
 # process starts; the config update reliably forces CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache (works for the CPU backend too): the
+# suite's dominant fixed cost after the eigh memo is XLA recompiling
+# the same large programs every run (Pallas interpret lowerings,
+# sharded pipelines).  Entries are machine-local (native CodeGen) —
+# the directory is gitignored and rebuilt per machine; only programs
+# costing >2 s to compile are stored.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                 ".jax_cpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from os.path import dirname, join, realpath  # noqa: E402
 

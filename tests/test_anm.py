@@ -40,8 +40,21 @@ def test_covariance_pseudoinverse(struc_name, anm13_1l2y, anm13_7cal):
     hessian = anm.hessian
     covariance = anm.covariance
 
-    assert np.allclose(hessian, hessian @ covariance @ hessian)
-    assert np.allclose(covariance, covariance @ hessian @ covariance)
+    if struc_name == "1l2y":
+        assert np.allclose(hessian, hessian @ covariance @ hessian)
+        assert np.allclose(covariance, covariance @ hessian @ covariance)
+    else:
+        # Moore-Penrose identities H = H C H and C = C H C checked on
+        # random probe blocks: (H C H - H) X == 0 for a full-rank
+        # 16-column probe X is equivalent up to probe rank, and avoids
+        # two O(n^3) dense matmul chains (~2 min single-core at 5328
+        # dims) that dwarf every other cost of the suite.
+        rng = np.random.RandomState(0)
+        x = rng.randn(hessian.shape[0], 16)
+        hx = hessian @ x
+        assert np.allclose(hessian @ (covariance @ hx), hx)
+        cx = covariance @ x
+        assert np.allclose(covariance @ (hessian @ cx), cx)
 
 
 def test_mass_weighting_invariants(ca_1l2y):

@@ -43,6 +43,25 @@ def test_panel_cholesky_matches_numpy(pb):
     assert np.all(w[:, iu[0], iu[1]] == 0)
 
 
+@pytest.mark.parametrize("pb", [16, 64])
+def test_panel_inverse_augmented_matches_numpy(pb):
+    d = _random_spd(5, pb, seed=4)
+    w = np.asarray(pallas_linalg.panel_inverse_batched(jnp.asarray(d)))
+    ref = np.linalg.cholesky(d.astype(np.float64))
+    assert np.allclose(w @ ref, np.eye(pb)[None], atol=2e-5)
+    iu = np.triu_indices(pb, k=1)
+    assert np.all(w[:, iu[0], iu[1]] == 0)
+
+
+def test_panel_inverse_batch_padding():
+    d = _random_spd(3, 16, seed=5)
+    w = np.asarray(pallas_linalg.panel_inverse_batched(
+        jnp.asarray(d), batch_chunk=8))
+    ref = np.linalg.inv(np.linalg.cholesky(d.astype(np.float64)))
+    assert w.shape == (3, 16, 16)
+    assert np.allclose(w, ref, atol=2e-5)
+
+
 def test_panel_cholesky_batch_padding():
     # batch not a multiple of the chunk: padded entries must not
     # contaminate real results

@@ -1,16 +1,17 @@
 """
 Stage profile of the headline fluctuation pipeline at (B, N) —
-differenced cumulative device programs, relay-floor aware.
+loop-chained device programs, relay-floor aware.
 
 The headline metric (bench.py) runs
 ``ensemble_anm_fluctuations(inverse='blocked', with_covariance=False)``
-— assembly -> rigid bases + regularize/equilibrate -> recursive
+— assembly -> rigid bases + fused regularize/equilibrate -> recursive
 aligned inverse factor -> scale + plane-trace Gram -> observables.
-Each cumulative prefix is timed as ONE jitted program returning a
-scalar checksum (the relay's ~28 ms per-call floor cancels in the
-differences; the batch is large enough that stages dwarf it).
+Each stage prefix is timed as ONE jitted program that loops the prefix
+``CHAIN`` times with a data dependency between iterations, so the
+relay's ~28 ms per-call floor amortizes to ~floor/CHAIN and the
+per-iteration cost comes out clean.
 
-Usage:  python tools/profile_headline.py [B] [N] [reps]
+Usage:  python tools/profile_headline.py [B] [N] [reps] [chain]
 """
 
 import functools
@@ -37,6 +38,7 @@ from springcraft_tpu.parallel import pipeline
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 300
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+CHAIN = int(sys.argv[4]) if len(sys.argv) > 4 else 6
 
 _CA_DENSITY = 300 / 34.0**3
 
@@ -57,46 +59,25 @@ def s0_assembly(c):
                                                   dtype=jnp.float32)
 
 
-def _prep(c):
-    h = s0_assembly(c)
+def _bases(c):
     t = jax.vmap(lambda cc: rigid.rigid_modes_anm(cc, layout="xyz"))(c)
-    t = t.astype(jnp.float32)
-    sigma = jnp.mean(jnp.diagonal(h, axis1=-2, axis2=-1),
-                     axis=-1)[..., None, None]
-    ttt = jnp.matmul(t, jnp.swapaxes(t, -1, -2), precision="highest")
-    reg = h + sigma * ttt
-    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg, axis1=-2, axis2=-1))
-    reg = reg * scale[..., :, None] * scale[..., None, :]
-    return reg, scale
+    return t.astype(jnp.float32)
 
 
 def s1_prep(c):
-    return _prep(c)[0]
+    h = s0_assembly(c)
+    reg, scale, sigma = rigid._regularize_equilibrated(h, _bases(c), None)
+    return reg, scale
 
 
 def s2_factor(c):
-    reg, _ = _prep(c)
-    return pallas_linalg.spd_inverse_factor(reg)
-
-
-def _traces(c):
-    reg, scale = _prep(c)
-    g = pallas_linalg.spd_inverse_factor(reg)
-    m = 3 * N
-    mp = g.shape[-1]
-    if mp != m:
-        scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
-        scale_p = scale_p.at[..., :m].set(scale)
-    else:
-        scale_p = scale
-    w = (g * scale_p[..., None, :])[..., :, :m]
-    wc = w.reshape(w.shape[:-1] + (3, N))
-    return jnp.einsum("...kan,...kam->...nm", wc, wc,
-                      precision="highest")
+    reg, scale = s1_prep(c)
+    return pallas_linalg.spd_inverse_factor(reg), scale
 
 
 def s3_traces(c):
-    return _traces(c)
+    h = s0_assembly(c)
+    return rigid.covariance_plane_traces(h, _bases(c), inverse="blocked")
 
 
 def s4_full(c):
@@ -105,20 +86,20 @@ def s4_full(c):
         with_covariance=False)
 
 
-def s_leaves(c):
-    # the 16 leaf panels per matrix, as one batched call on synthetic
-    # SPD panels derived from the coords (cost model of the kernel)
-    rng_mat = jnp.einsum("bni,bmi->bnm", c, c) + 64.0 * jnp.eye(
-        N, dtype=jnp.float32)
-    panels = jnp.stack([rng_mat[:, :64, :64] + i for i in range(16)],
-                       axis=1).reshape(B * 16, 64, 64)
-    l, w = pallas_linalg.panel_cholesky_batched(panels)
-    return w
-
-
 def timed(name, fn, batches):
-    prog = jax.jit(lambda c: jax.tree_util.tree_reduce(
-        lambda a, b: a + jnp.sum(b), fn(c), jnp.float32(0.0)))
+    """Loop-chained timing: CHAIN dependent iterations inside one
+    program; the checksum of iteration k perturbs iteration k+1's
+    coordinates so XLA cannot parallelize or CSE the chain."""
+    def chained(c):
+        acc = jnp.float32(0.0)
+        for _ in range(CHAIN):
+            out = fn(c)
+            acc = jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b), out, acc)
+            c = c + (acc * jnp.float32(1e-30))[..., None, None, None]
+        return acc
+
+    prog = jax.jit(chained)
     t0 = time.perf_counter()
     float(prog(batches[0]))
     compile_s = time.perf_counter() - t0
@@ -127,14 +108,15 @@ def timed(name, fn, batches):
         t0 = time.perf_counter()
         float(prog(c))
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    print(f"{name:12s}: {best * 1e3:8.2f} ms/call (compile "
-          f"{compile_s:.1f}s, {B / best:8.0f} solves/s)", flush=True)
+    best = min(times) / CHAIN
+    print(f"{name:12s}: {best * 1e3:8.2f} ms/iter (compile "
+          f"{compile_s:5.1f}s, {B / best:8.0f} solves/s)", flush=True)
     return best
 
 
 def main():
-    print(f"backend={jax.default_backend()} B={B} N={N} m={3 * N}")
+    print(f"backend={jax.default_backend()} B={B} N={N} m={3 * N} "
+          f"chain={CHAIN}")
     batches = [make_batch(seed) for seed in range(REPS + 1)]
     stages = [
         ("assembly", s0_assembly),
@@ -142,19 +124,17 @@ def main():
         ("factor", s2_factor),
         ("traces", s3_traces),
         ("full", s4_full),
-        ("leaves16", s_leaves),
     ]
     results = {}
     for name, fn in stages:
         results[name] = timed(name, fn, batches)
-    print("\ndifferenced stages (ms/call):")
+    print("\ndifferenced stages (ms/iter):")
     chain = ["assembly", "prep", "factor", "traces", "full"]
     prev = 0.0
     for name in chain:
         cur = results[name] * 1e3
         print(f"  {name:12s}: +{cur - prev:8.2f}  (cum {cur:8.2f})")
         prev = cur
-    print(f"  leaves16 alone: {results['leaves16'] * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
