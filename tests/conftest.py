@@ -12,9 +12,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU *compile* bound (hundreds of distinct solver
+# programs; execution is small-n).  Backend optimization level 0 +
+# skipping expensive LLVM passes roughly halves cold-compile time and
+# does not change semantics (fast-math stays off; LAPACK custom calls
+# are unaffected) — execution slowdown is noise at test sizes.
+if "xla_backend_optimization_level" not in _flags:
+    _flags += (" --xla_backend_optimization_level=0"
+               " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = _flags
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
