@@ -557,6 +557,22 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
         f"eigenvalue rtol vs refined {raw_vs_ref:.1e}; refined true "
         f"f64 residuals max {float(np.max(ref_res[:k_modes])):.1e}")
 
+    # Matrix-free effector/sensor profiles (reference nma.py:527-569
+    # at a scale the reference cannot reach): 42 sites -> 126 RHS
+    # columns in ONE batched deflated-CG call (lane padding to 128 is
+    # free); the sensor normalizer (folded-PRS diagonal) comes from
+    # the Chebyshev mode set already in hand.
+    sites = np.linspace(0, n_atoms - 1, 42).astype(np.int64)
+    prs_diag = matfree.prs_diag_from_modes(vals, np.asarray(vecs),
+                                           layout="xyz")
+    t0 = time.perf_counter()
+    eff, sens, es_it, es_res = matfree.effector_sensor_matfree(
+        coord, params, sites, prs_diag=prs_diag)
+    es_s = time.perf_counter() - t0
+    log(f"tpu matrix-free effector/sensor (n={n_atoms}, 42 sites, "
+        f"126-column batched CG): {es_s:.1f}s, {es_it} iterations, "
+        f"max CG rel residual {float(np.max(np.asarray(es_res))):.1e}")
+
 
 def bench_matfree_xl_tpu():
     """The far end of the matrix-free regime on ONE chip: 100k-atom ANM
