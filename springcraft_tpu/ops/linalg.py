@@ -63,9 +63,13 @@ def pinvh(matrix, rcond=1e-6):
     abs_vals = xp.abs(vals)
     cutoff = rcond * xp.max(abs_vals, axis=-1, keepdims=True)
     inv_vals = xp.where(abs_vals > cutoff, 1.0 / vals, xp.zeros_like(vals))
-    kwargs = {} if xp is np else {"precision": "highest"}
-    return xp.einsum("...ik,...k,...jk->...ij", vecs, inv_vals, vecs,
-                     **kwargs)
+    if xp is np:
+        # (V * s) @ V^T dispatches to BLAS gemm; np.einsum's default
+        # (non-`optimize`) path does not and is several-fold slower at
+        # parity sizes (5328 dims: the reconstruct alone is ~300 GFLOP)
+        return (vecs * inv_vals[..., None, :]) @ _swap_last2(vecs)
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, inv_vals, vecs,
+                      precision="highest")
 
 
 def _swap_last2(a):

@@ -1231,7 +1231,7 @@ def _chebfsi_outer(matvec, t, x, a, b, *, degree, k):
 
 
 def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
-             seed, dtype, tol=None):
+             seed, dtype, tol=None, checkpoint=None, retries=0):
     if n_outer < 1:
         raise ValueError(f"n_outer must be >= 1, got {n_outer}")
     p = k + oversample
@@ -1239,11 +1239,38 @@ def _chebfsi(matvec, t, m, lam_max, *, k, oversample, degree, n_outer,
     x = _chebfsi_init(t, m, p=p, seed=seed, dtype=dtype)
     a = b / 10.0
     theta = None
-    for _ in range(n_outer):
-        x, a, theta, res = _chebfsi_outer(matvec, t, x, a, b,
-                                          degree=degree, k=k)
-        if tol is not None and float(jnp.max(res)) < tol:
-            break
+    if checkpoint is None and not retries:
+        for _ in range(n_outer):
+            x, a, theta, res = _chebfsi_outer(matvec, t, x, a, b,
+                                              degree=degree, k=k)
+            if tol is not None and float(jnp.max(res)) < tol:
+                break
+        return theta[:k], x[:, :k].T, res
+
+    # Elastic path (utils.elastic): each outer iteration is one device
+    # program, so it is the natural retry/snapshot boundary.  Resume
+    # assumes the same (coord, params, k, seed, ...) call — the
+    # snapshot holds only the loop carry, not the operator.
+    from ..utils import elastic
+
+    def step(_, st):
+        xi = jnp.asarray(st["x"], dtype)
+        ai = jnp.asarray(st["a"], dtype)
+        xi, ai, th, rs = _chebfsi_outer(matvec, t, xi, ai, b,
+                                        degree=degree, k=k)
+        return {"x": xi, "a": ai, "theta": th, "res": rs}
+
+    def stop(st):
+        return tol is not None and float(np.max(np.asarray(st["res"]))) < tol
+
+    state = {"x": x, "a": a, "theta": np.zeros((k,), np.float32),
+             "res": np.full((k,), np.inf, np.float32)}
+    state, _ = elastic.resumable_loop(step, state, n_outer,
+                                      checkpoint=checkpoint, stop=stop,
+                                      retries=retries)
+    theta = jnp.asarray(state["theta"], dtype)
+    x = jnp.asarray(state["x"], dtype)
+    res = jnp.asarray(state["res"], dtype)
     return theta[:k], x[:, :k].T, res
 
 
@@ -1295,7 +1322,8 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
                          block=512, use_pallas=None, sparse=None,
                          dtype=jnp.float32, lambda_max=None, seed=0,
                          matvec=None, tol=None,
-                         matvec_precision="highest"):
+                         matvec_precision="highest",
+                         checkpoint=None, retries=0):
     """
     The `k` lowest non-trivial ANM modes **without materializing the
     Hessian** — Chebyshev-filtered subspace iteration over the
@@ -1351,6 +1379,14 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
         exact 6-pass setting is supported in-kernel (Mosaic cannot
         lower ``lax.Precision.HIGH``, and one bf16 pass is measured
         unusable for mode extraction).
+    checkpoint : str or utils.elastic.LoopCheckpoint, optional
+        Snapshot the outer-iteration state to this ``.npz`` path and
+        resume from an existing snapshot — elastic recovery for
+        hour-scale solves on a failable remote device (the snapshot
+        assumes an identical call; see :mod:`springcraft_tpu.utils.elastic`).
+    retries : int
+        In-process retries per outer iteration on *device* failures
+        (transient relay faults); 0 disables the elastic wrapper.
 
     Returns
     -------
@@ -1424,7 +1460,8 @@ def lowest_modes_matfree(coord, params, k, *, masses=None, oversample=None,
 
     vals, vecs, res = _chebfsi(
         matvec, t, m, lam_max, k=k, oversample=q, degree=degree,
-        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol)
+        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol,
+        checkpoint=checkpoint, retries=retries)
     if perm is not None:
         # Back to the original atom order: sorted slot i is atom perm[i]
         inv = np.argsort(perm)
@@ -1438,7 +1475,7 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
                              tile=256, block=512, use_pallas=None,
                              sparse=None, dtype=jnp.float32,
                              lambda_max=None, seed=0, matvec=None,
-                             tol=None):
+                             tol=None, checkpoint=None, retries=0):
     """
     The `k` lowest non-trivial GNM modes without materializing the
     Kirchhoff matrix — the GNM counterpart of
@@ -1508,7 +1545,8 @@ def lowest_modes_matfree_gnm(coord, params, k, *, masses=None,
 
     vals, vecs, res = _chebfsi(
         matvec_fn, t, n, lam_max, k=k, oversample=q, degree=degree,
-        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol)
+        n_outer=n_outer, seed=seed, dtype=dtype, tol=tol,
+        checkpoint=checkpoint, retries=retries)
     if perm is not None:
         vecs = vecs[:, np.argsort(perm)]
     return vals, vecs, res

@@ -1,7 +1,8 @@
 """Configuration, profiling and small shared utilities."""
 
-from . import profiling
+from . import elastic, profiling
 from .config import default_dtype, enable_x64, resolve_backend, x64_enabled
+from .elastic import LoopCheckpoint, resumable_loop, retry_on_failure
 from .profiling import Timer, synchronize, timed
 
 __all__ = [
@@ -9,6 +10,10 @@ __all__ = [
     "x64_enabled",
     "resolve_backend",
     "default_dtype",
+    "elastic",
+    "LoopCheckpoint",
+    "resumable_loop",
+    "retry_on_failure",
     "profiling",
     "Timer",
     "synchronize",
