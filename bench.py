@@ -593,7 +593,7 @@ def bench_matfree_xl_tpu():
     k = 10
     t0 = time.perf_counter()
     vals, vecs, res = matfree.lowest_modes_matfree(
-        coord, params, k + 4, degree=96, n_outer=8, tol=5e-4)
+        coord, params, k + 4, degree=96, n_outer=8, tol=5e-4, retries=1)
     float(jnp.sum(vals))
     solve_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -617,7 +617,7 @@ def bench_matfree_xl_tpu():
     k = 6
     t0 = time.perf_counter()
     vals, vecs, res = matfree.lowest_modes_matfree_gnm(
-        coord, params, k + 4, degree=96, n_outer=6, tol=5e-4)
+        coord, params, k + 4, degree=96, n_outer=6, tol=5e-4, retries=1)
     float(jnp.sum(vals))
     solve_s = time.perf_counter() - t0
     t0 = time.perf_counter()

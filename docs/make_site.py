@@ -37,6 +37,7 @@ DOC_PAGES = [
     ("index", join(ROOT, "README.md"), "Overview"),
     ("architecture", join(ROOT, "docs", "architecture.md"), "Architecture"),
     ("api_guide", join(ROOT, "docs", "api.md"), "API guide"),
+    ("migration", join(ROOT, "docs", "migration.md"), "Migration"),
     ("parity", join(ROOT, "docs", "parity.md"), "Reference parity"),
     ("performance", join(ROOT, "docs", "performance.md"), "Performance"),
     ("gallery", join(ROOT, "docs", "gallery.md"), "Gallery"),

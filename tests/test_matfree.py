@@ -176,7 +176,7 @@ def test_lowest_modes_matfree_sparse_path():
 
     vals, vecs, res = matfree.lowest_modes_matfree(
         coord, params, 4, degree=40, n_outer=12, tile=16,
-        use_pallas=True, sparse=True, dtype=jnp.float64)
+        use_pallas=True, sparse=True, dtype=jnp.float64, tol=5e-7)
     assert np.max(np.asarray(res)) < 1e-6
     assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
     # modes come back in the ORIGINAL atom order
@@ -226,7 +226,7 @@ def test_lowest_modes_matfree_gnm(sparse):
     assert ref_vals[0] < 1e-8 < ref_vals[1]  # connected: one null mode
 
     vals, vecs, res = matfree.lowest_modes_matfree_gnm(
-        coord, params, 4, degree=40, n_outer=12, tile=16, block=64,
+        coord, params, 4, degree=40, n_outer=12, tol=5e-7, tile=16, block=64,
         use_pallas=sparse, sparse=sparse, dtype=jnp.float64)
     assert np.max(np.asarray(res)) < 1e-6
     assert np.allclose(np.asarray(vals), ref_vals[1:5], rtol=1e-6)
@@ -236,7 +236,7 @@ def test_gnm_model_lowest_modes(ca_1l2y):
     gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0), masses=True)
     ref_vals, ref_vecs = gnm.eigen()
     for matrix_free in (False, True):
-        options = (dict(degree=40, n_outer=12, dtype=jnp.float64)
+        options = (dict(degree=40, n_outer=12, tol=5e-6, dtype=jnp.float64)
                    if matrix_free else dict(dtype=jnp.float64))
         vals, vecs, res = gnm.lowest_modes(3, matrix_free=matrix_free,
                                            **options)
@@ -288,7 +288,7 @@ def test_lowest_modes_matfree_matches_dense():
 
     k = 5
     vals, vecs, res = matfree.lowest_modes_matfree(
-        coord, params, k, degree=40, n_outer=12, block=64,
+        coord, params, k, degree=40, n_outer=12, tol=5e-7, block=64,
         use_pallas=False, dtype=jnp.float64)
     vals = np.asarray(vals)
     assert np.max(np.asarray(res)) < 1e-6
@@ -313,7 +313,7 @@ def test_lowest_modes_matfree_mass_weighted():
     ref_vals = np.linalg.eigvalsh(wh)
 
     vals, vecs, res = matfree.lowest_modes_matfree(
-        coord, params, 4, masses=masses, degree=40, n_outer=12,
+        coord, params, 4, masses=masses, degree=40, n_outer=12, tol=5e-7,
         block=64, use_pallas=False, dtype=jnp.float64)
     assert np.max(np.asarray(res)) < 1e-6
     assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
@@ -359,7 +359,7 @@ def test_sharded_lowest_modes_matfree(two_chain_ca):
     ref_vals = np.linalg.eigvalsh(dense)
 
     vals, vecs, res = sharded_lowest_modes_matfree(
-        coord, params, mesh, 4, degree=40, n_outer=12, block=12,
+        coord, params, mesh, 4, degree=40, n_outer=12, tol=5e-7, block=12,
         dtype=jnp.float64)
     assert np.max(np.asarray(res)) < 1e-6
     assert np.allclose(np.asarray(vals), ref_vals[6:10], rtol=1e-6)
@@ -371,7 +371,7 @@ def test_anm_lowest_modes_matches_eigen(ca_1l2y, matrix_free, masses):
     anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0), masses=masses)
     ref_vals, ref_vecs = anm.eigen()
     k = 3
-    options = (dict(degree=40, n_outer=12, dtype=jnp.float64)
+    options = (dict(degree=40, n_outer=12, tol=5e-6, dtype=jnp.float64)
                if matrix_free else dict(dtype=jnp.float64))
     vals, vecs, res = anm.lowest_modes(k, matrix_free=matrix_free,
                                        **options)
