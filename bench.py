@@ -51,12 +51,20 @@ import numpy as np
 
 # Persistent compilation cache: the remote TPU compiles take minutes;
 # caching amortizes them across bench runs.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.realpath(__file__)),
-                 ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                          ".jax_cache")
+
+
+def _enable_compile_cache():
+    """Explicit config update, NOT the env var: the axon sitecustomize
+    pre-imports ``jax._src.config`` at interpreter startup, so
+    ``JAX_COMPILATION_CACHE_DIR`` set here is read too late and the
+    persistent cache silently never engages (measured: the 30k-dim
+    modes program recompiled 297->304 s across back-to-back runs)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 N_RES = 300
 #: Conformers per device program.  Every jitted call pays a ~28 ms
@@ -408,6 +416,12 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
         return msf, dcc
     msf32, dcc32 = _mode_observables(raw_vals, raw_vecs)
     msf64, dcc64 = _mode_observables(ref_vals, ref_vecs)
+    # Free the 30k-dim device buffers before the proof/golden parts —
+    # donation is not honored on the relay backend, so pinv_diagonal
+    # below peaks at ~3 m^2 of its own; with the 3.6 GB Hessian (and
+    # the mode block) still alive the r4 run tripped RESOURCE_EXHAUSTED
+    # here and wedged the process.
+    del hessian, out, raw_vals, raw_vecs
     msf_err = float(np.sqrt(np.mean((msf32 - msf64) ** 2)
                             / np.mean(msf64 ** 2)))
     dcc_err = float(np.max(np.abs(dcc32 - dcc64)))
@@ -1022,32 +1036,94 @@ def bench_cpu_baselines():
     return fluct_rate, spectral_rate
 
 
+#: Secondary sections, each run in its OWN subprocess: a hard relay
+#: fault (e.g. RESOURCE_EXHAUSTED) wedges the whole client process
+#: (see CLAUDE.md / utils/elastic.py), so in-process section isolation
+#: cannot stop one failure from cascading into every later section —
+#: the r4 run lost four sections plus smoke to one OOM this way.
+#: Compile caches live on the relay side + JAX_COMPILATION_CACHE_DIR,
+#: so child processes stay warm.
+_SECTIONS = ("tabulated", "mega-assembly", "matrix-free",
+             "matrix-free-xl", "single-structure")
+#: Generous: a cold-cache mega section measured ~45 min when the
+#: remote compiler was slow; warm (persistent-cache) runs take minutes.
+_SECTION_TIMEOUT_S = int(os.environ.get("BENCH_SECTION_TIMEOUT_S",
+                                        "3600"))
+
+
+def _run_section(name, banded_single=False):
+    if name == "tabulated":
+        bench_tabulated_tpu()
+    elif name == "mega-assembly":
+        bench_mega_tpu()
+    elif name == "matrix-free":
+        bench_matfree_tpu()
+    elif name == "matrix-free-xl":
+        bench_matfree_xl_tpu()
+    elif name == "single-structure":
+        bench_single_structure(banded=banded_single)
+    else:
+        raise ValueError(f"unknown bench section: {name}")
+
+
+def _run_section_subprocess(name, extra_args):
+    import subprocess
+
+    cmd = [sys.executable, os.path.realpath(__file__),
+           "--section", name] + extra_args
+    try:
+        proc = subprocess.run(cmd, timeout=_SECTION_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        log(f"tpu {name} bench failed: timeout after "
+            f"{_SECTION_TIMEOUT_S}s")
+        return False
+    if proc.returncode != 0:
+        log(f"tpu {name} bench failed: subprocess exit "
+            f"{proc.returncode}")
+        return False
+    return True
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    _enable_compile_cache()
     if "--smoke" in argv:
         sys.exit(1 if run_smoke() else 0)
-
-    tpu_fluct, tpu_spectral = bench_tpu()
-    single = functools.partial(bench_single_structure,
-                               banded="--banded-single" in argv)
-    sections = [("tabulated", bench_tabulated_tpu),
-                ("mega-assembly", bench_mega_tpu),
-                ("matrix-free", bench_matfree_tpu),
-                ("matrix-free-xl", bench_matfree_xl_tpu),
-                ("single-structure", single)]
-    if "--no-xl" in argv:
-        sections = [s for s in sections if s[0] != "matrix-free-xl"]
-    for name, fn in sections:
+    if "--section" in argv:
+        name = argv[argv.index("--section") + 1]
         try:
-            fn()
-        except Exception as exc:  # secondary metrics must not kill the run
+            _run_section(name, banded_single="--banded-single" in argv)
+        except Exception as exc:
             log(f"tpu {name} bench failed: {type(exc).__name__}: {exc}")
+            sys.exit(1)
+        sys.exit(0)
+
+    try:
+        tpu_fluct, tpu_spectral = bench_tpu()
+    except Exception as exc:
+        # One retry: transient relay faults are the dominant failure
+        # mode (utils/elastic.py) and the headline JSON line must not
+        # be lost to one.
+        log(f"tpu headline bench failed ({type(exc).__name__}: {exc}); "
+            f"retrying in 30s")
+        time.sleep(30.0)
+        tpu_fluct, tpu_spectral = bench_tpu()
+    extra = [a for a in argv if a == "--banded-single"]
+    for name in _SECTIONS:
+        if name == "matrix-free-xl" and "--no-xl" in argv:
+            continue
+        _run_section_subprocess(name, extra)
     # Compiled-Mosaic regression checks captured in every bench run
     # (VERDICT r2 #4): Pallas==XLA parity + the bf16-hazard MSF check.
+    # Also subprocess-isolated: smoke must report even if a section
+    # wedged its own process.
+    import subprocess
     try:
-        smoke_failures = run_smoke()
-        if smoke_failures:
-            log(f"tpu bench: SMOKE FAILURES: {smoke_failures}")
+        proc = subprocess.run(
+            [sys.executable, os.path.realpath(__file__), "--smoke"],
+            timeout=_SECTION_TIMEOUT_S)
+        if proc.returncode != 0:
+            log(f"tpu bench: SMOKE FAILURES (exit {proc.returncode})")
     except Exception as exc:
         log(f"tpu smoke failed to run: {type(exc).__name__}: {exc}")
     cpu_fluct, cpu_spectral = bench_cpu_baselines()

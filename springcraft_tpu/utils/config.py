@@ -22,7 +22,25 @@ __all__ = [
     "resolve_backend",
     "default_dtype",
     "enable_nan_checks",
+    "enable_compile_cache",
 ]
+
+
+def enable_compile_cache(path, min_compile_time_secs=5.0):
+    """
+    Enable JAX's persistent compilation cache at `path`.
+
+    Remote TPU compiles take minutes for the big programs (the 30k-dim
+    shift-invert modes program measures ~5 min); the persistent cache
+    amortizes them across processes.  Must be the explicit
+    ``jax.config.update`` form: environments that pre-import
+    ``jax._src.config`` from ``sitecustomize`` (the axon TPU relay
+    does) read ``JAX_COMPILATION_CACHE_DIR`` before user code runs, so
+    setting the env var has no effect there.
+    """
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
 
 
 def enable_x64(enabled=True):

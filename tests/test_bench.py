@@ -35,6 +35,43 @@ def test_bench_surface(bench):
         assert callable(getattr(bench, name)), name
 
 
+def test_section_dispatch_names(bench):
+    """Every advertised section dispatches; unknown names raise.  The
+    driver-facing contract: sections run in their own subprocess so a
+    hard relay fault cannot cascade (the r4 run lost four sections
+    plus smoke to one RESOURCE_EXHAUSTED this way)."""
+    assert set(bench._SECTIONS) == {
+        "tabulated", "mega-assembly", "matrix-free", "matrix-free-xl",
+        "single-structure"}
+    with pytest.raises(ValueError, match="unknown bench section"):
+        bench._run_section("no-such-section")
+
+
+def test_enable_compile_cache_is_explicit_config(bench, tmp_path):
+    """The cache must engage via jax.config.update: the axon
+    sitecustomize pre-imports jax config, so env vars are read too
+    late on the TPU image (the 30k modes program recompiled 297->304 s
+    across runs before this fix)."""
+    import jax
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        from springcraft_tpu.utils.config import enable_compile_cache
+
+        enable_compile_cache(tmp_path / "cc", min_compile_time_secs=7)
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / "cc")
+        assert jax.config.jax_persistent_cache_min_compile_time_secs \
+            == 7.0
+        bench._enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == bench._CACHE_DIR
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+
+
 def test_cpu_baseline_hessian_matches_library(bench):
     """bench._cpu_hessian == the library's reference-parity assembly."""
     from springcraft_tpu import InvariantForceField

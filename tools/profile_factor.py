@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 import jax
 import jax.numpy as jnp
+
+# Explicit config update: the axon sitecustomize pre-imports jax
+# config, so the env var above is read too late on this image.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np
 
 from springcraft_tpu.ops import pallas_linalg
