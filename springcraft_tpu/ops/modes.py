@@ -33,6 +33,7 @@ __all__ = [
     "lowest_modes",
     "lowest_modes_anm",
     "lowest_modes_shift_invert",
+    "lowest_modes_shift_invert_staged",
     "shift_invert_from_chol",
     "modes_from_covariance",
     "mode_residuals",
@@ -123,11 +124,8 @@ def _lobpcg_smallest(matrix, t, *, k, n_iter, seed):
     return vals[order], vecs[:, order].T
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "n_iter", "oversample", "seed",
-                                    "engine"))
 def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
-                              seed=0, engine="auto"):
+                              seed=0, engine="auto", **staged_options):
     """
     The `k` smallest non-null eigenpairs by Cholesky shift-invert
     subspace iteration.
@@ -158,7 +156,7 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
         Inverse-iteration steps (each = one preconditioned solve + QR).
     oversample : int, optional
         Extra subspace vectors (default ``max(k, 8)``).
-    engine : {"auto", "chol", "invfactor"}
+    engine : {"auto", "chol", "invfactor", "staged"}
         Preconditioner engine.  ``"chol"`` factors with XLA Cholesky
         and runs two sequential triangular solves per iteration
         (HBM-bound substitution).  ``"invfactor"`` builds the explicit
@@ -169,13 +167,40 @@ def lowest_modes_shift_invert(matrix, t, *, k, n_iter=24, oversample=None,
         mega scale (1.82 vs 1.00 s at dim 30,720 — the O(m^3) inverse
         construction overtakes the per-iteration solve savings).
         ``"auto"`` picks ``"invfactor"`` on TPU float32 for
-        ``m <= 8192``, ``"chol"`` otherwise.
+        ``m <= 8192``, ``"chol"`` otherwise.  ``"staged"`` runs the
+        ``"chol"`` math as three SMALL device programs (factor /
+        iterate / finish) with a host loop — see
+        :func:`lowest_modes_shift_invert_staged` (extra keyword
+        options such as ``checkpoint=`` / ``retries=`` pass through).
 
     Returns
     -------
     eig_values : ndarray, shape=(k,), ascending
     eig_vectors : ndarray, shape=(k, m), modes in rows
     """
+    if engine == "staged":
+        return lowest_modes_shift_invert_staged(
+            matrix, t, k=k, n_iter=n_iter, oversample=oversample,
+            seed=seed, **staged_options)
+    if staged_options:
+        raise TypeError(
+            f"options {sorted(staged_options)} are only valid with "
+            f"engine='staged'")
+    return _lowest_modes_shift_invert_fused(
+        matrix, t, k=k, n_iter=n_iter, oversample=oversample, seed=seed,
+        engine=engine)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_iter", "oversample", "seed",
+                                    "engine"))
+def _lowest_modes_shift_invert_fused(matrix, t, *, k, n_iter, oversample,
+                                     seed, engine):
+    """One fused device program (see the public dispatcher's docstring
+    for the math).  At mega-assembly sizes its remote compile is the
+    dominant first-call cost (~300 s at 30k dims, and the persistent
+    cache only amortizes it per machine) — ``engine="staged"`` trades
+    ~n_iter relay floors for small per-stage programs."""
     matrix = jnp.asarray(matrix)
     t = jnp.asarray(t, dtype=matrix.dtype)
     m = matrix.shape[0]
@@ -263,6 +288,108 @@ def _shift_invert_iterate(matrix, inv_apply, t, *, k, n_iter, oversample,
     vals, w = jnp.linalg.eigh((s + s.T) / 2)
     vecs = jnp.matmul(x, w[:, :k], precision="highest")
     return vals[:k], vecs.T
+
+
+# ---------------------------------------------------------------------------
+# Staged shift-invert: small device programs + a resumable host loop
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _si_factor_program(matrix, t):
+    """Regularize + Jacobi-equilibrate + Cholesky (one program)."""
+    sigma = jnp.mean(jnp.diagonal(matrix))
+    reg = matrix + sigma * jnp.matmul(t, t.T, precision="highest")
+    scale = 1.0 / jnp.sqrt(jnp.diagonal(reg))
+    reg = reg * scale[:, None] * scale[None, :]
+    return jnp.linalg.cholesky(reg), scale
+
+
+@jax.jit
+def _si_step_program(chol, scale, t, x):
+    """One inverse-power step: solve, deflate, re-orthonormalize."""
+    import jax.scipy.linalg as jsl
+
+    y = jsl.cho_solve((chol, True), scale[:, None] * x)
+    y = scale[:, None] * y
+    y = y - jnp.matmul(t, jnp.matmul(t.T, y, precision="highest"),
+                       precision="highest")
+    q, _ = jnp.linalg.qr(y)
+    return q
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _si_finish_program(matrix, x, *, k):
+    """Rayleigh-Ritz on the original matrix."""
+    hx = jnp.matmul(matrix, x, precision="highest")
+    s = jnp.matmul(x.T, hx, precision="highest")
+    vals, w = jnp.linalg.eigh((s + s.T) / 2)
+    vecs = jnp.matmul(x, w[:, :k], precision="highest")
+    return vals[:k], vecs.T
+
+
+def lowest_modes_shift_invert_staged(matrix, t, *, k, n_iter=24,
+                                     oversample=None, seed=0,
+                                     checkpoint=None, retries=2,
+                                     wait=5.0):
+    """
+    :func:`lowest_modes_shift_invert` (``engine="chol"`` math) split
+    into three SMALL device programs — factor, per-iteration step,
+    Rayleigh-Ritz finish — driven by a host loop.
+
+    Trade-offs vs the fused single program at mega-assembly scale
+    (30k dims, v5e relay):
+
+    * compile: three small programs instead of one ~300 s monolith —
+      the dominant first-call cost on remote-compile backends, paid
+      once per machine even with the persistent cache;
+    * run: ~``n_iter`` extra per-call relay floors (~28 ms each on the
+      axon relay, ~0.7 s at the default 24 iterations);
+    * resilience: each iteration is an
+      :func:`utils.elastic.resumable_loop` unit — ``checkpoint=path``
+      snapshots the subspace so a killed process resumes mid-solve
+      (the same contract as ``matfree.lowest_modes_matfree``), and
+      transient relay faults retry per step instead of restarting the
+      whole solve.
+
+    Numerics: identical iteration to the fused ``engine="chol"`` path
+    up to the start-block QR (computed on host here); both converge to
+    the same eigenpairs and are residual-checked downstream.
+    """
+    import numpy as np
+
+    from ..utils import elastic
+
+    matrix = jnp.asarray(matrix)
+    t = jnp.asarray(t, matrix.dtype)
+    m = matrix.shape[0]
+    q = max(k, 8) if oversample is None else oversample
+    p = k + q
+
+    chol, scale = elastic.retry_on_failure(
+        _si_factor_program, matrix, t, retries=retries, wait=wait)
+
+    # Deterministic start block (same formula as the fused path), QR'd
+    # on host — cheap at (m, p) and keeps the step program the only
+    # per-iteration compile.
+    tn = np.asarray(t, np.float64)
+    key = np.arange(m * p, dtype=np.float64).reshape(m, p)
+    x0 = np.cos(key * 0.7 + seed) + 1e-3
+    x0 -= tn @ (tn.T @ x0)
+    x0, _ = np.linalg.qr(x0)
+    dtype = np.dtype(matrix.dtype)
+
+    def step(_, state):
+        # no-op for the device array carried between steps; device_put
+        # only on the first step and on checkpoint resume
+        x = jnp.asarray(state["x"])
+        return {"x": _si_step_program(chol, scale, t, x)}
+
+    state, _ = elastic.resumable_loop(
+        step, {"x": x0.astype(dtype)}, n_iter, checkpoint=checkpoint,
+        retries=retries, wait=wait)
+    return elastic.retry_on_failure(
+        functools.partial(_si_finish_program, k=k), matrix,
+        jnp.asarray(state["x"]), retries=retries, wait=wait)
 
 
 def modes_from_covariance(cov, matrix, t, *, k, n_iter=16,
@@ -595,7 +722,8 @@ def refine_modes_f64_gnm(coord, params, eig_vectors, *, masses=None,
 
 
 def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
-                     method="shift_invert", engine="auto"):
+                     method="shift_invert", engine="auto",
+                     **solver_options):
     """
     The `k` lowest non-trivial ANM modes of an xyz-layout Hessian, with
     the six rigid-body modes deflated analytically.
@@ -614,6 +742,9 @@ def lowest_modes_anm(hessian_xyz, coord, k, masses=None, n_iter=24,
             return _dense_lowest(matrix, k, basis)
         return lowest_modes_shift_invert(
             matrix, jnp.asarray(basis, matrix.dtype), k=k, n_iter=n_iter,
-            engine=engine
+            engine=engine, **solver_options
         )
+    if solver_options:
+        raise TypeError(f"options {sorted(solver_options)} are only "
+                        f"valid with method='shift_invert'")
     return lowest_modes(hessian_xyz, k, null_basis=basis, n_iter=n_iter)

@@ -326,6 +326,44 @@ def test_shift_invert_invfactor_engine_matches_dense():
     assert np.all(res < 5e-3)
 
 
+def test_shift_invert_staged_engine_matches_dense(tmp_path):
+    """engine='staged' (three small device programs + resumable host
+    loop — the low-compile-cost mega-scale route) must agree with the
+    dense truth, resume from a mid-solve snapshot, and clear it."""
+    from springcraft_tpu.ops import assembly, ffparams, modes, rigid
+    from springcraft_tpu.utils.elastic import LoopCheckpoint
+
+    rng = np.random.RandomState(5)
+    coord = jnp.asarray(rng.rand(120, 3) * 18)
+    h = assembly.hessian_matrix(coord, ffparams.invariant_params(9.0),
+                                jnp, dtype=jnp.float64, layout="xyz")
+    ckpt = tmp_path / "si_staged.npz"
+    vals, vecs = modes.lowest_modes_anm(h, coord, k=10, engine="staged",
+                                        checkpoint=str(ckpt))
+    truth = np.linalg.eigvalsh(np.asarray(h))[6:16]
+    assert np.allclose(np.asarray(vals), truth, rtol=1e-8)
+    res = np.asarray(modes.mode_residuals(h, vals, vecs))
+    assert np.all(res < 1e-5)
+    assert not ckpt.exists()  # completed solves clear their snapshot
+
+    # resume path: seed the snapshot with a half-way subspace and check
+    # the continued solve still lands on the truth
+    basis = jnp.asarray(rigid.rigid_modes_anm(coord, layout="xyz"),
+                        h.dtype)
+    half = modes.lowest_modes_shift_invert  # fused, for the subspace
+    _, half_vecs = half(h, basis, k=18, n_iter=12)
+    LoopCheckpoint(str(ckpt)).save(
+        12, {"x": np.asarray(half_vecs).T})
+    vals2, _ = modes.lowest_modes_shift_invert_staged(
+        h, basis, k=10, n_iter=24, checkpoint=str(ckpt))
+    assert np.allclose(np.asarray(vals2), truth, rtol=1e-8)
+
+    # stray staged-only options on other engines are a TypeError
+    with pytest.raises(TypeError, match="staged"):
+        modes.lowest_modes_shift_invert(h, basis, k=4,
+                                        checkpoint="x.npz")
+
+
 @pytest.mark.parametrize("kind", ["invariant", "hinsen"])
 def test_kirchhoff_rows_match_full(kind):
     from springcraft_tpu.ops import assembly, ffparams
