@@ -28,6 +28,11 @@ Secondary stderr metrics:
   opt-in via ``--banded-single``: measured 14x slower than XLA eigh
   at this size).
 
+Every secondary section runs in its OWN subprocess (``python bench.py
+--section NAME`` is the child entry) so a hard relay fault in one —
+RESOURCE_EXHAUSTED wedges the whole client process — cannot cascade
+into the remaining sections or the smoke checks.
+
 ``python bench.py --smoke`` runs the TPU regression checks instead:
 compiled-Mosaic Pallas kernels vs XLA parity at two sizes/families and
 the 7cal eANM f32-vs-f64 MSF check (guards the MXU bf16 hazard — see
