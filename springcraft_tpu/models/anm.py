@@ -162,22 +162,36 @@ class ANM(ElasticNetworkModel):
         return rows
 
     def prs_effector_sensor(self, norm=True, matrix_free=False,
-                            sites=None, prs_diag=None, **options):
+                            sites=None, prs_diag=None, modes=None,
+                            **options):
         """
         Perturbation-response-scanning matrix plus the derived effector
         (row-average) and sensor (column-average) profiles.
 
-        ``matrix_free=True`` computes the effector/sensor profile
-        *values at selected sites* without the covariance
-        (``ops.matfree.effector_sensor_matfree``): three deflated-CG
-        covariance columns per site, one batched solve.  With
-        ``norm=True`` (the reference's standard normalization) pass
-        `prs_diag` — the ``(n,)`` folded-PRS diagonal ``P_ii``, e.g.
-        the mode-sum from ``ops.matfree.prs_diag_from_modes`` over
-        :meth:`lowest_modes` output (the same pass-the-normalizer
-        contract as ``dcc(matrix_free=True, msf=...)``).  Returns
-        ``(None, effector[sites], sensor[sites])`` — the full
-        ``(n, n)`` PRS matrix requires the dense covariance.
+        ``matrix_free=True`` avoids the dense covariance two ways:
+
+        * ``sites=<atom indices>`` — *exact* profile values at selected
+          sites (``ops.matfree.effector_sensor_matfree``): three
+          deflated-CG covariance columns per site, one batched solve.
+          With ``norm=True`` (the reference's standard normalization)
+          pass `prs_diag` — the ``(n,)`` folded-PRS diagonal ``P_ii``,
+          e.g. the mode-sum from ``ops.matfree.prs_diag_from_modes``
+          over :meth:`lowest_modes` output (the same pass-the-
+          normalizer contract as ``dcc(matrix_free=True, msf=...)``).
+        * ``modes=k`` or ``modes=(values, vectors)`` — profiles over
+          **all** atoms by the O(n k^2) mode-sum contraction
+          (``ops.matfree.effector_sensor_from_modes``); an integer
+          solves the k lowest non-trivial modes first
+          (:meth:`lowest_modes(matrix_free=True) <lowest_modes>`,
+          extra `options` pass through).  The result is the exact
+          profile of the rank-k covariance (the standard
+          mode-truncated PRS): equal to the dense path with the
+          complete non-trivial set, ranking-faithful under truncation
+          but not pointwise-converged — see the op's docstring.
+
+        Either way the full ``(n, n)`` PRS matrix is never formed and
+        ``None`` is returned in its place:
+        ``(None, effector, sensor)``.
         """
         if not matrix_free:
             prs_mat = nma.prs(self, norm)
@@ -189,11 +203,22 @@ class ANM(ElasticNetworkModel):
         from ..ops import matfree
         from ..parallel.pipeline import _resolve_params
 
-        if sites is None:
+        if sites is None and modes is None:
             raise ValueError(
                 "prs_effector_sensor(matrix_free=True) needs "
-                "sites=<atom indices>: the full (n, n) PRS matrix "
-                "requires the dense covariance")
+                "sites=<atom indices> (exact profile values at "
+                "selected sites by batched CG) or modes=<k | (values, "
+                "vectors)> (mode-sum profiles over all atoms): the "
+                "full (n, n) PRS matrix requires the dense covariance")
+        if sites is None:
+            if isinstance(modes, (int, np.integer)):
+                vals, vecs, _ = self.lowest_modes(
+                    int(modes), matrix_free=True, **options)
+            else:
+                vals, vecs = modes
+            eff, sens = matfree.effector_sensor_from_modes(
+                vals, vecs, norm=norm, layout="atom")
+            return None, eff, sens
         self._require_force_field_matrix(
             "prs_effector_sensor(matrix_free=True)")
         params = _resolve_params(self._ff)

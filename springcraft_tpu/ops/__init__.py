@@ -18,6 +18,7 @@ from .matfree import (
     covariance_solve_matfree_gnm,
     dcc_rows_matfree,
     dcc_rows_matfree_gnm,
+    effector_sensor_from_modes,
     effector_sensor_matfree,
     kirchhoff_degree,
     hessian_apply,
@@ -54,6 +55,7 @@ __all__ = [
     "linear_response_matfree",
     "dcc_rows_matfree",
     "dcc_rows_matfree_gnm",
+    "effector_sensor_from_modes",
     "effector_sensor_matfree",
     "kirchhoff_degree",
     "prs_diag_from_modes",

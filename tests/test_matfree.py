@@ -871,6 +871,99 @@ def test_anm_prs_effector_sensor_matrix_free(ca_1l2y):
         anm.prs_effector_sensor(matrix_free=True)
 
 
+def test_effector_sensor_from_modes_matches_dense(ca_1l2y):
+    """With the complete non-trivial mode set the O(n k^2) mode-sum
+    effector/sensor profiles equal the dense covariance path exactly
+    (the spectral expansion is pinv); truncation converges."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, eff_raw, sens_raw = anm.prs_effector_sensor(norm=False)
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+
+    eff, sens = matfree.effector_sensor_from_modes(
+        vals[6:], vecs[6:], norm=True, layout="atom")
+    assert np.allclose(eff, np.asarray(eff_n), rtol=1e-8)
+    assert np.allclose(sens, np.asarray(sens_n), rtol=1e-8)
+
+    eff0, sens0 = matfree.effector_sensor_from_modes(
+        vals[6:], vecs[6:], norm=False, layout="atom")
+    assert np.allclose(eff0, np.asarray(eff_raw), rtol=1e-8)
+    # raw folded PRS is symmetric: both profiles coincide
+    assert np.allclose(sens0, eff0)
+    assert np.allclose(sens0, np.asarray(sens_raw), rtol=1e-8)
+
+    # truncation error decreases with the mode count (1/lambda^2
+    # weighting; little scale separation on this 20-atom toy, so only
+    # the trend and the 40-mode point are asserted)
+    errs = [np.max(np.abs(matfree.effector_sensor_from_modes(
+        vals[6:6 + k], vecs[6:6 + k], layout="atom")[1]
+        - np.asarray(sens_n)) / np.asarray(sens_n))
+        for k in (10, 25, 40)]
+    assert errs[0] > errs[2]
+    assert errs[2] < 0.25
+
+    with pytest.raises(ValueError, match="layout"):
+        matfree.effector_sensor_from_modes(vals[6:], vecs[6:],
+                                           layout="plane")
+    with pytest.raises(ValueError, match="modes in rows"):
+        matfree.effector_sensor_from_modes(vals[6:], vecs[6:].T)
+
+
+def test_effector_sensor_from_modes_is_rank_k_prs(ca_1l2y):
+    """Under truncation the mode-sum profiles are the EXACT profiles of
+    the rank-k covariance (the standard mode-truncated PRS) — verified
+    against the explicitly built truncated covariance."""
+    from springcraft_tpu.ops import nma_core
+
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    k = 14
+    vk, uk = vals[6:6 + k], vecs[6:6 + k]
+    cov_k = (uk.T / vk) @ uk                   # rank-k covariance
+    prs_k = nma_core.prs_matrix(cov_k, np, norm=True)
+    eff_ref, sens_ref = nma_core.effector_sensor_profiles(prs_k, np)
+
+    eff, sens = matfree.effector_sensor_from_modes(vk, uk,
+                                                   layout="atom")
+    assert np.allclose(eff, eff_ref, rtol=1e-10)
+    assert np.allclose(sens, sens_ref, rtol=1e-10)
+
+    prs_raw = nma_core.prs_matrix(cov_k, np, norm=False)
+    eff0_ref, _ = nma_core.effector_sensor_profiles(prs_raw, np)
+    eff0, sens0 = matfree.effector_sensor_from_modes(
+        vk, uk, norm=False, layout="atom")
+    assert np.allclose(eff0, eff0_ref, rtol=1e-10)
+    assert np.allclose(sens0, eff0_ref, rtol=1e-10)
+
+
+def test_anm_prs_effector_sensor_modes_surface(ca_1l2y):
+    """`ANM.prs_effector_sensor(matrix_free=True, modes=...)` returns
+    full-atom mode-sum profiles: exact with the complete set, and the
+    integer form solves the modes itself."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+
+    none_mat, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, modes=(vals[6:], vecs[6:]))
+    assert none_mat is None
+    assert np.allclose(eff, np.asarray(eff_n), rtol=1e-8)
+    assert np.allclose(sens, np.asarray(sens_n), rtol=1e-8)
+
+    # integer form: solves k lowest modes matrix-free, then mode-sums;
+    # compare against the dense-eigh truncation at the same k
+    k = 10
+    eff_k, sens_k = matfree.effector_sensor_from_modes(
+        vals[6:6 + k], vecs[6:6 + k], layout="atom")
+    _, eff_i, sens_i = anm.prs_effector_sensor(
+        matrix_free=True, modes=k, tol=1e-10, use_pallas=False)
+    assert np.allclose(eff_i, eff_k, rtol=1e-4)
+    assert np.allclose(sens_i, sens_k, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="modes"):
+        anm.prs_effector_sensor(matrix_free=True)
+
+
 def test_matfree_applies_support_overlays():
     """Patch overlays apply as a sparse correction on every matrix-free
     operator path — parity vs the dense assembly, including the
