@@ -293,7 +293,7 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
         # Padding rows of G carry zeros in the first m columns (the
         # identity-padded factorization decouples), so contracting over
         # the full padded row range below stays exact.
-        w = (g * scale_p[..., None, :])[..., :, :m]
+        w = g * scale_p[..., None, :]
     elif inverse == "cho_solve":
         chol = jnp.linalg.cholesky(reg)
         eye = jnp.broadcast_to(jnp.eye(m, dtype=matrix.dtype),
@@ -303,11 +303,18 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
     else:
         raise ValueError(f"unknown inverse engine {inverse!r}")
 
-    # traces = sum_a (W_a)^T W_a with W_a = columns of plane a; one
-    # contraction over (rows, planes) instead of three sliced Grams.
-    wc = w.reshape(w.shape[:-1] + (3, n))
-    traces = jnp.einsum("...kan,...kam->...nm", wc, wc,
+    # traces = sum_a (W_a)^T W_a, one sliced Gram per plane: splitting
+    # the minor (lane) dim with a reshape instead forces a relayout
+    # copy of the whole factor — measured 7.2 vs 4.5 ms at
+    # (128, mp=1024) f32 on v5e (tools/exp_trace_variants.py; the
+    # merged-contraction and lane-padded forms lose for the same
+    # reason).
+    traces = None
+    for a in range(3):
+        wa = w[..., a * n:(a + 1) * n]
+        ga = jnp.einsum("...kn,...km->...nm", wa, wa,
                         precision='highest')
+        traces = ga if traces is None else traces + ga
     # Null-space correction, plane-traced: sum_a T_a T_a^T / sigma
     tp = t.reshape(t.shape[:-2] + (3, n, t.shape[-1]))
     corr = jnp.einsum("...anp,...amp->...nm", tp, tp,
