@@ -72,7 +72,9 @@ def _bases(c):
 
 def s1_prep(c):
     h = s0_assembly(c)
-    reg, scale, sigma = rigid._regularize_equilibrated(h, _bases(c), None)
+    reg, scale, sigma = rigid._regularize_equilibrated(
+        h, _bases(c), None,
+        pad_to=pallas_linalg.padded_size(h.shape[-1]))
     return reg, scale
 
 
