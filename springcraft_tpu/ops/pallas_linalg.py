@@ -145,10 +145,14 @@ def _panel_inverse_kernel_shrink(pb, rb, d_ref, w_ref):
     (steps ``i > k`` add ``c[k] * row_i`` with ``c[k] == 0`` exactly),
     so the kernel processes ``pb / rb`` unrolled row blocks: each block
     runs ``rb`` elimination steps on the *active* (not-yet-final)
-    row window only, then retires its top ``rb`` rows.  Total row work
-    drops from ``pb^2`` to ``~pb^2 / 2`` with bit-identical arithmetic
-    (the skipped updates are exact zeros).  Masks use local row /
-    global column indexing; lanes stay the full ``2 pb`` augmentation
+    row window only, then retires its top ``rb`` rows by storing them
+    straight into the output ref (a finals list concatenated at the
+    end would hold the whole panel live next to the shrinking window;
+    the direct stores cut peak VMEM enough to fit a 128-member batch
+    chunk in one grid instance at pb=64 f32).  Total row work drops
+    from ``pb^2`` to ``~pb^2 / 2`` with bit-identical arithmetic (the
+    skipped updates are exact zeros).  Masks use local row / global
+    column indexing; lanes stay the full ``2 pb`` augmentation
     throughout.
     """
     m0 = d_ref[:]
@@ -160,7 +164,6 @@ def _panel_inverse_kernel_shrink(pb, rb, d_ref, w_ref):
     act = jnp.concatenate([m0, jnp.zeros_like(m0)], axis=2) \
         + eye_right[None]
 
-    finals = []
     for b in range(pb // rb):
         r0 = b * rb
         rows = pb - r0
@@ -181,9 +184,8 @@ def _panel_inverse_kernel_shrink(pb, rb, d_ref, w_ref):
             return s - c[:, :, None] * rowi[:, None, :]
 
         act = jax.lax.fori_loop(0, rb, body, act)
-        finals.append(act[:, :rb, pb:])
+        w_ref[:, r0:r0 + rb, :] = act[:, :rb, pb:]
         act = act[:, rb:, :]
-    w_ref[:] = jnp.concatenate(finals, axis=1)
 
 
 def _tri_inverse_newton(l, pb):
@@ -289,11 +291,15 @@ def panel_inverse_batched(panels, interpret=None, batch_chunk=None,
                          f"got {panels.shape}")
     if batch_chunk is None:
         # ~4 live (bc, pb, 2 pb lanes) buffers (augmented state, loop
-        # carry, output, slack) in the ~16 MB VMEM budget.
+        # carry, output, slack) in the ~16 MB VMEM budget; the shrink
+        # variant additionally keeps the retired row blocks alive next
+        # to the active window (measured: bc=88 at pb=64 f32 overflows
+        # the 16 MB scoped limit by ~0.3 MB), so budget ~6 buffers.
+        live = 4 if shrink_block is None else 6
         lanes = max(2 * pb, 128)
         itemsize = panels.dtype.itemsize
         batch_chunk = max(
-            8, min(128, (14 * 2**20) // (4 * itemsize * pb * lanes)))
+            8, min(128, (14 * 2**20) // (live * itemsize * pb * lanes)))
     n_chunks = -(-b // batch_chunk)
     bc = min(_round_up(b, 8), _round_up(-(-b // n_chunks), 8))
     b_pad = _round_up(b, bc)
