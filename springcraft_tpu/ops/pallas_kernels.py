@@ -48,6 +48,8 @@ __all__ = [
     "pair_constant_planes",
     "supports_params",
     "supports_ensemble",
+    "fused_prep_plan",
+    "regularize_stitch_pallas",
 ]
 
 
@@ -802,7 +804,7 @@ def _ensemble_setup(coords, params, tile, dtype, interpret):
 
 
 def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
-                            interpret=None):
+                            interpret=None, raw_planes=False):
     """Batched fused ANM Hessians for a conformer ensemble sharing one
     parameter set: ``(B, n, 3) -> (B, 3n, 3n)`` (xyz plane layout).
 
@@ -811,10 +813,25 @@ def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
     hoisted out of the batch via :func:`pair_constant_planes`.  Check
     :func:`supports_ensemble` before calling with tabulated params (the
     planes are O(n_bins * n_pad^2) in HBM).
+
+    ``raw_planes=True`` returns the nine ``(B, n, n)`` component planes
+    as a list (``planes[3 a + b][:, p, q] == H[:, a n + p, b n + q]``)
+    instead of the concatenated matrix — the input form of the fused
+    regularize/stitch prep (:func:`regularize_stitch_pallas`), which
+    skips the lane-misaligned nine-way concatenation entirely (the
+    concat materializes at offsets ``n``/``2 n`` — not 128-multiples —
+    and measured ~2.9 ms of relayout copies at (128, n=300) f32 on
+    v5e).  Unsupported with patch overlays (the sparse correction is
+    defined on the assembled matrix).
     """
     if params.overlays and supports_params(params):
         from . import assembly, ffparams as _fp
 
+        if raw_planes:
+            raise ValueError(
+                "raw_planes=True is unsupported with patch overlays — "
+                "the sparse overlay correction applies to the "
+                "assembled matrix")
         coords = jnp.asarray(coords, dtype=dtype)
         base = hessian_pallas_ensemble(
             coords, _fp.strip_overlays(params), tile=tile, dtype=dtype,
@@ -846,6 +863,12 @@ def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
         interpret=interpret,
     )(*inputs)
 
+    if raw_planes:
+        # Untruncated (B, n_pad, n_pad) planes (pad region is exactly
+        # zero — the in-kernel validity mask zeroes k beyond n): the
+        # fused prep reads them directly when its VMEM plan allows,
+        # else truncates with aligned offset-0 copies.
+        return planes
     if n_pad != n:
         planes = [p[:, :n, :n] for p in planes]
     return jnp.concatenate(
@@ -897,3 +920,173 @@ def kirchhoff_pallas_ensemble(coords, params, tile=None,
     if n_pad != n:
         out = out[:, :n, :n]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused regularize/equilibrate/stitch prep (assembly planes -> factor input)
+# ---------------------------------------------------------------------------
+
+def fused_prep_plan(n, n_pad, mp, itemsize=4, budget=14 * 2**20):
+    """Row-tile plan for :func:`regularize_stitch_pallas`.
+
+    Returns ``(tr, truncate)`` — the row-tile edge (a multiple of 8,
+    the Mosaic sublane-block granularity; tiles may straddle plane
+    bands — the kernel emits a static segment list per tile) and
+    whether the raw ``(B, n_pad, n_pad)`` planes must first be
+    host-truncated to ``(B, n, n)`` (aligned offset-0 copies) to fit
+    the nine double-buffered full-plane VMEM blocks — or ``None`` when
+    no configuration fits the budget (callers fall back to the
+    concatenate + XLA prep path).
+    """
+    def lanes(x):
+        return _round_up(x, 128)
+
+    def fits(npl, tr):
+        planes_v = 9 * npl * lanes(npl) * itemsize * 2
+        out_v = tr * lanes(mp) * itemsize * 2
+        aux_v = (tr * 128 + 8 * lanes(mp)) * itemsize * 4
+        temps = 3 * tr * lanes(mp) * itemsize
+        return planes_v + out_v + aux_v + temps <= budget
+
+    for truncate, npl in ((False, n_pad), (True, n)):
+        if truncate and n_pad == n:
+            break
+        for tr in (256, 128, 64, 32, 16, 8):
+            if fits(npl, tr):
+                return tr, truncate
+    return None
+
+
+def _row_segments(row0, tr, n):
+    """Static decomposition of output rows ``[row0, row0 + tr)`` into
+    component-plane bands: ``(local_offset, band a, p0, rows)`` tuples
+    covering the part below ``3 n`` (identity-padding rows are handled
+    separately)."""
+    segs = []
+    r = row0
+    end = min(row0 + tr, 3 * n)
+    while r < end:
+        a, p = divmod(r, n)
+        take = min(end - r, n - p)
+        segs.append((r - row0, a, p, take))
+        r += take
+    return segs
+
+
+def _regularize_stitch_kernel(n, n_pad, mp, tr, n_row_tiles, *refs):
+    """One output row-band of ``reg = S' H S' + (S T sqrt(sigma))
+    (S T sqrt(sigma))^T + eye_pad`` straight from the nine assembly
+    component planes (``S' = S W`` folds optional mass weights into the
+    equilibration diagonal).
+
+    Grid ``(b, i)``: row tile ``i`` covers global rows
+    ``[i tr, i tr + tr)`` of the ``(mp, mp)`` output.  ``tr`` is a
+    multiple of 8 (Mosaic's sublane block granularity — no divisor of
+    an arbitrary ``n`` qualifies), so a tile may straddle component
+    plane bands; each unrolled ``i`` gets a STATIC segment list
+    (:func:`_row_segments`) of ``(a, p0, rows)`` plane slices plus an
+    identity segment for rows past ``3 n``.  The nine plane blocks
+    keep block index ``(b, 0, 0)`` so Mosaic fetches them once per
+    conformer, not once per row tile.
+
+    Replaces the XLA pipeline's nine-way lane-misaligned concatenation
+    (column offsets ``n``/``2 n``) plus the separate scale/pad/rank-6
+    pass: one aligned read of the planes, one aligned write of ``reg``.
+    The rank-6 null-space term is six VPU broadcast fmas (exact f32 —
+    no MXU rounding), and the only relayout left is the in-VMEM lane
+    concat of the three scaled column segments.
+    """
+    plane_refs = refs[:9]
+    rows_aux_ref = refs[9]
+    cols_aux_ref = refs[10]
+    out_ref = refs[11]
+    i = pl.program_id(1)
+    dtype = out_ref.dtype
+
+    scol = cols_aux_ref[0, 0:1, :]           # (1, mp)   S' columns
+    tst = cols_aux_ref[0, 1:7, :]            # (6, mp)   (S T sqrt(s))^T
+    srow = rows_aux_ref[0, :, 0:1]           # (tr, 1)   S' rows
+    tsr = rows_aux_ref[0, :, 1:7]            # (tr, 6)
+
+    rank = tsr[:, 0:1] * tst[0:1, :]
+    for k in range(1, 6):
+        rank = rank + tsr[:, k:k + 1] * tst[k:k + 1, :]
+
+    pad_cols = mp - 3 * n
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    for it in range(n_row_tiles):
+        row0 = it * tr
+        segs = _row_segments(row0, tr, n)
+        pad_rows = tr - sum(s[3] for s in segs)
+
+        @pl.when(i == it)
+        def _(row0=row0, segs=segs, pad_rows=pad_rows):
+            # Two passes over the output ref: store the raw plane
+            # pieces at their (misaligned) band offsets first, then
+            # scale in place with full-width offset-0 vectors.
+            # Mosaic handles masked slice STORES at arbitrary offsets,
+            # but cannot broadcast lane-offset slivers and its
+            # tpu.concatenate crashes on lane-misaligned operands —
+            # so neither a sliced scol broadcast nor an in-VMEM
+            # concat of the pieces survives compilation.
+            if pad_cols or pad_rows:
+                out_ref[0] = jnp.zeros((tr, mp), dtype)
+            for lo, a, p0, rows in segs:
+                for bc in range(3):
+                    out_ref[0, lo:lo + rows, bc * n:(bc + 1) * n] = \
+                        plane_refs[3 * a + bc][0][p0:p0 + rows, 0:n]
+            # identity rows past 3n enter AFTER the scaling (their
+            # scol entries are zero-padded); the rank term is zero
+            # there (zero-padded ts rows)
+            rows_g = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tr, mp), 0)
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (tr, mp), 1)
+            eye = jnp.where((rows_g == cols_g) & (rows_g >= 3 * n),
+                            one, zero)
+            out_ref[0] = out_ref[0] * srow * scol + rank + eye
+
+
+def regularize_stitch_pallas(planes, n, rows_aux, cols_aux, mp, tr,
+                             interpret=None):
+    """Fused prep: nine raw assembly planes -> identity-padded,
+    null-space-regularized, Jacobi-equilibrated ``(B, mp, mp)`` factor
+    input (see :func:`_regularize_stitch_kernel`;
+    ``rigid._regularize_equilibrated_planes`` builds the packed aux
+    vectors and is the semantic twin of
+    ``rigid._regularize_equilibrated(pad_to=mp)``).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, n_pad = planes[0].shape[0], planes[0].shape[-1]
+    dtype = planes[0].dtype
+    if tr % 8:
+        raise ValueError(f"tr={tr} must be a multiple of 8 (Mosaic "
+                         f"sublane block granularity)")
+    n_row_tiles = -(-mp // tr)
+    if rows_aux.shape != (batch, n_row_tiles * tr, 8):
+        raise ValueError(
+            f"rows_aux must be (B, n_row_tiles * tr, 8) = "
+            f"({batch}, {n_row_tiles * tr}, 8), got {rows_aux.shape}")
+
+    kernel = functools.partial(
+        _regularize_stitch_kernel, n, n_pad, mp, tr, n_row_tiles)
+    plane_spec = pl.BlockSpec((1, n_pad, n_pad), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, n_row_tiles),
+        in_specs=[plane_spec] * 9 + [
+            pl.BlockSpec((1, tr, 8), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, mp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, mp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, mp, mp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*planes, rows_aux, cols_aux)

@@ -159,6 +159,76 @@ def _regularize_equilibrated(matrix, t, sigma, pad_to=None):
     return reg, scale, sigma
 
 
+def _regularize_equilibrated_planes(planes, n, t, sigma, masses=None,
+                                    tr=None, interpret=None):
+    """Semantic twin of :func:`_regularize_equilibrated` (with
+    ``pad_to=padded_size(3 n)``) that starts from the nine RAW assembly
+    component planes (``pallas_kernels.hessian_pallas_ensemble(...,
+    raw_planes=True)``) instead of the concatenated Hessian, and emits
+    ``reg`` through the fused stitch/scale Pallas kernel — one aligned
+    read of the planes, one aligned write, no lane-misaligned nine-way
+    concatenation and no separate pad/rank-6 passes.
+
+    Mass weighting folds into the equilibration diagonal: with
+    ``M' = W H W`` the scaled product is ``S M' S = (S W) H (W S)``, so
+    the kernel's row/column vector is ``scale * w`` while the returned
+    ``scale`` (used to un-scale the inverse factor downstream) matches
+    the concatenated path on ``M'`` exactly.
+
+    ``t`` must already be the mass-adjusted null basis
+    (:func:`rigid_modes_anm` with the same ``masses``).
+    """
+    from . import pallas_kernels, pallas_linalg
+
+    m = 3 * n
+    mp = pallas_linalg.padded_size(m)
+    dtype = planes[0].dtype
+    batch = planes[0].shape[0]
+    t = jnp.asarray(t, dtype=dtype)
+
+    diag_m = jnp.concatenate(
+        [jnp.diagonal(planes[4 * a], axis1=-2, axis2=-1)[..., :n]
+         for a in range(3)], axis=-1)            # (B, 3n), xyz order
+    if masses is not None:
+        # mass-WEIGHTED Hessian convention, M' = W H W with
+        # W = diag(1 / sqrt(m)) (matching parallel.pipeline._mass_weight
+        # and the reference's mass handling)
+        w_xyz = jnp.tile(
+            1.0 / jnp.sqrt(jnp.asarray(masses, dtype)), 3)
+        diag_m = diag_m * (w_xyz * w_xyz)[None]
+    if sigma is None:
+        sigma = jnp.mean(diag_m, axis=-1)[..., None, None]
+    else:
+        sigma = jnp.asarray(sigma, dtype=dtype)
+        sigma = sigma[..., None, None] if sigma.ndim else sigma[None, None]
+    tn2 = jnp.sum(t * t, axis=-1)
+    scale = jax.lax.rsqrt(diag_m + sigma[..., 0] * tn2)
+    ts = t * (scale * jnp.sqrt(sigma[..., 0]))[..., None]   # (B, m, 6)
+    scale_h = scale if masses is None else scale * w_xyz[None]
+
+    if tr is None:
+        plan = pallas_kernels.fused_prep_plan(
+            n, planes[0].shape[-1], mp, dtype.itemsize)
+        if plan is None:
+            raise ValueError(
+                f"no fused-prep row tile fits VMEM at n={n} "
+                f"(planes {planes[0].shape}) — use the concatenated "
+                f"path")
+        tr, truncate = plan
+        if truncate:
+            planes = [p[:, :n, :n] for p in planes]
+    n_rows = -(-mp // tr) * tr
+    rows_aux = jnp.zeros((batch, n_rows, 8), dtype)
+    rows_aux = rows_aux.at[:, :m, 0].set(scale_h)
+    rows_aux = rows_aux.at[:, :m, 1:7].set(ts)
+    cols_aux = jnp.zeros((batch, 8, mp), dtype)
+    cols_aux = cols_aux.at[:, 0, :m].set(scale_h)
+    cols_aux = cols_aux.at[:, 1:7, :m].set(jnp.swapaxes(ts, -1, -2))
+    reg = pallas_kernels.regularize_stitch_pallas(
+        planes, n, rows_aux, cols_aux, mp, tr, interpret=interpret)
+    return reg, scale, sigma
+
+
 def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
                         inverse="cho_solve", interpret=None):
     """
@@ -212,19 +282,10 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
         reg, scale, sigma = _regularize_equilibrated(matrix, t, sigma)
     if inverse == "blocked":
         # Fold the equilibration un-scaling into the inverse Gram
-        # factor's columns: S (G^T G) S = (G S)^T (G S) — saves full
-        # elementwise passes over the (m, m) inverse.  G comes back at
-        # the tile-padded size; zero-padding the scale zeroes the
-        # padding columns, so the slice below is exact.
-        g = pallas_linalg.spd_inverse_factor(reg, interpret=interpret)
-        mp = g.shape[-1]
-        if mp != m:
-            scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
-            scale_p = scale_p.at[..., :m].set(scale)
-        else:
-            scale_p = scale
-        g = g * scale_p[..., None, :]
-        inv = jnp.einsum("...ki,...kj->...ij", g, g,
+        # factor's columns (see _w_from_reg_blocked) — saves full
+        # elementwise passes over the (m, m) inverse.
+        w = _w_from_reg_blocked(reg, scale, m, interpret)
+        inv = jnp.einsum("...ki,...kj->...ij", w, w,
                          precision='highest')[..., :m, :m]
         return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
                                 precision='highest') / sigma
@@ -314,17 +375,7 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
         # separate O(m^2) pad program.
         reg, scale, sigma = _regularize_equilibrated(
             matrix, t, sigma, pad_to=pallas_linalg.padded_size(m))
-        g = pallas_linalg.spd_inverse_factor(reg, interpret=interpret)
-        mp = g.shape[-1]
-        if mp != m:
-            scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
-            scale_p = scale_p.at[..., :m].set(scale)
-        else:
-            scale_p = scale
-        # Padding rows of G carry zeros in the first m columns (the
-        # identity-padded factorization decouples), so contracting over
-        # the full padded row range below stays exact.
-        w = g * scale_p[..., None, :]
+        w = _w_from_reg_blocked(reg, scale, m, interpret)
     elif inverse == "cho_solve":
         reg, scale, sigma = _regularize_equilibrated(matrix, t, sigma)
         chol = jnp.linalg.cholesky(reg)
@@ -334,7 +385,30 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
         w = w * scale[..., None, :]
     else:
         raise ValueError(f"unknown inverse engine {inverse!r}")
+    return _plane_traces_from_w(w, t, sigma, n)
 
+
+def _w_from_reg_blocked(reg, scale, m, interpret):
+    """Unscaled inverse factor ``W`` (with ``pinv(reg_unscaled) =
+    W^T W``) from the identity-padded regularized matrix: the Pallas
+    blocked inverse factor with the equilibration un-scaling folded
+    into its columns (``S G^T G S = (G S)^T (G S)``)."""
+    from . import pallas_linalg
+
+    g = pallas_linalg.spd_inverse_factor(reg, interpret=interpret)
+    mp = g.shape[-1]
+    if mp != m:
+        scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
+        scale_p = scale_p.at[..., :m].set(scale)
+    else:
+        scale_p = scale
+    # Padding rows of G carry zeros in the first m columns (the
+    # identity-padded factorization decouples), so contracting over
+    # the full padded row range downstream stays exact.
+    return g * scale_p[..., None, :]
+
+
+def _plane_traces_from_w(w, t, sigma, n):
     # traces = sum_a (W_a)^T W_a, one sliced Gram per plane: splitting
     # the minor (lane) dim with a reshape instead forces a relayout
     # copy of the whole factor — measured 7.2 vs 4.5 ms at
@@ -352,6 +426,40 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
     corr = jnp.einsum("...anp,...amp->...nm", tp, tp,
                       precision='highest')
     return traces - corr / sigma
+
+
+def covariance_plane_traces_from_planes(planes, n, null_basis,
+                                        sigma=None, masses=None,
+                                        interpret=None):
+    """:func:`covariance_plane_traces` (blocked engine) fed by the nine
+    RAW assembly component planes — the fused fast path of the batched
+    fluctuation pipeline: the regularize/equilibrate/pad prep reads the
+    planes directly (:func:`_regularize_equilibrated_planes`), skipping
+    the lane-misaligned concatenated Hessian entirely.  Optional
+    ``masses`` fold into the prep's scale vector (the planes stay
+    unweighted).
+    """
+    t = jnp.asarray(null_basis, dtype=planes[0].dtype)
+    reg, scale, sigma = _regularize_equilibrated_planes(
+        planes, n, t, sigma, masses=masses, interpret=interpret)
+    w = _w_from_reg_blocked(reg, scale, 3 * n, interpret)
+    return _plane_traces_from_w(w, t, sigma, n)
+
+
+def covariance_cholesky_from_planes(planes, n, null_basis, sigma=None,
+                                    masses=None, interpret=None):
+    """:func:`covariance_cholesky` (blocked engine) fed by the nine RAW
+    assembly component planes (see
+    :func:`covariance_plane_traces_from_planes`)."""
+    t = jnp.asarray(null_basis, dtype=planes[0].dtype)
+    m = 3 * n
+    reg, scale, sigma = _regularize_equilibrated_planes(
+        planes, n, t, sigma, masses=masses, interpret=interpret)
+    w = _w_from_reg_blocked(reg, scale, m, interpret)
+    inv = jnp.einsum("...ki,...kj->...ij", w, w,
+                     precision='highest')[..., :m, :m]
+    return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
+                            precision='highest') / sigma
 
 
 def pinv_diagonal(matrix, null_basis, sigma=None, block_size=1024,

@@ -851,27 +851,81 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
                                        use_pallas="auto"):
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
+    if with_prs and not with_covariance:
+        raise ValueError(
+            "with_prs=True requires with_covariance=True — PRS "
+            "consumes all nine covariance plane blocks, not just "
+            "the traces")
 
-    hessians = _build_hessians_batched(coords, params, masses, dtype,
-                                       use_pallas)
     bases = jax.vmap(
         lambda c: rigid.rigid_modes_anm(c, masses=masses, layout="xyz")
     )(coords)
-    if not with_covariance:
-        if with_prs:
-            raise ValueError(
-                "with_prs=True requires with_covariance=True — PRS "
-                "consumes all nine covariance plane blocks, not just "
-                "the traces")
-        traces = rigid.covariance_plane_traces(hessians, bases,
-                                               inverse="blocked")
-        return jax.vmap(
-            lambda t: _anm_trace_observables(t, with_dcc)
-        )(traces)
-    cov = rigid.covariance_cholesky(hessians, bases, inverse="blocked")
+
+    planes = _build_hessian_planes_batched(coords, params, dtype,
+                                           use_pallas)
+    if planes is not None:
+        # Fused prep: regularize/equilibrate/pad straight from the raw
+        # assembly planes (Pallas stitch kernel), skipping the
+        # lane-misaligned concatenated Hessian and the separate XLA
+        # prep pass; optional masses fold into the kernel's scale
+        # vector.  Matches the concatenated path to f32 rounding
+        # (tests/test_pallas_linalg.py::test_fused_prep_*).
+        if not with_covariance:
+            traces = rigid.covariance_plane_traces_from_planes(
+                planes, n, bases, masses=masses)
+            return jax.vmap(
+                lambda t: _anm_trace_observables(t, with_dcc)
+            )(traces)
+        cov = rigid.covariance_cholesky_from_planes(
+            planes, n, bases, masses=masses)
+    else:
+        hessians = _build_hessians_batched(coords, params, masses,
+                                           dtype, use_pallas)
+        if not with_covariance:
+            traces = rigid.covariance_plane_traces(hessians, bases,
+                                                   inverse="blocked")
+            return jax.vmap(
+                lambda t: _anm_trace_observables(t, with_dcc)
+            )(traces)
+        cov = rigid.covariance_cholesky(hessians, bases,
+                                        inverse="blocked")
     return jax.vmap(
         lambda c: _anm_cov_observables(c, n, with_dcc, with_prs)
     )(cov)
+
+
+def _build_hessian_planes_batched(coords, params, dtype, use_pallas):
+    """Raw component planes for the fused-prep blocked path, or None
+    when it does not apply (non-Pallas params, overlays, or no
+    VMEM-feasible stitch plan)."""
+    from ..ops import pallas_kernels, pallas_linalg
+
+    if not _resolve_use_pallas(use_pallas, params, dtype):
+        return None
+    if params.overlays:
+        return None
+    n = coords.shape[1]
+    if params.kind == "table_compact":
+        if not pallas_kernels.supports_ensemble(params, n):
+            return None
+        tile = pallas_kernels._ensemble_tile(n, params.n_bins)
+    elif n <= 384:
+        # tile = n: the raw planes carry no pad region at all — less
+        # HBM both out of the assembly kernel and into the stitch
+        # (measured ~0.7 ms/chunk at (128, 300) vs the lane-rounded
+        # 384 tile), and the smaller plane blocks buy the stitch a
+        # larger row tile within its VMEM budget.
+        tile = n
+    else:
+        tile = pallas_kernels._auto_tile(n)
+    n_pad = -(-n // tile) * tile
+    mp = pallas_linalg.padded_size(3 * n)
+    plan = pallas_kernels.fused_prep_plan(n, n_pad, mp,
+                                          jnp.dtype(dtype).itemsize)
+    if plan is None:
+        return None
+    return pallas_kernels.hessian_pallas_ensemble(
+        coords, params, dtype=dtype, raw_planes=True, tile=tile)
 
 
 def _resolve_params(params):

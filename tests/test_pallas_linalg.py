@@ -239,3 +239,123 @@ def test_ensemble_fluctuations_megabatch_chunked():
     with pytest.raises(ValueError, match="divide"):
         pipeline.ensemble_anm_fluctuations(
             coords, params, inverse="blocked", chunk=4)
+
+
+def test_fused_prep_planes_matches_concatenated():
+    """The fused regularize/stitch prep fed by raw assembly planes must
+    reproduce the concatenated-Hessian prep to f32 rounding (the rank-6
+    null-space term is exact-f32 broadcast fmas in the kernel vs a
+    HIGHEST bf16x6 matmul in the XLA path — one ULP apart), and the
+    planes-based covariance / trace engines must match the assembled
+    blocked engines."""
+    from springcraft_tpu.ops import pallas_kernels, rigid as rigid_mod
+    import jax
+
+    coords = jnp.asarray(_dense_coords(4, 37, seed=11))
+    n = coords.shape[1]
+    params = ffparams.invariant_params(7.0)
+
+    h = pallas_kernels.hessian_pallas_ensemble(coords, params,
+                                               dtype=jnp.float32)
+    planes = pallas_kernels.hessian_pallas_ensemble(
+        coords, params, dtype=jnp.float32, raw_planes=True)
+    assert len(planes) == 9
+    # raw planes reassemble to the concatenated Hessian exactly
+    hs = jnp.concatenate(
+        [jnp.concatenate([planes[3 * a + b][:, :n, :n]
+                          for b in range(3)], axis=2)
+         for a in range(3)], axis=1)
+    assert float(jnp.max(jnp.abs(hs - h))) == 0.0
+
+    bases = jax.vmap(
+        lambda c: rigid_mod.rigid_modes_anm(c, layout="xyz")
+    )(coords).astype(jnp.float32)
+
+    ref_reg, ref_scale, ref_sigma = rigid_mod._regularize_equilibrated(
+        h, bases, None, pad_to=pallas_linalg.padded_size(3 * n))
+    got_reg, got_scale, got_sigma = \
+        rigid_mod._regularize_equilibrated_planes(planes, n, bases, None)
+    assert float(jnp.max(jnp.abs(got_reg - ref_reg))) < 1e-6
+    assert float(jnp.max(jnp.abs(got_scale - ref_scale))) == 0.0
+    assert float(jnp.max(jnp.abs(got_sigma - ref_sigma))) == 0.0
+
+    ref_tr = rigid_mod.covariance_plane_traces(h, bases,
+                                               inverse="blocked")
+    got_tr = rigid_mod.covariance_plane_traces_from_planes(
+        planes, n, bases)
+    scale = float(jnp.max(jnp.abs(ref_tr)))
+    assert float(jnp.max(jnp.abs(got_tr - ref_tr))) / scale < 1e-5
+
+    ref_cov = rigid_mod.covariance_cholesky(h, bases, inverse="blocked")
+    got_cov = rigid_mod.covariance_cholesky_from_planes(planes, n, bases)
+    scale = float(jnp.max(jnp.abs(ref_cov)))
+    assert float(jnp.max(jnp.abs(got_cov - ref_cov))) / scale < 1e-5
+
+
+def test_fused_prep_planes_masses():
+    """Mass weights fold into the stitch kernel's scale vector:
+    planes stay unweighted, results match weighting the assembled
+    Hessian (different association order -> small f32 tolerance)."""
+    from springcraft_tpu.ops import pallas_kernels, rigid as rigid_mod
+    import jax
+
+    coords = jnp.asarray(_dense_coords(3, 29, seed=12))
+    n = coords.shape[1]
+    params = ffparams.invariant_params(7.0)
+    masses = jnp.asarray(np.linspace(1.0, 3.0, n).astype(np.float32))
+
+    h = pallas_kernels.hessian_pallas_ensemble(coords, params,
+                                               dtype=jnp.float32)
+    # mass-weighted Hessian convention: W = diag(1 / sqrt(m))
+    w_xyz = jnp.tile(1.0 / jnp.sqrt(masses), 3)
+    hw = h * w_xyz[None, :, None] * w_xyz[None, None, :]
+    planes = pallas_kernels.hessian_pallas_ensemble(
+        coords, params, dtype=jnp.float32, raw_planes=True)
+    bases = jax.vmap(
+        lambda c: rigid_mod.rigid_modes_anm(c, masses=masses,
+                                            layout="xyz")
+    )(coords).astype(jnp.float32)
+
+    ref = rigid_mod.covariance_plane_traces(hw, bases, inverse="blocked")
+    got = rigid_mod.covariance_plane_traces_from_planes(
+        planes, n, bases, masses=masses)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 5e-6
+
+
+def _dense_coords(b, n, seed):
+    # tighter spread than _random_coords: guarantees a connected
+    # network at cutoff 7 (a disconnected one has a >6-dim null space
+    # and the factor surfaces breakdown as NaN by design)
+    rng = np.random.RandomState(seed)
+    base = (rng.rand(n, 3) * 6.0).astype(np.float32)
+    return base[None] + 0.05 * rng.randn(b, n, 3).astype(np.float32)
+
+
+def test_fused_prep_pipeline_use_pallas():
+    """With use_pallas=True the blocked ensemble pipeline takes the
+    fused planes path (CPU: interpret mode) — observables must match
+    the XLA-assembled blocked pipeline."""
+    coords = _dense_coords(4, 30, seed=13)
+    params = ffparams.invariant_params(7.0)
+    for kwargs in ({}, {"with_covariance": False}):
+        ref = pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", use_pallas=False, **kwargs)
+        got = pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", use_pallas=True, **kwargs)
+        for key in ref:
+            scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+            dev = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
+            assert dev < 1e-4, (key, kwargs, dev)
+
+    # masses through the fused path
+    masses = jnp.asarray(np.linspace(0.8, 2.5, 30).astype(np.float32))
+    ref = pipeline.ensemble_anm_fluctuations(
+        coords, params, masses=masses, inverse="blocked",
+        use_pallas=False)
+    got = pipeline.ensemble_anm_fluctuations(
+        coords, params, masses=masses, inverse="blocked",
+        use_pallas=True)
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-5

@@ -70,11 +70,19 @@ def _bases(c):
     return t.astype(jnp.float32)
 
 
+import os
+_TILE = int(os.environ.get("ASM_TILE", "0")) or None
+
+
+def s0_planes(c):
+    return pallas_kernels.hessian_pallas_ensemble(
+        c, PARAMS, dtype=jnp.float32, raw_planes=True, tile=_TILE)
+
+
 def s1_prep(c):
-    h = s0_assembly(c)
-    reg, scale, sigma = rigid._regularize_equilibrated(
-        h, _bases(c), None,
-        pad_to=pallas_linalg.padded_size(h.shape[-1]))
+    planes = s0_planes(c)
+    reg, scale, sigma = rigid._regularize_equilibrated_planes(
+        planes, N, _bases(c), None)
     return reg, scale
 
 
@@ -84,8 +92,9 @@ def s2_factor(c):
 
 
 def s3_traces(c):
-    h = s0_assembly(c)
-    return rigid.covariance_plane_traces(h, _bases(c), inverse="blocked")
+    planes = s0_planes(c)
+    return rigid.covariance_plane_traces_from_planes(
+        planes, N, _bases(c))
 
 
 def s4_full(c):
@@ -127,7 +136,8 @@ def main():
           f"chain={CHAIN}")
     batches = [make_batch(seed) for seed in range(REPS + 1)]
     stages = [
-        ("assembly", s0_assembly),
+        ("assembly", s0_planes),
+        ("bases", lambda c: (s0_planes(c), _bases(c))),
         ("prep", s1_prep),
         ("factor", s2_factor),
         ("traces", s3_traces),
@@ -137,7 +147,7 @@ def main():
     for name, fn in stages:
         results[name] = timed(name, fn, batches)
     print("\ndifferenced stages (ms/iter):")
-    chain = ["assembly", "prep", "factor", "traces", "full"]
+    chain = ["assembly", "bases", "prep", "factor", "traces", "full"]
     prev = 0.0
     for name in chain:
         cur = results[name] * 1e3
