@@ -359,3 +359,27 @@ def test_fused_prep_pipeline_use_pallas():
     for key in ref:
         scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
         assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-5
+
+
+def test_fused_prep_pipeline_tabulated(ca_1l2y):
+    """The tabulated (table_compact) family through the fused planes
+    path: its assembly tile comes from _ensemble_tile, the raw planes
+    carry a pad region, and the stitch plan may host-truncate them —
+    results must still match the XLA-assembled blocked pipeline."""
+    import springcraft_tpu as sc
+
+    ff = sc.TabulatedForceField.sd_enm(ca_1l2y)
+    params = ff.to_compact_params()
+    rng = np.random.RandomState(3)
+    coords = (ca_1l2y.coord[None]
+              + 0.05 * rng.randn(3, len(ca_1l2y), 3)).astype(np.float32)
+    ref = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked", use_pallas=False,
+        with_covariance=False)
+    got = pipeline.ensemble_anm_fluctuations(
+        coords, params, inverse="blocked", use_pallas=True,
+        with_covariance=False)
+    for key in ref:
+        scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+        dev = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
+        assert dev < 1e-4, (key, dev)
