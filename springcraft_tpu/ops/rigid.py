@@ -414,10 +414,15 @@ def _plane_traces_from_w(w, t, sigma, n):
     # copy of the whole factor — measured 7.2 vs 4.5 ms at
     # (128, mp=1024) f32 on v5e (tools/exp_trace_variants.py; the
     # merged-contraction and lane-padded forms lose for the same
-    # reason).
+    # reason).  W is the column-scaled lower-triangular inverse factor,
+    # so rows k < a*n of plane slice a are EXACTLY zero — each Gram
+    # contracts only rows from the 128-aligned floor of a*n down
+    # (bit-identical: the skipped terms are exact zeros; skips ~25% of
+    # the contraction flops at (mp=1024, n=300)).
     traces = None
     for a in range(3):
-        wa = w[..., a * n:(a + 1) * n]
+        k0 = (a * n) // 128 * 128
+        wa = w[..., k0:, a * n:(a + 1) * n]
         ga = jnp.einsum("...kn,...km->...nm", wa, wa,
                         precision='highest')
         traces = ga if traces is None else traces + ga
