@@ -285,8 +285,7 @@ def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,
         # factor's columns (see _w_from_reg_blocked) — saves full
         # elementwise passes over the (m, m) inverse.
         w = _w_from_reg_blocked(reg, scale, m, interpret)
-        inv = jnp.einsum("...ki,...kj->...ij", w, w,
-                         precision='highest')[..., :m, :m]
+        inv = _gram_lower(w)[..., :m, :m]
         return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
                                 precision='highest') / sigma
     elif inverse != "cho_solve":
@@ -408,6 +407,28 @@ def _w_from_reg_blocked(reg, scale, m, interpret):
     return g * scale_p[..., None, :]
 
 
+def _gram_lower(w):
+    """``W^T W`` for a column-scaled lower-triangular ``W``, skipping
+    the exact-zero upper region: rows are split at a 128-aligned
+    midpoint ``h`` — the top block's columns ``>= h`` are zero, so its
+    Gram fills only the leading ``(h, h)`` output block.  Bit-identical
+    to the single contraction (only exact-zero terms are dropped) at
+    ~62% of its flops; the zero-padded top Gram fuses into the add."""
+    mp = w.shape[-2]
+    h = (mp // 2) // 128 * 128
+    if h < 128:
+        return jnp.einsum("...ki,...kj->...ij", w, w,
+                          precision='highest')
+    top = w[..., :h, :h]
+    g_top = jnp.einsum("...ki,...kj->...ij", top, top,
+                       precision='highest')
+    g_bot = jnp.einsum("...ki,...kj->...ij", w[..., h:, :],
+                       w[..., h:, :], precision='highest')
+    nb = w.ndim - 2
+    return g_bot + jnp.pad(g_top,
+                           ((0, 0),) * nb + ((0, mp - h), (0, mp - h)))
+
+
 def _plane_traces_from_w(w, t, sigma, n):
     # traces = sum_a (W_a)^T W_a, one sliced Gram per plane: splitting
     # the minor (lane) dim with a reshape instead forces a relayout
@@ -461,8 +482,7 @@ def covariance_cholesky_from_planes(planes, n, null_basis, sigma=None,
     reg, scale, sigma = _regularize_equilibrated_planes(
         planes, n, t, sigma, masses=masses, interpret=interpret)
     w = _w_from_reg_blocked(reg, scale, m, interpret)
-    inv = jnp.einsum("...ki,...kj->...ij", w, w,
-                     precision='highest')[..., :m, :m]
+    inv = _gram_lower(w)[..., :m, :m]
     return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
                             precision='highest') / sigma
 
