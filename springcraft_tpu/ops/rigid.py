@@ -40,7 +40,9 @@ __all__ = [
     "rigid_modes_anm",
     "null_mode_gnm",
     "covariance_cholesky",
+    "covariance_cholesky_from_planes",
     "covariance_plane_traces",
+    "covariance_plane_traces_from_planes",
     "pinv_diagonal",
 ]
 
