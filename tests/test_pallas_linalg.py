@@ -361,6 +361,139 @@ def test_fused_prep_pipeline_use_pallas():
         assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-5
 
 
+# ---------------------------------------------------------------------------
+# Triangular zero-skipping (`_tri_split`-active) paths.  They only engage
+# at 128-aligned sub-blocks >= 256 — i.e. recursion sizes far above what
+# the interpret-mode end-to-end tests can afford on CPU (m=540 measured
+# ~4 min) — so the split arithmetic is covered here directly against the
+# dense contractions, plus one full-recursion run with the Pallas leaf
+# swapped for a NumPy leaf.
+
+
+def _tril_factor(b, m, seed, dtype=np.float32):
+    """Random lower-triangular factor with a well-scaled diagonal and an
+    EXACTLY zero strict upper triangle (the recursion's invariant)."""
+    rng = np.random.RandomState(seed)
+    w = np.tril(0.1 * rng.randn(b, m, m)).astype(dtype)
+    idx = np.arange(m)
+    w[:, idx, idx] = (1.0 + rng.rand(b, m)).astype(dtype)
+    return w
+
+
+def test_tri_split_points():
+    assert pallas_linalg._tri_split(64) == 0
+    assert pallas_linalg._tri_split(128) == 0
+    assert pallas_linalg._tri_split(256) == 128
+    assert pallas_linalg._tri_split(384) == 256
+    assert pallas_linalg._tri_split(512) == 256
+
+
+def test_tri_mm_helpers_match_dense():
+    h = 384  # _tri_split(384) = 256 -> zero-skipping branch active
+    g = jnp.asarray(_tril_factor(2, h, seed=21))
+    x = jnp.asarray(np.random.RandomState(22)
+                    .randn(2, 192, h).astype(np.float32))
+    got = pallas_linalg._tri_right_mm(x, g, "highest")
+    ref = jnp.einsum("bij,bjk->bik", x, g, precision="highest")
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-6
+
+    y = jnp.asarray(np.random.RandomState(23)
+                    .randn(2, h, 160).astype(np.float32))
+    got = pallas_linalg._tri_left_mm(g, y, "highest")
+    ref = jnp.einsum("bij,bjk->bik", g, y, precision="highest")
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-6
+
+
+def test_schur_lower_matches_dense():
+    s, h = 640, 384  # both split points active (q=256, qq=128)
+    a = jnp.asarray(_random_spd(2, s, seed=24))
+    g11 = jnp.asarray(_tril_factor(2, h, seed=25))
+    l21, s22 = pallas_linalg._schur_lower(a, h, g11, "highest")
+
+    ref_l21 = jnp.einsum("bij,bkj->bik", a[:, h:, :h], g11,
+                         precision="highest")
+    scale = float(jnp.max(jnp.abs(ref_l21)))
+    assert float(jnp.max(jnp.abs(l21 - ref_l21))) / scale < 1e-6
+
+    ref_s22 = a[:, h:, h:] - jnp.einsum("bik,bjk->bij", ref_l21, ref_l21,
+                                        precision="highest")
+    w = s - h
+    qq = pallas_linalg._tri_split(w)
+    assert qq == 128
+    # the strict upper-right quadrant is zero-FILLED by contract (the
+    # consuming recursion never reads it) ...
+    assert float(jnp.max(jnp.abs(s22[:, :qq, qq:]))) == 0.0
+    # ... and everything the recursion does read matches the dense form
+    mask = np.ones((w, w), bool)
+    mask[:qq, qq:] = False
+    diff = jnp.abs(s22 - ref_s22) * jnp.asarray(mask, a.dtype)
+    scale = float(jnp.max(jnp.abs(ref_s22)))
+    assert float(jnp.max(diff)) / scale < 1e-6
+
+
+def test_gram_lower_split_matches_dense():
+    from springcraft_tpu.ops import rigid as rigid_mod
+
+    w = jnp.asarray(_tril_factor(2, 512, seed=26))
+    got = rigid_mod._gram_lower(w)
+    ref = jnp.einsum("bki,bkj->bij", w, w, precision="highest")
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-6
+
+
+def test_plane_traces_row_ranges_match_dense():
+    # n large enough that the per-plane row floors differ (k0 = 0, 128,
+    # 256 for n = 150) and mp > 3n exercises the padded columns
+    from springcraft_tpu.ops import rigid as rigid_mod
+
+    n = 150
+    mp = pallas_linalg.padded_size(3 * n)
+    assert mp == 512
+    w = jnp.asarray(_tril_factor(2, mp, seed=27))
+    rng = np.random.RandomState(28)
+    t = jnp.asarray(np.linalg.qr(rng.randn(2, 3 * n, 6))[0]
+                    .astype(np.float32))
+    sigma = jnp.asarray(np.float32(2.5))
+    got = rigid_mod._plane_traces_from_w(w, t, sigma, n)
+    full = [jnp.einsum("bkn,bkm->bnm", w[:, :, a * n:(a + 1) * n],
+                       w[:, :, a * n:(a + 1) * n], precision="highest")
+            for a in range(3)]
+    tp = t.reshape(2, 3, n, 6)
+    corr = jnp.einsum("banp,bamp->bnm", tp, tp, precision="highest")
+    ref = full[0] + full[1] + full[2] - corr / sigma
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-6
+
+
+def test_recursion_tri_splits_numpy_leaf(monkeypatch):
+    # Full recursion at mp=640 (two active _tri_split levels) with the
+    # Pallas leaf replaced by a NumPy Cholesky leaf: exercises the
+    # split/stitch arithmetic end-to-end without interpret-mode kernels.
+    def np_leaf(panels, interpret=None, batch_chunk=None,
+                shrink_block=None):
+        p = np.asarray(panels).astype(np.float64)
+        w = np.linalg.inv(np.linalg.cholesky(p))
+        return jnp.asarray(np.tril(w).astype(np.asarray(panels).dtype))
+
+    monkeypatch.setattr(pallas_linalg, "panel_inverse_batched", np_leaf)
+    m = 540
+    a = _random_spd(2, m, seed=29)
+    g = np.asarray(pallas_linalg.spd_inverse_factor(jnp.asarray(a)))
+    assert g.shape == (2, 640, 640)
+    iu = np.triu_indices(640, k=1)
+    assert np.abs(g[:, iu[0], iu[1]]).max() == 0.0
+    l = np.linalg.cholesky(a.astype(np.float64))
+    resid = np.abs(g[:, :m, :m] @ l - np.eye(m)[None]).max()
+    assert resid < 5e-6
+    # A^-1 = (G^T G)[:m, :m]
+    inv = (g.transpose(0, 2, 1) @ g)[:, :m, :m]
+    ref = np.linalg.inv(a.astype(np.float64))
+    rel = np.abs(inv - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5
+
+
 def test_fused_prep_pipeline_tabulated(ca_1l2y):
     """The tabulated (table_compact) family through the fused planes
     path: its assembly tile comes from _ensemble_tile, the raw planes
