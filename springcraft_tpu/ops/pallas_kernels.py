@@ -50,6 +50,8 @@ __all__ = [
     "supports_ensemble",
     "fused_prep_plan",
     "regularize_stitch_pallas",
+    "assembly_prep_plan",
+    "assembly_stitch_pallas",
 ]
 
 
@@ -1045,6 +1047,183 @@ def _regularize_stitch_kernel(n, n_pad, mp, tr, n_row_tiles, *refs):
             eye = jnp.where((rows_g == cols_g) & (rows_g >= 3 * n),
                             one, zero)
             out_ref[0] = out_ref[0] * srow * scol + rank + eye
+
+
+def assembly_prep_plan(n, mp, itemsize=4, budget=14 * 2**20):
+    """Row-tile plan for :func:`assembly_stitch_pallas` (the
+    assembly-fused prep), or ``None`` when no tile fits the VMEM
+    budget.  Unlike :func:`fused_prep_plan` there are no plane blocks
+    to hold — the live set is the double-buffered output row band, the
+    rank temp, and ~7 ``(tr, n)`` pair-plane temporaries — so the plan
+    admits much larger ``n`` than the stitch-from-planes path."""
+    def lanes(x):
+        return _round_up(x, 128)
+
+    nl = lanes(n)
+    for tr in (256, 128, 64, 32, 16, 8):
+        # mp is always a multiple of 8 (pallas_linalg.padded_size), so
+        # a single exact-cover tile is valid when mp < tr
+        tr = min(tr, mp)
+        out_v = tr * lanes(mp) * itemsize * 2
+        rank_v = tr * lanes(mp) * itemsize
+        temps = 7 * tr * nl * itemsize
+        aux_v = (tr * 128 + 8 * lanes(mp)) * itemsize * 4
+        coords_v = 8 * nl * itemsize * 2
+        if out_v + rank_v + temps + aux_v + coords_v <= budget:
+            return tr
+    return None
+
+
+def _assembly_stitch_kernel(params, n, mp, tr, n_row_tiles, *refs):
+    """One output row-band of the regularized/equilibrated factor input
+    computed STRAIGHT from coordinates — the pair planes never touch
+    HBM.
+
+    Fuses :func:`_hessian_ensemble_kernel` (single covering column
+    tile) with :func:`_regularize_stitch_kernel`: each static row
+    segment (:func:`_row_segments`) recomputes its plane rows from the
+    row-atom coordinates (packed per-row in ``rows_aux`` lanes 8:11 —
+    a lane-offset sliver read at a SMALL static offset, the same
+    pattern the rank fmas already use for ``ts``) against the full
+    column coordinate vectors, applies the diagonal superelement
+    correction in-segment (the single column tile sees the whole row
+    sum at once — no rolled-order accumulator), stores the raw pieces
+    at their band offsets, then scales in place with full-width
+    offset-0 vectors exactly as the stitch kernel does.
+
+    Replaces assembly (414 MB of plane writes at (128, n=300) f32)
+    plus the stitch's plane reads (another 414 MB) with one aligned
+    write of ``reg`` — the only O(n^2) HBM traffic left in the prep.
+    Analytic families only (the tabulated pair-constant planes do not
+    fit VMEM alongside the output band).
+    """
+    coord_ref = refs[0]
+    rows_aux_ref = refs[1]
+    cols_aux_ref = refs[2]
+    out_ref = refs[3]
+    i = pl.program_id(1)
+    dtype = out_ref.dtype
+
+    # Aux lane layout (see rigid._regularize_equilibrated_direct):
+    # rows_aux lanes [0:6] = ts rows, [6] = S' rows, [7] = 0,
+    # [8:11] = per-row atom xyz; cols_aux rows [0:6] = ts^T, [6] = 0,
+    # [7] = S' columns.  The complementary zeros at 6/7 make the rank-6
+    # term ONE MXU dot over the first 8 lanes (the scale cross terms
+    # contract against zeros) — measured ~1 ms cheaper per (128, 1024)
+    # chunk than six full-width VPU broadcast fmas.  HIGHEST precision:
+    # a default bf16 pass would round the O(1) rank entries by ~4e-3.
+    scol = cols_aux_ref[0, 7:8, :]           # (1, mp)   S' columns
+    srow = rows_aux_ref[0, :, 6:7]           # (tr, 1)   S' rows
+    rank = jax.lax.dot_general(
+        rows_aux_ref[0][:, 0:8], cols_aux_ref[0][0:8, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    xc = coord_ref[0, 0:1, :]                # (1, n) column atoms
+    yc = coord_ref[0, 1:2, :]
+    zc = coord_ref[0, 2:3, :]
+
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    for it in range(n_row_tiles):
+        row0 = it * tr
+        segs = _row_segments(row0, tr, n)
+
+        @pl.when(i == it)
+        def _(row0=row0, segs=segs):
+            out_ref[0] = jnp.zeros((tr, mp), dtype)
+            for lo, a, p0, rows in segs:
+                xr = rows_aux_ref[0, lo:lo + rows, 8:9]   # (rows, 1)
+                yr = rows_aux_ref[0, lo:lo + rows, 9:10]
+                zr = rows_aux_ref[0, lo:lo + rows, 10:11]
+                dx = xr - xc
+                dy = yr - yc
+                dz = zr - zc
+                sq = dx * dx + dy * dy + dz * dz
+                rows_ids = p0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, n), 0)
+                cols_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, n), 1)
+                eye = rows_ids == cols_ids
+                valid = ~eye
+                if params.has_cutoff:
+                    valid &= sq <= np.float32(params.cutoff_sq)
+                k = jnp.where(valid,
+                              _analytic_constants(params.kind, sq), 0.0)
+                g = -k / jnp.where(sq == 0, 1.0, sq)
+                disp = (dx, dy, dz)
+                da = disp[a]
+                for b in range(3):
+                    plane = g * da * disp[b]
+                    acc = jnp.sum(plane, axis=1, keepdims=True)
+                    plane = plane + jnp.where(eye, -acc, zero)
+                    out_ref[0, lo:lo + rows, b * n:(b + 1) * n] = plane
+            if row0 + tr > 3 * n:
+                # identity padding exists only in this tile's rows —
+                # tiles fully below 3n skip the iota/select work
+                rows_g = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (tr, mp), 0)
+                cols_g = jax.lax.broadcasted_iota(
+                    jnp.int32, (tr, mp), 1)
+                eyep = jnp.where(
+                    (rows_g == cols_g) & (rows_g >= 3 * n), one, zero)
+                out_ref[0] = out_ref[0] * srow * scol + rank + eyep
+            else:
+                out_ref[0] = out_ref[0] * srow * scol + rank
+
+
+def assembly_stitch_pallas(coords_t, params, rows_aux, cols_aux, n, mp,
+                           tr, interpret=None):
+    """Assembly-fused prep: ``(B, 3, n)`` transposed coordinates ->
+    identity-padded, null-space-regularized, Jacobi-equilibrated
+    ``(B, mp, mp)`` factor input in ONE kernel (see
+    :func:`_assembly_stitch_kernel`;
+    ``rigid._regularize_equilibrated_direct`` packs the aux arrays —
+    ``rows_aux`` is ``(B, n_rows, 16)`` with lanes ``[0]`` = scaled
+    rows, ``[1:7]`` = ts rows, ``[8:11]`` = per-row atom coordinates).
+    Analytic families without overlays only.
+    """
+    if params.kind not in ("invariant", "hinsen", "pfenm") \
+            or params.overlays:
+        raise ValueError(
+            f"assembly_stitch_pallas supports analytic families "
+            f"without overlays, got kind={params.kind!r} "
+            f"overlays={bool(params.overlays)}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = coords_t.shape[0]
+    dtype = coords_t.dtype
+    if tr % 8:
+        raise ValueError(f"tr={tr} must be a multiple of 8 (Mosaic "
+                         f"sublane block granularity)")
+    n_row_tiles = -(-mp // tr)
+    if rows_aux.shape != (batch, n_row_tiles * tr, 16):
+        raise ValueError(
+            f"rows_aux must be (B, n_row_tiles * tr, 16) = "
+            f"({batch}, {n_row_tiles * tr}, 16), got {rows_aux.shape}")
+
+    kernel = functools.partial(
+        _assembly_stitch_kernel, params, n, mp, tr, n_row_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, n_row_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 16), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, mp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, mp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, mp, mp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(coords_t, rows_aux, cols_aux)
 
 
 def regularize_stitch_pallas(planes, n, rows_aux, cols_aux, mp, tr,

@@ -40,8 +40,10 @@ __all__ = [
     "rigid_modes_anm",
     "null_mode_gnm",
     "covariance_cholesky",
+    "covariance_cholesky_direct",
     "covariance_cholesky_from_planes",
     "covariance_plane_traces",
+    "covariance_plane_traces_direct",
     "covariance_plane_traces_from_planes",
     "pinv_diagonal",
 ]
@@ -229,6 +231,125 @@ def _regularize_equilibrated_planes(planes, n, t, sigma, masses=None,
     reg = pallas_kernels.regularize_stitch_pallas(
         planes, n, rows_aux, cols_aux, mp, tr, interpret=interpret)
     return reg, scale, sigma
+
+
+def _hessian_diag_xyz_batched(coords, params, dtype):
+    """``(B, 3n)`` diagonal of the xyz-layout ANM Hessian straight from
+    coordinates — the only quantity the assembly-fused prep needs ahead
+    of its kernel (the Jacobi scale is a GLOBAL function of the
+    diagonal through ``sigma``, so it cannot be computed inside a
+    row-banded pass).  One fused XLA reduction, O(n) output."""
+    from . import ffparams as fp
+
+    def one(c):
+        x, y, z = c[:, 0], c[:, 1], c[:, 2]
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        dz = z[:, None] - z[None, :]
+        sq = dx * dx + dy * dy + dz * dz
+        k = fp.force_constant_matrix(sq, params, jnp, dtype=dtype)
+        g = k / jnp.where(sq == 0, 1.0, sq)
+        return jnp.concatenate([
+            jnp.sum(g * dx * dx, axis=1),
+            jnp.sum(g * dy * dy, axis=1),
+            jnp.sum(g * dz * dz, axis=1),
+        ])
+
+    return jax.vmap(one)(coords)
+
+
+def _regularize_equilibrated_direct(coords, params, t, sigma,
+                                    masses=None, tr=None,
+                                    interpret=None):
+    """Semantic twin of :func:`_regularize_equilibrated_planes` that
+    starts from the COORDINATES: the pair planes are recomputed inside
+    the stitch kernel (:func:`.pallas_kernels.assembly_stitch_pallas`)
+    and never materialize in HBM — the assembly kernel and its plane
+    round-trip (one write + one read of ~9 n^2 floats per conformer)
+    drop out of the pipeline entirely.  Analytic families without
+    overlays only; the equilibration diagonal comes from a cheap fused
+    XLA reduction (:func:`_hessian_diag_xyz_batched`), so ``scale`` /
+    ``sigma`` match the planes path to f32 summation order."""
+    from . import pallas_kernels, pallas_linalg
+
+    coords = jnp.asarray(coords)
+    dtype = coords.dtype
+    batch, n = coords.shape[0], coords.shape[1]
+    m = 3 * n
+    mp = pallas_linalg.padded_size(m)
+    t = jnp.asarray(t, dtype=dtype)
+
+    diag_m = _hessian_diag_xyz_batched(coords, params, dtype)
+    if masses is not None:
+        w_xyz = jnp.tile(
+            1.0 / jnp.sqrt(jnp.asarray(masses, dtype)), 3)
+        diag_m = diag_m * (w_xyz * w_xyz)[None]
+    if sigma is None:
+        sigma = jnp.mean(diag_m, axis=-1)[..., None, None]
+    else:
+        sigma = jnp.asarray(sigma, dtype=dtype)
+        sigma = sigma[..., None, None] if sigma.ndim else sigma[None, None]
+    tn2 = jnp.sum(t * t, axis=-1)
+    scale = jax.lax.rsqrt(diag_m + sigma[..., 0] * tn2)
+    ts = t * (scale * jnp.sqrt(sigma[..., 0]))[..., None]   # (B, m, 6)
+    scale_h = scale if masses is None else scale * w_xyz[None]
+
+    if tr is None:
+        tr = pallas_kernels.assembly_prep_plan(n, mp, dtype.itemsize)
+        if tr is None:
+            raise ValueError(
+                f"no assembly-prep row tile fits VMEM at n={n} — use "
+                f"the planes or concatenated path")
+    n_rows = -(-mp // tr) * tr
+    # Lane layout (see pallas_kernels._assembly_stitch_kernel): ts at
+    # [0:6] with the scale vectors at complementary positions (rows 6 /
+    # cols 7) so the kernel's rank-6 MXU dot over lanes [0:8] contracts
+    # the scale cross terms against zeros.
+    rows_aux = jnp.zeros((batch, n_rows, 16), dtype)
+    rows_aux = rows_aux.at[:, :m, 0:6].set(ts)
+    rows_aux = rows_aux.at[:, :m, 6].set(scale_h)
+    # per-output-row atom coordinates (row a*n + p -> atom p)
+    rows_aux = rows_aux.at[:, :m, 8:11].set(jnp.tile(coords, (1, 3, 1)))
+    cols_aux = jnp.zeros((batch, 8, mp), dtype)
+    cols_aux = cols_aux.at[:, 0:6, :m].set(jnp.swapaxes(ts, -1, -2))
+    cols_aux = cols_aux.at[:, 7, :m].set(scale_h)
+    reg = pallas_kernels.assembly_stitch_pallas(
+        jnp.swapaxes(coords, 1, 2), params, rows_aux, cols_aux, n, mp,
+        tr, interpret=interpret)
+    return reg, scale, sigma
+
+
+def covariance_plane_traces_direct(coords, params, null_basis,
+                                   sigma=None, masses=None,
+                                   interpret=None):
+    """:func:`covariance_plane_traces` (blocked engine) computed
+    straight from coordinates via the assembly-fused prep — the
+    fastest batched fluctuation path for the analytic families (see
+    :func:`_regularize_equilibrated_direct`)."""
+    coords = jnp.asarray(coords)
+    n = coords.shape[1]
+    t = jnp.asarray(null_basis, dtype=coords.dtype)
+    reg, scale, sigma = _regularize_equilibrated_direct(
+        coords, params, t, sigma, masses=masses, interpret=interpret)
+    w = _w_from_reg_blocked(reg, scale, 3 * n, interpret)
+    return _plane_traces_from_w(w, t, sigma, n)
+
+
+def covariance_cholesky_direct(coords, params, null_basis, sigma=None,
+                               masses=None, interpret=None):
+    """:func:`covariance_cholesky` (blocked engine) computed straight
+    from coordinates via the assembly-fused prep (see
+    :func:`covariance_plane_traces_direct`)."""
+    coords = jnp.asarray(coords)
+    n = coords.shape[1]
+    m = 3 * n
+    t = jnp.asarray(null_basis, dtype=coords.dtype)
+    reg, scale, sigma = _regularize_equilibrated_direct(
+        coords, params, t, sigma, masses=masses, interpret=interpret)
+    w = _w_from_reg_blocked(reg, scale, m, interpret)
+    inv = _gram_lower(w)[..., :m, :m]
+    return inv - jnp.matmul(t, jnp.swapaxes(t, -1, -2),
+                            precision='highest') / sigma
 
 
 def covariance_cholesky(matrix, null_basis, sigma=None, block_size=None,

@@ -861,6 +861,26 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
         lambda c: rigid.rigid_modes_anm(c, masses=masses, layout="xyz")
     )(coords)
 
+    if _fused_direct_applies(coords, params, dtype, use_pallas):
+        # Assembly-fused prep: the pair planes are recomputed inside
+        # the stitch kernel and never materialize in HBM — drops both
+        # the assembly kernel's plane writes and the stitch's plane
+        # reads from the pipeline (analytic families; see
+        # rigid._regularize_equilibrated_direct).  Matches the planes
+        # path to f32 summation order
+        # (tests/test_pallas_linalg.py::test_assembly_fused_*).
+        if not with_covariance:
+            traces = rigid.covariance_plane_traces_direct(
+                coords, params, bases, masses=masses)
+            return jax.vmap(
+                lambda t: _anm_trace_observables(t, with_dcc)
+            )(traces)
+        cov = rigid.covariance_cholesky_direct(
+            coords, params, bases, masses=masses)
+        return jax.vmap(
+            lambda c: _anm_cov_observables(c, n, with_dcc, with_prs)
+        )(cov)
+
     planes = _build_hessian_planes_batched(coords, params, dtype,
                                            use_pallas)
     if planes is not None:
@@ -892,6 +912,23 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
     return jax.vmap(
         lambda c: _anm_cov_observables(c, n, with_dcc, with_prs)
     )(cov)
+
+
+def _fused_direct_applies(coords, params, dtype, use_pallas):
+    """Whether the assembly-fused prep (coordinates -> factor input in
+    one kernel) covers this configuration: Pallas-eligible analytic
+    family, no overlays, and a VMEM-feasible row-tile plan."""
+    from ..ops import pallas_kernels, pallas_linalg
+
+    if not _resolve_use_pallas(use_pallas, params, dtype):
+        return False
+    if params.overlays or params.kind not in ("invariant", "hinsen",
+                                              "pfenm"):
+        return False
+    n = coords.shape[1]
+    mp = pallas_linalg.padded_size(3 * n)
+    return pallas_kernels.assembly_prep_plan(
+        n, mp, jnp.dtype(dtype).itemsize) is not None
 
 
 def _build_hessian_planes_batched(coords, params, dtype, use_pallas):

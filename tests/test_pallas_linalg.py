@@ -361,6 +361,102 @@ def test_fused_prep_pipeline_use_pallas():
         assert float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale < 2e-5
 
 
+@pytest.mark.parametrize("kind", ["invariant", "hinsen", "pfenm"])
+def test_assembly_fused_prep_matches_planes(kind):
+    """The assembly-fused prep (coordinates -> factor input in one
+    kernel) must reproduce the planes-based prep: identical reg up to
+    the f32 summation order of the XLA diagonal reduction vs the
+    kernel row sums, and matching traces/covariance downstream."""
+    from springcraft_tpu.ops import pallas_kernels, rigid as rigid_mod
+    import jax
+
+    coords = jnp.asarray(_dense_coords(3, 41, seed=17))
+    n = coords.shape[1]
+    if kind == "invariant":
+        params = ffparams.invariant_params(7.0)
+    elif kind == "hinsen":
+        params = ffparams.hinsen_params(7.0)
+    else:
+        params = ffparams.pfenm_params(7.0)
+
+    bases = jax.vmap(
+        lambda c: rigid_mod.rigid_modes_anm(c, layout="xyz")
+    )(coords).astype(jnp.float32)
+
+    planes = pallas_kernels.hessian_pallas_ensemble(
+        coords, params, dtype=jnp.float32, raw_planes=True)
+    ref_reg, ref_scale, ref_sigma = \
+        rigid_mod._regularize_equilibrated_planes(planes, n, bases, None)
+    got_reg, got_scale, got_sigma = \
+        rigid_mod._regularize_equilibrated_direct(coords, params, bases,
+                                                  None)
+    assert got_reg.shape == ref_reg.shape
+    assert float(jnp.max(jnp.abs(got_sigma - ref_sigma))) \
+        / float(jnp.max(jnp.abs(ref_sigma))) < 1e-6
+    assert float(jnp.max(jnp.abs(got_scale - ref_scale))) \
+        / float(jnp.max(jnp.abs(ref_scale))) < 1e-6
+    assert float(jnp.max(jnp.abs(got_reg - ref_reg))) < 1e-5
+
+    ref_tr = rigid_mod.covariance_plane_traces_from_planes(
+        planes, n, bases)
+    got_tr = rigid_mod.covariance_plane_traces_direct(
+        coords, params, bases)
+    scale = float(jnp.max(jnp.abs(ref_tr)))
+    assert float(jnp.max(jnp.abs(got_tr - ref_tr))) / scale < 1e-5
+
+    ref_cov = rigid_mod.covariance_cholesky_from_planes(planes, n, bases)
+    got_cov = rigid_mod.covariance_cholesky_direct(coords, params, bases)
+    scale = float(jnp.max(jnp.abs(ref_cov)))
+    assert float(jnp.max(jnp.abs(got_cov - ref_cov))) / scale < 1e-5
+
+
+def test_assembly_fused_prep_masses():
+    from springcraft_tpu.ops import rigid as rigid_mod
+    import jax
+
+    coords = jnp.asarray(_dense_coords(2, 33, seed=18))
+    n = coords.shape[1]
+    params = ffparams.invariant_params(7.0)
+    masses = jnp.asarray(np.linspace(1.0, 2.5, n).astype(np.float32))
+
+    from springcraft_tpu.ops import pallas_kernels
+
+    planes = pallas_kernels.hessian_pallas_ensemble(
+        coords, params, dtype=jnp.float32, raw_planes=True)
+    bases = jax.vmap(
+        lambda c: rigid_mod.rigid_modes_anm(c, masses=masses,
+                                            layout="xyz")
+    )(coords).astype(jnp.float32)
+
+    ref = rigid_mod.covariance_plane_traces_from_planes(
+        planes, n, bases, masses=masses)
+    got = rigid_mod.covariance_plane_traces_direct(
+        coords, params, bases, masses=masses)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 1e-5
+
+
+def test_assembly_fused_pipeline_matches_xla():
+    """With use_pallas=True the blocked pipeline now takes the
+    assembly-fused direct path for analytic families — observables
+    must still match the XLA-assembled blocked pipeline."""
+    from springcraft_tpu.parallel import pipeline as pl_mod
+
+    coords = _dense_coords(3, 35, seed=19)
+    params = ffparams.invariant_params(7.0)
+    assert pl_mod._fused_direct_applies(
+        jnp.asarray(coords), params, jnp.float32, True)
+    for kwargs in ({}, {"with_covariance": False}):
+        ref = pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", use_pallas=False, **kwargs)
+        got = pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", use_pallas=True, **kwargs)
+        for key in ref:
+            scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
+            dev = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
+            assert dev < 1e-4, (key, kwargs, dev)
+
+
 # ---------------------------------------------------------------------------
 # Triangular zero-skipping (`_tri_split`-active) paths.  They only engage
 # at 128-aligned sub-blocks >= 256 — i.e. recursion sizes far above what

@@ -103,6 +103,23 @@ def s4_full(c):
         with_covariance=False)
 
 
+# --- assembly-fused direct path (planes never hit HBM) ---
+
+def d1_prep(c):
+    reg, scale, _ = rigid._regularize_equilibrated_direct(
+        c, PARAMS, _bases(c), None)
+    return reg, scale
+
+
+def d2_factor(c):
+    reg, scale = d1_prep(c)
+    return pallas_linalg.spd_inverse_factor(reg), scale
+
+
+def d3_traces(c):
+    return rigid.covariance_plane_traces_direct(c, PARAMS, _bases(c))
+
+
 def timed(name, fn, batches):
     """Loop-chained timing: CHAIN dependent iterations inside one
     program; the checksum of iteration k perturbs iteration k+1's
@@ -135,19 +152,31 @@ def main():
     print(f"backend={jax.default_backend()} B={B} N={N} m={3 * N} "
           f"chain={CHAIN}")
     batches = [make_batch(seed) for seed in range(REPS + 1)]
-    stages = [
-        ("assembly", s0_planes),
-        ("bases", lambda c: (s0_planes(c), _bases(c))),
-        ("prep", s1_prep),
-        ("factor", s2_factor),
-        ("traces", s3_traces),
-        ("full", s4_full),
-    ]
+    direct = os.environ.get("DIRECT", "")
+    if direct:
+        stages = [
+            ("bases", _bases),
+            ("d_prep", d1_prep),
+            ("d_factor", d2_factor),
+            ("d_traces", d3_traces),
+            ("full", s4_full),
+        ]
+        chain = ["bases", "d_prep", "d_factor", "d_traces", "full"]
+    else:
+        stages = [
+            ("assembly", s0_planes),
+            ("bases", lambda c: (s0_planes(c), _bases(c))),
+            ("prep", s1_prep),
+            ("factor", s2_factor),
+            ("traces", s3_traces),
+            ("full", s4_full),
+        ]
+        chain = ["assembly", "bases", "prep", "factor", "traces",
+                 "full"]
     results = {}
     for name, fn in stages:
         results[name] = timed(name, fn, batches)
     print("\ndifferenced stages (ms/iter):")
-    chain = ["assembly", "bases", "prep", "factor", "traces", "full"]
     prev = 0.0
     for name in chain:
         cur = results[name] * 1e3
