@@ -725,6 +725,13 @@ def ensemble_anm_fluctuations(coords, params, masses=None, *,
     instead of once per chunk while keeping the blocked kernels at
     their batch sweet spot.  The batch must divide by ``chunk``; 128 is
     the measured optimum at N=300.
+
+    ``prep`` (blocked engine only): ``"planes"`` (default) builds raw
+    assembly planes with the Pallas ensemble kernel and stitches them
+    into the factor input; ``"direct"`` recomputes the planes inside
+    the stitch kernel so they never touch HBM.  Interleaved A/B at the
+    (1024, 300) headline measured identical checksums with planes
+    ~0.8% faster, so direct is opt-in (see docs/performance.md).
     """
     params = _resolve_params(params)
     coords = jnp.asarray(coords)
@@ -842,15 +849,19 @@ def _ensemble_gnm_fluctuations_blocked(coords, params, masses=None,
 
 @functools.partial(
     jax.jit, static_argnames=("with_dcc", "with_prs", "with_covariance",
-                              "dtype", "use_pallas")
+                              "dtype", "use_pallas", "prep")
 )
 def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
                                        with_dcc=True, with_prs=False,
                                        with_covariance=True,
                                        dtype=jnp.float32,
-                                       use_pallas="auto"):
+                                       use_pallas="auto",
+                                       prep="planes"):
     coords = jnp.asarray(coords, dtype=dtype)
     n = coords.shape[1]
+    if prep not in ("planes", "direct"):
+        raise ValueError(
+            f"prep must be 'planes' or 'direct', got {prep!r}")
     if with_prs and not with_covariance:
         raise ValueError(
             "with_prs=True requires with_covariance=True — PRS "
@@ -861,14 +872,20 @@ def _ensemble_anm_fluctuations_blocked(coords, params, masses=None,
         lambda c: rigid.rigid_modes_anm(c, masses=masses, layout="xyz")
     )(coords)
 
-    if _fused_direct_applies(coords, params, dtype, use_pallas):
-        # Assembly-fused prep: the pair planes are recomputed inside
-        # the stitch kernel and never materialize in HBM — drops both
-        # the assembly kernel's plane writes and the stitch's plane
-        # reads from the pipeline (analytic families; see
-        # rigid._regularize_equilibrated_direct).  Matches the planes
-        # path to f32 summation order
+    if prep == "direct" and _fused_direct_applies(coords, params, dtype,
+                                                  use_pallas):
+        # Assembly-fused prep (opt-in): the pair planes are recomputed
+        # inside the stitch kernel and never materialize in HBM —
+        # drops both the assembly kernel's plane writes and the
+        # stitch's plane reads from the pipeline (analytic families;
+        # see rigid._regularize_equilibrated_direct).  Matches the
+        # planes path to f32 summation order
         # (tests/test_pallas_linalg.py::test_assembly_fused_*).
+        # Interleaved A/B at the (1024, 300) headline measured it a
+        # consistent ~0.8% BEHIND the planes path with identical
+        # checksums, and its program misses the persistent compile
+        # cache — hence planes stays the default (docs/performance.md,
+        # "Assembly-fused direct prep").
         if not with_covariance:
             traces = rigid.covariance_plane_traces_direct(
                 coords, params, bases, masses=masses)

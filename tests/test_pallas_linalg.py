@@ -437,9 +437,9 @@ def test_assembly_fused_prep_masses():
 
 
 def test_assembly_fused_pipeline_matches_xla():
-    """With use_pallas=True the blocked pipeline now takes the
-    assembly-fused direct path for analytic families — observables
-    must still match the XLA-assembled blocked pipeline."""
+    """With prep="direct" the blocked pipeline takes the assembly-fused
+    path for analytic families — observables must still match the
+    XLA-assembled blocked pipeline."""
     from springcraft_tpu.parallel import pipeline as pl_mod
 
     coords = _dense_coords(3, 35, seed=19)
@@ -450,7 +450,8 @@ def test_assembly_fused_pipeline_matches_xla():
         ref = pipeline.ensemble_anm_fluctuations(
             coords, params, inverse="blocked", use_pallas=False, **kwargs)
         got = pipeline.ensemble_anm_fluctuations(
-            coords, params, inverse="blocked", use_pallas=True, **kwargs)
+            coords, params, inverse="blocked", use_pallas=True,
+            prep="direct", **kwargs)
         for key in ref:
             scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
             dev = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale

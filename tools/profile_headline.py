@@ -98,9 +98,10 @@ def s3_traces(c):
 
 
 def s4_full(c):
+    prep = "direct" if os.environ.get("DIRECT", "") else "planes"
     return pipeline.ensemble_anm_fluctuations(
         c, PARAMS, with_dcc=True, dtype=jnp.float32, inverse="blocked",
-        with_covariance=False)
+        with_covariance=False, prep=prep)
 
 
 # --- assembly-fused direct path (planes never hit HBM) ---
