@@ -452,6 +452,14 @@ def test_assembly_fused_pipeline_matches_xla():
         got = pipeline.ensemble_anm_fluctuations(
             coords, params, inverse="blocked", use_pallas=True,
             prep="direct", **kwargs)
+        # prep= must also thread through the megabatch chunked program
+        chunked = pipeline.ensemble_anm_fluctuations(
+            coords, params, inverse="blocked", use_pallas=True,
+            prep="direct", chunk=1, **kwargs)
+        for key in got:
+            gscale = float(jnp.max(jnp.abs(got[key]))) or 1.0
+            assert (float(jnp.max(jnp.abs(chunked[key] - got[key])))
+                    / gscale < 1e-6)
         for key in ref:
             scale = float(jnp.max(jnp.abs(ref[key]))) or 1.0
             dev = float(jnp.max(jnp.abs(got[key] - ref[key]))) / scale
