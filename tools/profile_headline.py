@@ -57,7 +57,30 @@ def make_batch(seed=0):
         base[None] + 0.05 * rng.randn(B, N, 3).astype(np.float32))
 
 
-PARAMS = ffparams.invariant_params(13.0)
+def _make_params():
+    """FF=sdenm profiles the tabulated compact family (27-bin sdENM
+    tables through the hoisted-plane ensemble kernel); default is the
+    invariant headline parameterization."""
+    if os.environ.get("FF", "").lower() == "sdenm":
+        from springcraft_tpu.models import TabulatedForceField
+        from springcraft_tpu.structure.atoms import AtomArray
+
+        rng = np.random.RandomState(7)
+        spread = (N / _CA_DENSITY) ** (1.0 / 3.0)
+        atoms = AtomArray(N)
+        atoms.coord = (rng.rand(N, 3) * spread).astype(np.float32)
+        atoms.atom_name[:] = "CA"
+        atoms.element[:] = "C"
+        atoms.res_id[:] = np.arange(1, N + 1)
+        names = np.array(["ALA", "GLY", "LEU", "SER", "VAL"])
+        atoms.res_name[:] = names[rng.randint(0, len(names), N)]
+        atoms.chain_id[:] = "A"
+        return TabulatedForceField.sd_enm(atoms).to_compact_params()
+    return ffparams.invariant_params(13.0)
+
+
+import os  # noqa: E402  (needed before _make_params at module load)
+PARAMS = _make_params()
 
 
 def s0_assembly(c):
