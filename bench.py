@@ -585,12 +585,20 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
     prs_diag = matfree.prs_diag_from_modes(vals, np.asarray(vecs),
                                            layout="xyz")
     t0 = time.perf_counter()
-    eff, sens, es_it, es_res = matfree.effector_sensor_matfree(
-        coord, params, sites, prs_diag=prs_diag)
+    eff, sens, es_it, es_res, self_p = matfree.effector_sensor_matfree(
+        coord, params, sites, prs_diag=prs_diag, return_diag=True)
     es_s = time.perf_counter() - t0
     log(f"tpu matrix-free effector/sensor (n={n_atoms}, 42 sites, "
         f"126-column batched CG): {es_s:.1f}s, {es_it} iterations, "
         f"max CG rel residual {float(np.max(np.asarray(es_res))):.1e}")
+    # The one approximation every normalized mega-scale profile
+    # shares: the rank-k mode-sum P_ii normalizer.  The site columns
+    # carry the EXACT all-mode P_ss — quantify the truncation.
+    diag_err = float(np.max(np.abs(prs_diag[sites] - self_p)
+                            / self_p))
+    log(f"  rank-{k_modes} prs_diag vs exact P_ss at the 42 sites: "
+        f"max rel deviation {diag_err:.2f} (the shared normalizer "
+        f"truncation of all normalized mega-scale profiles)")
 
     # Full-atom profiles by the O(n k^2) mode-sum contraction — no CG
     # sweep; the exact CG values at the 42 probe sites quantify the
@@ -610,12 +618,46 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
         return float((rx @ ry) / np.sqrt((rx @ rx) * (ry @ ry)))
 
     sens_rank = _spearman(sens_full[sites], np.asarray(sens))
+    eff_rank = _spearman(eff_full[sites], np.asarray(eff))
     log(f"tpu matrix-free FULL effector/sensor (n={n_atoms} atoms, "
         f"k={k_modes} mode-sum = exact rank-k PRS profiles): "
-        f"{full_s * 1e3:.0f} ms host; vs exact all-mode CG sensor at "
-        f"the 42 probe sites: Spearman rank corr {sens_rank:.3f}, "
-        f"max pointwise rel deviation {sens_dev:.1e} (rank-k vs "
-        f"all-mode truncation)")
+        f"{full_s * 1e3:.0f} ms host; vs exact all-mode CG values at "
+        f"the 42 probe sites: effector Spearman {eff_rank:.3f}, "
+        f"sensor Spearman {sens_rank:.3f}, max sensor rel deviation "
+        f"{sens_dev:.1e} (rank-{k_modes} truncation error — use the "
+        f"stochastic route below for all-mode profiles)")
+
+    # Unbiased ALL-MODE full-atom profiles: Hutchinson stochastic
+    # diagonal estimation — the profile numerators are diag(C^2) and
+    # diag(C W C), each estimable from Rademacher probe columns of the
+    # SAME batched CG that served the site solves.  48 probes -> 96
+    # columns, ~sqrt(2/48) = 20% relative stderr on the numerators,
+    # independent of n.
+    n_probes = 48
+    t0 = time.perf_counter()
+    eff_st, sens_st, eff_sem, sens_sem, st_it, st_res = (
+        matfree.effector_sensor_stochastic(
+            coord, params, prs_diag, probes=n_probes, seed=11))
+    st_s = time.perf_counter() - t0
+    # Consistent comparisons: the CG effector divides by the EXACT
+    # P_ss, the stochastic one by the shared rank-k prs_diag —
+    # compare under the same normalizer so only sampling noise
+    # remains (the CG sensor already uses prs_diag weights).
+    eff_cons = np.asarray(eff) * self_p / prs_diag[sites]
+    eff_z = float(np.max(np.abs(eff_st[sites] - eff_cons)
+                         / eff_sem[sites]))
+    sens_z = float(np.max(np.abs(sens_st[sites] - np.asarray(sens))
+                          / sens_sem[sites]))
+    log(f"tpu matrix-free STOCHASTIC all-mode effector/sensor "
+        f"(n={n_atoms} atoms, {n_probes} Rademacher probes, "
+        f"{2 * n_probes}-column batched CG): {st_s:.1f}s, {st_it} "
+        f"iterations; vs the exact CG numerators at the 42 sites: "
+        f"effector Spearman "
+        f"{_spearman(eff_st[sites], eff_cons):.3f} "
+        f"(max |dev|/stderr {eff_z:.1f}), sensor Spearman "
+        f"{_spearman(sens_st[sites], np.asarray(sens)):.3f} "
+        f"(max |dev|/stderr {sens_z:.1f}) — unbiased, noise "
+        f"~sqrt(2/probes)")
 
 
 def bench_matfree_xl_tpu():

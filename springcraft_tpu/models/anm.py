@@ -163,7 +163,7 @@ class ANM(ElasticNetworkModel):
 
     def prs_effector_sensor(self, norm=True, matrix_free=False,
                             sites=None, prs_diag=None, modes=None,
-                            **options):
+                            probes=None, **options):
         """
         Perturbation-response-scanning matrix plus the derived effector
         (row-average) and sensor (column-average) profiles.
@@ -186,11 +186,17 @@ class ANM(ElasticNetworkModel):
           extra `options` pass through).  The result is the exact
           profile of the rank-k covariance (the standard
           mode-truncated PRS): equal to the dense path with the
-          complete non-trivial set, ranking-faithful under truncation
-          but not pointwise-converged — see the op's docstring.
+          complete non-trivial set, but a *low-mode subspace*
+          quantity under truncation — see the op's docstring.
+        * ``probes=p`` — unbiased **all-mode** profiles over **all**
+          atoms by Hutchinson stochastic diagonal estimation
+          (``ops.matfree.effector_sensor_stochastic``): one batched
+          CG solve over ``2 p`` Rademacher columns, ``~sqrt(2 / p)``
+          relative standard error independent of system size.  Needs
+          `prs_diag` (as for `sites`).
 
-        Either way the full ``(n, n)`` PRS matrix is never formed and
-        ``None`` is returned in its place:
+        In every matrix-free mode the full ``(n, n)`` PRS matrix is
+        never formed and ``None`` is returned in its place:
         ``(None, effector, sensor)``.
         """
         if not matrix_free:
@@ -203,13 +209,34 @@ class ANM(ElasticNetworkModel):
         from ..ops import matfree
         from ..parallel.pipeline import _resolve_params
 
-        if sites is None and modes is None:
+        if sites is None and modes is None and probes is None:
             raise ValueError(
                 "prs_effector_sensor(matrix_free=True) needs "
                 "sites=<atom indices> (exact profile values at "
-                "selected sites by batched CG) or modes=<k | (values, "
-                "vectors)> (mode-sum profiles over all atoms): the "
-                "full (n, n) PRS matrix requires the dense covariance")
+                "selected sites by batched CG), modes=<k | (values, "
+                "vectors)> (rank-k mode-sum profiles over all atoms), "
+                "or probes=<p> (stochastic all-mode profiles over all "
+                "atoms): the full (n, n) PRS matrix requires the "
+                "dense covariance")
+        if probes is not None:
+            self._require_force_field_matrix(
+                "prs_effector_sensor(matrix_free=True)")
+            params = _resolve_params(self._ff)
+            tol = options.setdefault("tol", 1e-6)
+            eff, sens, _, _, n_it, res = (
+                matfree.effector_sensor_stochastic(
+                    self._coord, params, prs_diag, probes=probes,
+                    norm=norm, masses=self._masses, **options))
+            max_res = float(np.max(np.asarray(res)))
+            if (not (np.all(np.isfinite(eff))
+                     and np.all(np.isfinite(sens)))
+                    or max_res > 10 * tol):
+                raise ValueError(
+                    f"stochastic effector/sensor did not converge: "
+                    f"max relative residual {max_res:.2e} after "
+                    f"{int(n_it)} CG iterations (tol {tol:.0e}) — "
+                    "raise max_iter, or check network connectivity")
+            return None, eff, sens
         if sites is None:
             if isinstance(modes, (int, np.integer)):
                 vals, vecs, _ = self.lowest_modes(

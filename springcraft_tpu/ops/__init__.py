@@ -20,11 +20,13 @@ from .matfree import (
     dcc_rows_matfree_gnm,
     effector_sensor_from_modes,
     effector_sensor_matfree,
+    effector_sensor_stochastic,
     kirchhoff_degree,
     hessian_apply,
     kirchhoff_apply,
     linear_response_matfree,
     prs_diag_from_modes,
+    prs_diag_stochastic,
     prs_rows_matfree,
     lowest_modes_matfree,
     lowest_modes_matfree_gnm,
@@ -57,8 +59,10 @@ __all__ = [
     "dcc_rows_matfree_gnm",
     "effector_sensor_from_modes",
     "effector_sensor_matfree",
+    "effector_sensor_stochastic",
     "kirchhoff_degree",
     "prs_diag_from_modes",
+    "prs_diag_stochastic",
     "prs_rows_matfree",
     "nma_core",
     "pairs",

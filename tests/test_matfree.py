@@ -813,6 +813,14 @@ def test_effector_sensor_matfree_match_dense(ca_1l2y):
     assert np.allclose(eff, np.asarray(eff_full)[sites], rtol=1e-6)
     assert np.allclose(sens, np.asarray(sens_full)[sites], rtol=1e-6)
 
+    # return_diag exposes the exact all-mode P_ss at the sites (a
+    # free by-product of the site columns)
+    eff_d, sens_d, _, _, self_p = matfree.effector_sensor_matfree(
+        coord, params, sites, prs_diag=prs_diag, return_diag=True,
+        tol=1e-11, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.array_equal(eff_d, eff)
+    assert np.allclose(self_p, prs_diag[sites], rtol=1e-8)
+
     # norm=False needs no prs_diag; both profiles equal the raw
     # averages of the (symmetric) unnormalized folded PRS
     eff_raw, sens_raw, _, _ = matfree.effector_sensor_matfree(
@@ -934,6 +942,148 @@ def test_effector_sensor_from_modes_is_rank_k_prs(ca_1l2y):
         vk, uk, norm=False, layout="atom")
     assert np.allclose(eff0, eff0_ref, rtol=1e-10)
     assert np.allclose(sens0, eff0_ref, rtol=1e-10)
+
+
+def test_effector_sensor_stochastic_matches_dense(ca_1l2y):
+    """Hutchinson stochastic profiles are unbiased for the ALL-MODE
+    effector/sensor at every atom: with enough Rademacher probes the
+    full-atom estimates converge on the dense reference-semantics
+    profiles, and the returned standard errors bound the deviations."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    eff_n, sens_n = np.asarray(eff_n), np.asarray(sens_n)
+    prs_diag = np.diagonal(np.asarray(prs_raw))
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    eff, sens, eff_sem, sens_sem, n_it, res = (
+        matfree.effector_sensor_stochastic(
+            coord, params, prs_diag, probes=512, seed=3, tol=1e-10,
+            block=32, use_pallas=False, dtype=jnp.float64))
+    assert np.max(np.asarray(res)) < 1e-8
+    # The estimates are unbiased with ~sqrt(2/512) stderr on the
+    # NUMERATORS; the effector's P_ii subtraction amplifies that
+    # where the profile is small, so the statistically meaningful
+    # check is the returned stderr envelope plus rank agreement.
+    assert np.all(np.abs(eff - eff_n) < 6 * eff_sem + 1e-12)
+    assert np.all(np.abs(sens - sens_n) < 6 * sens_sem + 1e-12)
+
+    def _spearman(a, b):
+        ra = np.argsort(np.argsort(a)).astype(np.float64)
+        rb = np.argsort(np.argsort(b)).astype(np.float64)
+        ra -= ra.mean()
+        rb -= rb.mean()
+        return float((ra @ rb) / np.sqrt((ra @ ra) * (rb @ rb)))
+
+    assert _spearman(eff, eff_n) > 0.9
+    assert _spearman(sens, sens_n) > 0.9
+
+    # fixed seed, fixed probes -> identical result
+    eff2, sens2, _, _, _, _ = matfree.effector_sensor_stochastic(
+        coord, params, prs_diag, probes=512, seed=3, tol=1e-10,
+        block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.array_equal(np.asarray(eff), np.asarray(eff2))
+    assert np.array_equal(np.asarray(sens), np.asarray(sens2))
+
+    # norm=False: both profiles are the diagonal-excluded raw row
+    # means (the raw folded PRS is symmetric), half the probe columns
+    raw = np.asarray(prs_raw)
+    n = len(coord)
+    want = (raw.sum(axis=1) - prs_diag) / (n - 1)
+    eff0, sens0, sem0, _, _, res0 = matfree.effector_sensor_stochastic(
+        coord, params, prs_diag, probes=512, seed=3, norm=False,
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.asarray(res0).shape == (512,)
+    assert np.array_equal(eff0, sens0)
+    assert np.all(np.abs(eff0 - want) < 6 * sem0 + 1e-12)
+    assert _spearman(eff0, want) > 0.9
+
+    with pytest.raises(ValueError, match="prs_diag"):
+        matfree.effector_sensor_stochastic(coord, params, None)
+    with pytest.raises(ValueError, match="probes"):
+        matfree.effector_sensor_stochastic(coord, params, prs_diag,
+                                           probes=1)
+
+
+def test_prs_diag_stochastic_matches_dense(ca_1l2y):
+    """The deflated split-probe product estimator is unbiased for the
+    ALL-MODE folded-PRS diagonal: with enough probes every atom lands
+    inside the stderr envelope of the dense truth, and the rank-k
+    mode-sum is honored as a lower-bound clamp."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    exact = np.diagonal(np.asarray(prs_raw))
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    modes = (vals[6:16], vecs[6:16])        # k=10 deflation
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    diag, sem, n_it, res = matfree.prs_diag_stochastic(
+        coord, params, modes, probes=512, seed=4, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-8
+    floor = matfree.prs_diag_from_modes(modes[0], modes[1],
+                                        layout="atom")
+    assert np.all(diag >= floor - 1e-12)
+    # clamp-active atoms are certain lower bounds, not point estimates
+    active = diag <= floor + 1e-12
+    ok = np.abs(diag - exact) < 6 * sem + 1e-12
+    assert np.all(ok | active)
+    assert np.median(np.abs(diag - exact) / exact) < 0.15
+
+    # complete non-trivial deflation set: C_rest == 0, so the
+    # estimate is exact regardless of probes
+    full = (vals[6:], vecs[6:])
+    diag_f, sem_f, _, _ = matfree.prs_diag_stochastic(
+        coord, params, full, probes=8, seed=4, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(diag_f, exact, rtol=1e-6)
+    assert np.max(sem_f / exact) < 1e-6
+
+    # determinism
+    diag2, _, _, _ = matfree.prs_diag_stochastic(
+        coord, params, modes, probes=512, seed=4, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.array_equal(diag, diag2)
+
+    with pytest.raises(ValueError, match="probes"):
+        matfree.prs_diag_stochastic(coord, params, modes, probes=2)
+    with pytest.raises(ValueError, match="layout"):
+        matfree.prs_diag_stochastic(coord, params, modes,
+                                    layout="plane")
+
+
+def test_anm_prs_effector_sensor_stochastic_surface(ca_1l2y):
+    """`ANM.prs_effector_sensor(matrix_free=True, probes=...)` returns
+    stochastic all-mode full-atom profiles near the dense values."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    prs_diag = np.diagonal(np.asarray(prs_raw))
+
+    none_mat, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, probes=256, prs_diag=prs_diag, seed=5,
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert none_mat is None
+
+    # Deterministic: the surface forwards to the op (same seed ->
+    # identical probes -> identical values)
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    eff_op, sens_op, eff_sem, sens_sem, _, _ = (
+        matfree.effector_sensor_stochastic(
+            coord, params, prs_diag, probes=256, seed=5, tol=1e-10,
+            block=32, use_pallas=False, dtype=jnp.float64))
+    assert np.array_equal(np.asarray(eff), np.asarray(eff_op))
+    assert np.array_equal(np.asarray(sens), np.asarray(sens_op))
+    assert np.all(np.abs(eff - np.asarray(eff_n))
+                  < 6 * eff_sem + 1e-12)
+    assert np.all(np.abs(sens - np.asarray(sens_n))
+                  < 6 * sens_sem + 1e-12)
+
+    with pytest.raises(ValueError, match="prs_diag"):
+        anm.prs_effector_sensor(matrix_free=True, probes=256)
 
 
 def test_anm_prs_effector_sensor_modes_surface(ca_1l2y):
