@@ -161,6 +161,45 @@ def test_hessian_ensemble_tabulated(shifted_two_chain, maker):
         assert _rel_err(t, kref) < 1e-5
 
 
+@pytest.mark.parametrize("maker", ["e_anm", "sd_enm"])
+def test_hessian_ensemble_batch_inner_grid(shifted_two_chain, maker):
+    """The conformer-innermost grid order (pair-plane block reuse
+    across the batch, per-conformer accumulator slots) is bit-identical
+    to the conformer-middle order for both batched kernels, and the
+    auto rule picks it exactly for the tabulated family with a
+    VMEM-sized accumulator."""
+    ff = getattr(sc.TabulatedForceField, maker)(shifted_two_chain)
+    params = ff.to_compact_params()
+    coords = _jiggle(shifted_two_chain.coord, 3)
+
+    h_mid = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+        coords, params, tile=16, interpret=True, batch_inner=False))
+    h_inner = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+        coords, params, tile=16, interpret=True, batch_inner=True))
+    assert np.array_equal(h_mid, h_inner)
+
+    k_mid = np.asarray(pallas_kernels.kirchhoff_pallas_ensemble(
+        coords, params, tile=16, interpret=True, batch_inner=False))
+    k_inner = np.asarray(pallas_kernels.kirchhoff_pallas_ensemble(
+        coords, params, tile=16, interpret=True, batch_inner=True))
+    assert np.array_equal(k_mid, k_inner)
+
+    # auto: on for tabulated with a small accumulator, off for
+    # analytic families (no pair planes to reuse) and huge batches
+    assert pallas_kernels._batch_inner_auto(params, 128, 128, 9)
+    assert not pallas_kernels._batch_inner_auto(params, 8192, 128, 9)
+    assert not pallas_kernels._batch_inner_auto(
+        ffparams.invariant_params(8.0), 128, 128, 9)
+
+    # the analytic families accept an explicit override too
+    inv = ffparams.invariant_params(8.0)
+    a_mid = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+        coords, inv, tile=16, interpret=True, batch_inner=False))
+    a_inner = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+        coords, inv, tile=16, interpret=True, batch_inner=True))
+    assert np.array_equal(a_mid, a_inner)
+
+
 def test_hessian_ensemble_analytic(coords):
     """The analytic families run through the same batched kernel when
     called explicitly (the pipelines vmap them instead)."""
