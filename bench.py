@@ -630,14 +630,16 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
     # Unbiased ALL-MODE full-atom profiles: Hutchinson stochastic
     # diagonal estimation — the profile numerators are diag(C^2) and
     # diag(C W C), each estimable from Rademacher probe columns of the
-    # SAME batched CG that served the site solves.  48 probes -> 96
-    # columns, ~sqrt(2/48) = 20% relative stderr on the numerators,
-    # independent of n.
+    # SAME batched CG that served the site solves.  The Chebyshev
+    # modes already in hand serve as an exact rank-k control variate
+    # (modes=): the dominant rank-k part of both profiles is computed
+    # exactly and only the residual is sampled.
     n_probes = 48
     t0 = time.perf_counter()
     eff_st, sens_st, eff_sem, sens_sem, st_it, st_res = (
         matfree.effector_sensor_stochastic(
-            coord, params, prs_diag, probes=n_probes, seed=11))
+            coord, params, prs_diag, probes=n_probes, seed=11,
+            modes=(vals, np.asarray(vecs))))
     st_s = time.perf_counter() - t0
     # Consistent comparisons: the CG effector divides by the EXACT
     # P_ss, the stochastic one by the shared rank-k prs_diag —
@@ -650,14 +652,52 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
                           / sens_sem[sites]))
     log(f"tpu matrix-free STOCHASTIC all-mode effector/sensor "
         f"(n={n_atoms} atoms, {n_probes} Rademacher probes, "
+        f"rank-{k_modes + 4} exact control variate, "
         f"{2 * n_probes}-column batched CG): {st_s:.1f}s, {st_it} "
         f"iterations; vs the exact CG numerators at the 42 sites: "
         f"effector Spearman "
         f"{_spearman(eff_st[sites], eff_cons):.3f} "
         f"(max |dev|/stderr {eff_z:.1f}), sensor Spearman "
         f"{_spearman(sens_st[sites], np.asarray(sens)):.3f} "
-        f"(max |dev|/stderr {sens_z:.1f}) — unbiased, noise "
-        f"~sqrt(2/probes)")
+        f"(max |dev|/stderr {sens_z:.1f}) — unbiased, only the "
+        f"post-deflation residual is sampled")
+
+    # All-mode MSF at mega scale: the mode-sum MSF is a truncated
+    # LOWER BOUND (it can sit far below the all-mode value for atoms
+    # the low modes barely move); msf_stochastic lifts it to an
+    # unbiased estimate via deflated Hutchinson probes.  Truth at 8
+    # probe sites: exact covariance-column traces (dcc_rows_matfree
+    # norm=False diagonal, 24 CG columns).
+    msf_sites = sites[::5][:8]
+    t0 = time.perf_counter()
+    dcc_rows, dcc_it, dcc_res = matfree.dcc_rows_matfree(
+        coord, params, msf_sites, norm=False)
+    msf_truth = np.array([np.asarray(dcc_rows)[s, site]
+                          for s, site in enumerate(msf_sites)])
+    truth_s = time.perf_counter() - t0
+    modesum = np.einsum(
+        "kan,kan,k->n",
+        np.asarray(vecs, np.float64).reshape(-1, 3, n_atoms),
+        np.asarray(vecs, np.float64).reshape(-1, 3, n_atoms),
+        1.0 / np.asarray(vals, np.float64), optimize=True)
+    t0 = time.perf_counter()
+    msf_st, msf_sem, ms_it, ms_res = matfree.msf_stochastic(
+        coord, params, (vals, np.asarray(vecs)), probes=n_probes,
+        seed=13)
+    ms_s = time.perf_counter() - t0
+    modesum_dev = float(np.max(
+        np.abs(modesum[msf_sites] - msf_truth) / msf_truth))
+    st_dev = float(np.max(
+        np.abs(msf_st[msf_sites] - msf_truth) / msf_truth))
+    st_z = float(np.max(np.abs(msf_st[msf_sites] - msf_truth)
+                        / np.maximum(msf_sem[msf_sites], 1e-300)))
+    log(f"tpu matrix-free STOCHASTIC all-mode MSF (n={n_atoms} atoms, "
+        f"{n_probes} probes, rank-{k_modes + 4} deflation): "
+        f"{ms_s:.1f}s, {ms_it} iterations; vs exact covariance-column "
+        f"traces at 8 sites ({truth_s:.1f}s, max CG rel residual "
+        f"{float(np.max(np.asarray(dcc_res))):.1e}): mode-sum max rel "
+        f"deviation {modesum_dev:.2f} (truncated lower bound) -> "
+        f"stochastic {st_dev:.3f} (max |dev|/stderr {st_z:.1f})")
 
 
 def bench_matfree_xl_tpu():

@@ -102,15 +102,78 @@ class ANM(ElasticNetworkModel):
         return nma.frequencies(self)
 
     def mean_square_fluctuation(self, mode_subset=None, tem=None,
-                                tem_factors=K_B):
+                                tem_factors=K_B, matrix_free=False,
+                                modes=None, probes=64, **options):
         """MSF per node; equals the superelement traces of the covariance
-        when all non-trivial modes are included."""
-        return nma.mean_square_fluctuation(self, mode_subset, tem,
-                                           tem_factors)
+        when all non-trivial modes are included.
 
-    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B):
-        """Isotropic B-factors from the MSF."""
-        return nma.bfactor(self, mode_subset, tem, tem_factors)
+        ``matrix_free=True`` estimates the *all-mode* MSF over all
+        atoms without the covariance (``ops.matfree.msf_stochastic``):
+        deflated Hutchinson probes through one batched CG solve,
+        unbiased at every atom with ``modes`` (``k`` for
+        ``lowest_modes(k, matrix_free=True)``, or an explicit
+        ``(values, vectors)`` pair) as the deflation subspace and
+        exact rank-k floor.  Returns ``(msf, stderr)`` — the per-atom
+        standard error is part of the estimate.  `mode_subset` is not
+        supported on this path (all-mode quantity); extra `options`
+        (``tol``, ``max_iter``, ...) pass through to the CG solver.
+        """
+        if not matrix_free:
+            return nma.mean_square_fluctuation(self, mode_subset, tem,
+                                               tem_factors)
+
+        import numpy as np
+
+        from ..ops import matfree, nma_core
+        from ..parallel.pipeline import _resolve_params
+
+        if mode_subset is not None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) is an "
+                "all-mode quantity; mode_subset is not supported")
+        if modes is None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) needs "
+                "modes=<k | (values, vectors)> as the deflation "
+                "subspace (e.g. k=10 runs lowest_modes(10, "
+                "matrix_free=True) first)")
+        self._require_force_field_matrix(
+            "mean_square_fluctuation(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        if isinstance(modes, (int, np.integer)):
+            vals, vecs, _ = self.lowest_modes(
+                int(modes), matrix_free=True,
+                **{k: v for k, v in options.items()
+                   if k in ("tile", "use_pallas")})
+            modes = (vals, vecs)
+        tol = options.setdefault("tol", 1e-6)
+        msf, stderr, n_it, res = matfree.msf_stochastic(
+            self._coord, params, modes, probes=probes,
+            masses=self._masses, **options)
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(msf)) or max_res > 10 * tol:
+            raise ValueError(
+                f"stochastic MSF did not converge: max relative "
+                f"residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        scale = nma_core.temperature_scaling(tem, tem_factors)
+        return msf * scale, stderr * scale
+
+    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B,
+                matrix_free=False, **options):
+        """Isotropic B-factors from the MSF.
+
+        ``matrix_free=True`` scales the stochastic all-mode MSF
+        estimate (see :meth:`mean_square_fluctuation`); returns
+        ``(bfactor, stderr)``."""
+        if not matrix_free:
+            return nma.bfactor(self, mode_subset, tem, tem_factors)
+        from ..ops import nma_core
+        msf, stderr = self.mean_square_fluctuation(
+            mode_subset, tem, tem_factors, matrix_free=True, **options)
+        return (nma_core.bfactor_from_msf(msf),
+                nma_core.bfactor_from_msf(stderr))
 
     def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B,
             matrix_free=False, sites=None, msf=None, **options):
@@ -121,8 +184,11 @@ class ANM(ElasticNetworkModel):
         (``ops.matfree.dcc_rows_matfree``) — for systems whose
         covariance exceeds device memory.  With ``norm=True`` the
         normalization diagonal (the all-mode MSF) is required: pass
-        `msf` (e.g. the mode-sum MSF from :meth:`lowest_modes` at mega
-        scale; exact traces give exact reference parity).  Returns the
+        `msf` (at mega scale use
+        :meth:`mean_square_fluctuation(matrix_free=True) <mean_square_fluctuation>`
+        — unbiased — or the truncated mode-sum from
+        :meth:`lowest_modes`; exact traces give exact reference
+        parity).  Returns the
         ``(len(sites), n)`` row block; `mode_subset` is not supported on
         this path (it is an all-mode quantity).  Extra `options`
         (``tol``, ``max_iter``, ...) pass through to the CG solver.
@@ -193,7 +259,11 @@ class ANM(ElasticNetworkModel):
           (``ops.matfree.effector_sensor_stochastic``): one batched
           CG solve over ``2 p`` Rademacher columns, ``~sqrt(2 / p)``
           relative standard error independent of system size.  Needs
-          `prs_diag` (as for `sites`).
+          `prs_diag` (as for `sites`).  Combine with ``modes=`` (an
+          integer or the ``lowest_modes`` output) to deflate: the
+          rank-k part of the profiles is then computed exactly as a
+          control variate and only the residual is sampled — far
+          tighter per-atom error bars at the same probe count.
 
         In every matrix-free mode the full ``(n, n)`` PRS matrix is
         never formed and ``None`` is returned in its place:
@@ -222,11 +292,18 @@ class ANM(ElasticNetworkModel):
             self._require_force_field_matrix(
                 "prs_effector_sensor(matrix_free=True)")
             params = _resolve_params(self._ff)
+            if isinstance(modes, (int, np.integer)):
+                vals, vecs, _ = self.lowest_modes(
+                    int(modes), matrix_free=True,
+                    **{k: v for k, v in options.items()
+                       if k in ("tile", "use_pallas")})
+                modes = (vals, vecs)
             tol = options.setdefault("tol", 1e-6)
             eff, sens, _, _, n_it, res = (
                 matfree.effector_sensor_stochastic(
                     self._coord, params, prs_diag, probes=probes,
-                    norm=norm, masses=self._masses, **options))
+                    norm=norm, masses=self._masses, modes=modes,
+                    **options))
             max_res = float(np.max(np.asarray(res)))
             if (not (np.all(np.isfinite(eff))
                      and np.all(np.isfinite(sens)))

@@ -59,15 +59,77 @@ class GNM(ElasticNetworkModel):
         return nma.frequencies(self)
 
     def mean_square_fluctuation(self, mode_subset=None, tem=None,
-                                tem_factors=K_B):
+                                tem_factors=K_B, matrix_free=False,
+                                modes=None, probes=64, **options):
         """MSF per node; equals the covariance diagonal when all
-        non-trivial modes are included."""
-        return nma.mean_square_fluctuation(self, mode_subset, tem,
-                                           tem_factors)
+        non-trivial modes are included.
 
-    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B):
-        """Isotropic B-factors from the MSF."""
-        return nma.bfactor(self, mode_subset, tem, tem_factors)
+        ``matrix_free=True`` estimates the *all-mode* MSF over all
+        atoms without the covariance
+        (``ops.matfree.msf_stochastic_gnm``): deflated Hutchinson
+        probes through one batched CG solve, unbiased at every atom
+        with ``modes`` (``k`` or an explicit ``(values, vectors)``
+        pair) as the deflation subspace and exact rank-k floor.
+        Returns ``(msf, stderr)``; `mode_subset` is not supported on
+        this path.  Extra `options` (``tol``, ``max_iter``,
+        ``precond``, ...) pass through to the solver.
+        """
+        if not matrix_free:
+            return nma.mean_square_fluctuation(self, mode_subset, tem,
+                                               tem_factors)
+
+        import numpy as np
+
+        from ..ops import matfree, nma_core
+        from ..parallel.pipeline import _resolve_params
+
+        if mode_subset is not None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) is an "
+                "all-mode quantity; mode_subset is not supported")
+        if modes is None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) needs "
+                "modes=<k | (values, vectors)> as the deflation "
+                "subspace (e.g. k=10 runs lowest_modes(10, "
+                "matrix_free=True) first)")
+        self._require_force_field_matrix(
+            "mean_square_fluctuation(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        if isinstance(modes, (int, np.integer)):
+            vals, vecs, _ = self.lowest_modes(
+                int(modes), matrix_free=True,
+                **{k: v for k, v in options.items()
+                   if k in ("tile", "use_pallas")})
+            modes = (vals, vecs)
+        tol = options.setdefault("tol", 1e-6)
+        msf, stderr, n_it, res = matfree.msf_stochastic_gnm(
+            self._coord, params, modes, probes=probes,
+            masses=self._masses, **options)
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(msf)) or max_res > 10 * tol:
+            raise ValueError(
+                f"stochastic MSF did not converge: max relative "
+                f"residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        scale = nma_core.temperature_scaling(tem, tem_factors)
+        return msf * scale, stderr * scale
+
+    def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B,
+                matrix_free=False, **options):
+        """Isotropic B-factors from the MSF.
+
+        ``matrix_free=True`` scales the stochastic all-mode MSF
+        estimate (see :meth:`mean_square_fluctuation`); returns
+        ``(bfactor, stderr)``."""
+        if not matrix_free:
+            return nma.bfactor(self, mode_subset, tem, tem_factors)
+        from ..ops import nma_core
+        msf, stderr = self.mean_square_fluctuation(
+            mode_subset, tem, tem_factors, matrix_free=True, **options)
+        return (nma_core.bfactor_from_msf(msf),
+                nma_core.bfactor_from_msf(stderr))
 
     def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B,
             matrix_free=False, sites=None, msf=None, **options):
@@ -77,8 +139,10 @@ class GNM(ElasticNetworkModel):
         `sites` by deflated CG on the implicit Kirchhoff operator
         (``ops.matfree.dcc_rows_matfree_gnm``) — for systems whose
         covariance exceeds device memory.  ``norm=True`` requires
-        `msf` (the all-mode GNM MSF, e.g. the mode-sum from
-        :meth:`lowest_modes` at mega scale).  Extra `options` (``tol``,
+        `msf` (the all-mode GNM MSF — at mega scale use
+        :meth:`mean_square_fluctuation(matrix_free=True)
+        <mean_square_fluctuation>`, unbiased, or the truncated
+        mode-sum from :meth:`lowest_modes`).  Extra `options` (``tol``,
         ``max_iter``, ``precond``, ...) pass through to the solver.
         """
         if not matrix_free:

@@ -80,8 +80,12 @@ __all__ = [
     "kirchhoff_degree",
     "prs_rows_matfree",
     "prs_diag_from_modes",
+    "prs_diag_stochastic",
     "effector_sensor_matfree",
     "effector_sensor_from_modes",
+    "effector_sensor_stochastic",
+    "msf_stochastic",
+    "msf_stochastic_gnm",
     "linear_response_matfree",
     "matfree_mode_residuals",
 ]
@@ -2126,19 +2130,10 @@ def prs_diag_stochastic(coord, params, modes, *, probes=64, seed=0,
     if probes < 4:
         raise ValueError("probes must be >= 4 (two independent "
                          "halves, each with a sample variance)")
-    vals = np.asarray(modes[0], np.float64)
-    vecs = np.asarray(modes[1], np.float64)
-    k = vecs.shape[0]
-    if layout == "xyz":
-        planes = vecs.reshape(k, 3, n)
-    elif layout == "atom":
-        planes = vecs.reshape(k, n, 3).transpose(0, 2, 1)
-    else:
-        raise ValueError(f"Unknown layout '{layout}'")
-    # exact rank-k diagonal blocks + the xyz-layout mode matrix
+    vals, planes, v_xyz = _rank_k_planes(modes, n, layout)
+    # exact rank-k diagonal blocks
     blk_k = np.einsum("kai,kbi->iab", planes / vals[:, None, None],
                       planes, optimize=True)                # (n, 3, 3)
-    v_xyz = planes.reshape(k, 3 * n)
 
     rng = np.random.RandomState(seed)
     z = rng.randint(0, 2, size=(3 * n, probes)).astype(
@@ -2174,8 +2169,125 @@ def prs_diag_stochastic(coord, params, modes, *, probes=64, seed=0,
     return diag, stderr, n_it, res
 
 
+def _rank_k_planes(modes, n, layout):
+    """Non-trivial mode set ``(values, vectors)`` -> f64
+    ``(vals, planes (k, 3, n), v_xyz (k, 3n))`` in xyz plane layout."""
+    vals = np.asarray(modes[0], np.float64)
+    vecs = np.asarray(modes[1], np.float64)
+    k = vecs.shape[0]
+    if layout == "xyz":
+        planes = vecs.reshape(k, 3, n)
+    elif layout == "atom":
+        planes = vecs.reshape(k, n, 3).transpose(0, 2, 1)
+    else:
+        raise ValueError(f"Unknown layout '{layout}'")
+    return vals, planes, planes.reshape(k, 3 * n)
+
+
+def msf_stochastic(coord, params, modes, *, probes=64, seed=0,
+                   layout="xyz", masses=None, dtype=jnp.float32,
+                   **options):
+    """
+    Unbiased **all-mode** mean-square fluctuation over all atoms
+    without the covariance matrix: deflated Hutchinson diagonal
+    estimation of ``tr C_ii`` (the reference's all-mode MSF,
+    ``nma.py:108-184``, at a scale where the covariance cannot exist).
+
+    The mode-sum MSF (the current mega-scale default) is a *truncated*
+    quantity — a true lower bound that can sit well below the all-mode
+    value for atoms the low modes barely move.  This estimator is
+    unbiased at every atom: probe the deflated covariance ``C_rest =
+    C - C_k`` with Rademacher columns ``z`` through one batched
+    deflated-CG solve (``E[z_r (C_rest z)_r] = (C_rest)_rr``), fold
+    the three Cartesian components per atom, add the exact rank-k
+    mode-sum back, and clamp from below by it (``(C_rest)_ii >= 0``
+    — the diagonal of a PSD matrix).  Deflation makes the noise
+    proportional to the *residual* spectrum (``~1/lambda_(k+1)``
+    instead of ``~1/lambda_1``), so modest probe counts give small
+    per-atom standard errors (returned).
+
+    Parameters
+    ----------
+    coord : ndarray, shape=(n, 3)
+    params : FFParams
+    modes : (eig_values, eig_vectors)
+        Non-trivial modes in rows, ``(k,)`` / ``(k, 3n)`` — the
+        deflation subspace (``lowest_modes_matfree`` output).
+    probes : int
+        Rademacher probe columns (one batched CG solve; columns to the
+        128-lane width are free on the Pallas paths).
+    layout : {"xyz", "atom"}
+        Eigenvector component layout.
+    options
+        Forwarded to :func:`covariance_solve_matfree` (`tol`,
+        `max_iter`, `use_pallas`, `block`, ...).
+
+    Returns
+    -------
+    msf : ndarray, shape=(n,)
+        Estimated all-mode MSF, clamped from below by the rank-k
+        mode-sum.
+    stderr : ndarray, shape=(n,)
+        Per-atom standard error (sample std over probes /
+        sqrt(probes)); where the clamp is active the returned value is
+        a certain lower bound.
+    n_iter : int
+    residuals : ndarray, shape=(probes,)
+    """
+    n = np.asarray(coord).shape[0]
+    if probes < 2:
+        raise ValueError("probes must be >= 2 (stderr needs a sample "
+                         "variance)")
+    vals, planes, v_xyz = _rank_k_planes(modes, n, layout)
+    msf_k = np.einsum("kai,kai->i", planes / vals[:, None, None],
+                      planes, optimize=True)
+
+    rng = np.random.RandomState(seed)
+    z = rng.randint(0, 2, size=(3 * n, probes)).astype(
+        np.float64) * 2.0 - 1.0
+    x, n_it, res = covariance_solve_matfree(
+        coord, params, z, masses=masses, dtype=dtype, **options)
+    x = (np.asarray(x, np.float64)
+         - v_xyz.T @ ((v_xyz @ z) / vals[:, None]))
+    # fold the three components per atom, per probe
+    samples = np.sum(z.reshape(3, n, probes) * x.reshape(3, n, probes),
+                     axis=0)                                # (n, probes)
+    rest = samples.mean(axis=1)
+    stderr = samples.std(axis=1, ddof=1) / np.sqrt(probes)
+    msf = msf_k + np.maximum(rest, 0.0)
+    return msf, stderr, int(n_it), res
+
+
+def msf_stochastic_gnm(coord, params, modes, *, probes=64, seed=0,
+                       masses=None, dtype=jnp.float32, **options):
+    """GNM counterpart of :func:`msf_stochastic`: unbiased all-mode
+    ``diag(pinv(K))`` (the reference GNM MSF) by deflated Hutchinson
+    probes through :func:`covariance_solve_matfree_gnm`.  Same
+    contract; mode vectors are ``(k, n)``."""
+    n = np.asarray(coord).shape[0]
+    if probes < 2:
+        raise ValueError("probes must be >= 2 (stderr needs a sample "
+                         "variance)")
+    vals = np.asarray(modes[0], np.float64)
+    vecs = np.asarray(modes[1], np.float64)
+    msf_k = np.einsum("ki,ki->i", vecs / vals[:, None], vecs,
+                      optimize=True)
+
+    rng = np.random.RandomState(seed)
+    z = rng.randint(0, 2, size=(n, probes)).astype(np.float64) * 2.0 - 1.0
+    x, n_it, res = covariance_solve_matfree_gnm(
+        coord, params, z, masses=masses, dtype=dtype, **options)
+    x = np.asarray(x, np.float64) - vecs.T @ ((vecs @ z) / vals[:, None])
+    samples = z * x                                         # (n, probes)
+    rest = samples.mean(axis=1)
+    stderr = samples.std(axis=1, ddof=1) / np.sqrt(probes)
+    msf = msf_k + np.maximum(rest, 0.0)
+    return msf, stderr, int(n_it), res
+
+
 def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
                                norm=True, masses=None, seed=0,
+                               modes=None, layout="xyz",
                                dtype=jnp.float32, **options):
     """
     **All-mode** effector/sensor profiles over **all** atoms without
@@ -2220,6 +2332,21 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         Reference-standard row normalization ``P_ij / P_ii``.
     seed : int
         Probe RNG seed — fixed seed, fixed result.
+    modes : (eig_values, eig_vectors), optional
+        Non-trivial modes for an **exact rank-k control variate** —
+        the dominant variance killer.  The deflated covariance
+        ``C_rest = C - C_k`` satisfies ``C_k C_rest = 0`` (orthogonal
+        eigenspaces), so ``diag(C^2) = diag(C_k^2) + diag(C_rest^2)``:
+        the ``C_k^2`` part (which carries almost the whole profile for
+        atoms the low modes move) is computed EXACTLY on host and only
+        the small residual second moment is estimated — per-atom noise
+        drops from ``~(C^2)_rr`` to ``~(C_rest^2)_rr + cross`` order
+        (the sensor keeps an unbiased ``2 u v`` cross term: ``W``
+        breaks the orthogonality).  Pass the ``lowest_modes`` output
+        already in hand; the estimate stays unbiased with ANY mode
+        subset.
+    layout : {"xyz", "atom"}
+        `modes` eigenvector component layout.
     options
         Forwarded to :func:`covariance_solve_matfree` (`tol`,
         `max_iter`, `use_pallas`, `block`, ...).
@@ -2262,16 +2389,48 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
 
     x, n_it, res = covariance_solve_matfree(
         coord, params, z, masses=masses, dtype=dtype, **options)
-    x = np.asarray(x, np.float64).reshape(3, n, n_cols)
-    # Per-probe per-atom samples: fold the three components
-    samples = np.sum(x**2, axis=0)                  # (n, cols)
-    e_num = samples[:, :probes].mean(axis=1)        # E -> rowsum P_i
-    e_sem = samples[:, :probes].std(axis=1, ddof=1) / np.sqrt(probes)
+    x = np.asarray(x, np.float64)
+
+    if modes is not None:
+        vals_k, planes_k, v_xyz = _rank_k_planes(modes, n, layout)
+        # exact rank-k response per probe and its removal
+        u = v_xyz.T @ ((v_xyz @ z) / vals_k[:, None])
+        v = (x - u).reshape(3, n, n_cols)
+        u = u.reshape(3, n, n_cols)
+        # exact fold diag(C_k^2) per atom
+        e_k2 = np.einsum("kai,kai,k->i", planes_k, planes_k,
+                         1.0 / vals_k**2, optimize=True)
+        # effector: C_k C_rest == 0 exactly, so the cross diagonal
+        # vanishes and only the residual second moment is sampled
+        se = np.sum(v[:, :, :probes]**2, axis=0)     # (n, probes)
+        e_num = e_k2 + se.mean(axis=1)
+        e_sem = se.std(axis=1, ddof=1) / np.sqrt(probes)
+        if norm:
+            # exact fold diag(C_k W C_k): S = L^-1 (V W V^T) L^-1
+            w_full = np.tile(1.0 / prs_diag, 3)
+            s_mat = ((v_xyz * w_full[None, :]) @ v_xyz.T
+                     / np.outer(vals_k, vals_k))
+            a_rows = s_mat @ v_xyz                   # (k, 3n)
+            s_k2 = np.sum(v_xyz * a_rows, axis=0).reshape(3, n)
+            # W breaks the eigenspace orthogonality: keep the
+            # (zero-exact-part, unbiased) 2 u v cross term
+            ss = np.sum(2.0 * u[:, :, probes:] * v[:, :, probes:]
+                        + v[:, :, probes:]**2, axis=0)
+            s_num = s_k2.sum(axis=0) + ss.mean(axis=1)
+            s_sem = ss.std(axis=1, ddof=1) / np.sqrt(probes)
+    else:
+        x = x.reshape(3, n, n_cols)
+        # Per-probe per-atom samples: fold the three components
+        samples = np.sum(x**2, axis=0)              # (n, cols)
+        e_num = samples[:, :probes].mean(axis=1)    # E -> rowsum P_i
+        e_sem = samples[:, :probes].std(axis=1, ddof=1) / np.sqrt(
+            probes)
+        if norm:
+            s_num = samples[:, probes:].mean(axis=1)  # -> sum_i w_i P_ij
+            s_sem = samples[:, probes:].std(axis=1, ddof=1) / np.sqrt(
+                probes)
 
     if norm:
-        s_num = samples[:, probes:].mean(axis=1)    # E -> sum_i w_i P_ij
-        s_sem = samples[:, probes:].std(axis=1, ddof=1) / np.sqrt(
-            probes)
         effector = (e_num - prs_diag) / ((n - 1) * prs_diag)
         sensor = (s_num - 1.0) / (n - 1)
         effector_stderr = e_sem / ((n - 1) * prs_diag)
@@ -2511,9 +2670,10 @@ def dcc_rows_matfree(coord, params, sites, *, norm=True, msf=None,
         from the site columns alone — pass it as `msf`.
     msf : ndarray, shape=(n,), optional
         Per-atom covariance traces for normalization.  At mega scale
-        use the mode-sum MSF from :func:`lowest_modes_matfree`
-        (``sum_k v_k^2 / lambda_k`` folded per atom); exact traces give
-        exact reference parity.  Required when ``norm=True``.
+        use :func:`msf_stochastic` (unbiased all-mode estimate) or the
+        mode-sum MSF from :func:`lowest_modes_matfree` (a truncated
+        lower bound); exact traces give exact reference parity.
+        Required when ``norm=True``.
 
     Returns
     -------

@@ -986,6 +986,39 @@ def test_effector_sensor_stochastic_matches_dense(ca_1l2y):
     assert np.array_equal(np.asarray(eff), np.asarray(eff2))
     assert np.array_equal(np.asarray(sens), np.asarray(sens2))
 
+    # rank-k control variate (modes=): still unbiased (inside the
+    # stderr envelope of the dense truth) with FAR tighter error bars
+    # at the same probe count — the dominant rank-k part of both
+    # profiles is computed exactly and only the residual is sampled
+    vals_m, vecs_m = (np.asarray(a) for a in anm.eigen())
+    modes10 = (vals_m[6:16], vecs_m[6:16])
+    eff_d, sens_d, effd_sem, sensd_sem, _, _ = (
+        matfree.effector_sensor_stochastic(
+            coord, params, prs_diag, probes=512, seed=3, tol=1e-10,
+            modes=modes10, layout="atom", block=32, use_pallas=False,
+            dtype=jnp.float64))
+    assert np.all(np.abs(eff_d - eff_n) < 6 * effd_sem + 1e-12)
+    assert np.all(np.abs(sens_d - sens_n) < 6 * sensd_sem + 1e-12)
+    assert np.median(effd_sem / eff_sem) < 0.3
+    # the sensor keeps the 2 u v cross-term noise (W breaks the
+    # eigenspace orthogonality) — smaller cut than the effector's
+    assert np.median(sensd_sem / sens_sem) < 0.7
+    assert _spearman(eff_d, eff_n) > 0.95
+    assert _spearman(sens_d, sens_n) > 0.95
+
+    # complete non-trivial deflation set: the residual is exactly
+    # zero, the profiles are exact regardless of probe count
+    full_m = (vals_m[6:], vecs_m[6:])
+    eff_f, sens_f, efff_sem, sensf_sem, _, _ = (
+        matfree.effector_sensor_stochastic(
+            coord, params, prs_diag, probes=2, seed=3, tol=1e-10,
+            modes=full_m, layout="atom", block=32, use_pallas=False,
+            dtype=jnp.float64))
+    assert np.allclose(eff_f, eff_n, rtol=1e-6, atol=1e-12)
+    assert np.allclose(sens_f, sens_n, rtol=1e-6, atol=1e-12)
+    assert np.max(np.abs(efff_sem)) < 1e-8
+    assert np.max(np.abs(sensf_sem)) < 1e-8
+
     # norm=False: both profiles are the diagonal-excluded raw row
     # means (the raw folded PRS is symmetric), half the probe columns
     raw = np.asarray(prs_raw)
@@ -1084,6 +1117,142 @@ def test_anm_prs_effector_sensor_stochastic_surface(ca_1l2y):
 
     with pytest.raises(ValueError, match="prs_diag"):
         anm.prs_effector_sensor(matrix_free=True, probes=256)
+
+
+def test_msf_stochastic_matches_dense(ca_1l2y):
+    """The deflated Hutchinson MSF estimator is unbiased for the
+    ALL-MODE per-atom covariance traces: every atom lands inside the
+    stderr envelope of the dense truth (or on the exact rank-k clamp),
+    and the complete deflation set gives the exact values."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    exact = np.asarray(anm.mean_square_fluctuation())
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    modes = (vals[6:16], vecs[6:16])        # k=10 deflation
+    n = ca_1l2y.array_length()
+    floor = np.einsum(
+        "knd,knd,k->n", vecs[6:16].reshape(10, n, 3),
+        vecs[6:16].reshape(10, n, 3), 1.0 / vals[6:16])
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(13.0)
+    msf, sem, n_it, res = matfree.msf_stochastic(
+        coord, params, modes, probes=512, seed=2, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-8
+    assert np.all(msf >= floor - 1e-12)
+    clamped = msf <= floor + 1e-12
+    assert np.all((np.abs(msf - exact) < 6 * sem + 1e-12) | clamped)
+    assert np.median(np.abs(msf - exact) / exact) < 0.15
+
+    # complete non-trivial deflation set: C_rest == 0 -> exact
+    full = (vals[6:], vecs[6:])
+    msf_f, sem_f, _, _ = matfree.msf_stochastic(
+        coord, params, full, probes=4, seed=2, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(msf_f, exact, rtol=1e-6)
+    assert np.max(sem_f / exact) < 1e-6
+
+    # determinism + input validation
+    msf2, _, _, _ = matfree.msf_stochastic(
+        coord, params, modes, probes=512, seed=2, layout="atom",
+        tol=1e-10, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.array_equal(msf, msf2)
+    with pytest.raises(ValueError, match="probes"):
+        matfree.msf_stochastic(coord, params, modes, probes=1)
+    with pytest.raises(ValueError, match="layout"):
+        matfree.msf_stochastic(coord, params, modes, layout="plane")
+
+
+def test_msf_stochastic_gnm_matches_dense(ca_1l2y):
+    """GNM counterpart: unbiased all-mode diag(pinv(K))."""
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    exact = np.asarray(gnm.mean_square_fluctuation())
+    vals, vecs = (np.asarray(a) for a in gnm.eigen())
+    modes = (vals[1:6], vecs[1:6])          # k=5 deflation
+    floor = np.einsum("kn,kn,k->n", vecs[1:6], vecs[1:6],
+                      1.0 / vals[1:6])
+
+    coord = np.asarray(ca_1l2y.coord, dtype=np.float64)
+    params = ffparams.invariant_params(7.0)
+    msf, sem, n_it, res = matfree.msf_stochastic_gnm(
+        coord, params, modes, probes=512, seed=3, tol=1e-11,
+        block=16, use_pallas=False, dtype=jnp.float64)
+    assert np.max(np.asarray(res)) < 1e-9
+    assert np.all(msf >= floor - 1e-12)
+    clamped = msf <= floor + 1e-12
+    assert np.all((np.abs(msf - exact) < 6 * sem + 1e-12) | clamped)
+    assert np.median(np.abs(msf - exact) / exact) < 0.15
+
+    full = (vals[1:], vecs[1:])
+    msf_f, sem_f, _, _ = matfree.msf_stochastic_gnm(
+        coord, params, full, probes=4, seed=3, tol=1e-11,
+        block=16, use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(msf_f, exact, rtol=1e-6)
+    assert np.max(sem_f / exact) < 1e-6
+
+
+def test_anm_msf_stochastic_surface(ca_1l2y):
+    """`ANM.mean_square_fluctuation(matrix_free=True, modes=...)`
+    returns (msf, stderr) near the dense all-mode values, applies
+    temperature scaling, and validates its inputs."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    exact = np.asarray(anm.mean_square_fluctuation())
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    modes = (vals[6:16], vecs[6:16])
+    n = ca_1l2y.array_length()
+    floor = np.einsum(
+        "knd,knd,k->n", vecs[6:16].reshape(10, n, 3),
+        vecs[6:16].reshape(10, n, 3), 1.0 / vals[6:16])
+
+    msf, sem = anm.mean_square_fluctuation(
+        matrix_free=True, modes=modes, probes=256, seed=7,
+        layout="atom", tol=1e-10, block=32, use_pallas=False,
+        dtype=jnp.float64)
+    clamped = msf <= floor + 1e-12
+    assert np.all((np.abs(msf - exact) < 6 * sem + 1e-12) | clamped)
+
+    # temperature scaling matches the dense path's semantics
+    msf_t, sem_t = anm.mean_square_fluctuation(
+        matrix_free=True, modes=modes, probes=256, seed=7,
+        layout="atom", tem=300.0, tol=1e-10, block=32,
+        use_pallas=False, dtype=jnp.float64)
+    from springcraft_tpu.ops import nma_core
+    scale = nma_core.temperature_scaling(300.0, nma_core.K_B)
+    assert np.allclose(msf_t, msf * scale, rtol=1e-12)
+    assert np.allclose(sem_t, sem * scale, rtol=1e-12)
+
+    # bfactor is the scaled MSF; same estimator, same seed -> exact
+    bf, bf_sem = anm.bfactor(
+        matrix_free=True, modes=modes, probes=256, seed=7,
+        layout="atom", tol=1e-10, block=32, use_pallas=False,
+        dtype=jnp.float64)
+    scale_b = 8 * np.pi**2 / 3
+    assert np.allclose(bf, msf * scale_b, rtol=1e-12)
+    assert np.allclose(bf_sem, sem * scale_b, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="mode_subset"):
+        anm.mean_square_fluctuation(matrix_free=True, modes=modes,
+                                    mode_subset=[6, 7])
+    with pytest.raises(ValueError, match="modes"):
+        anm.mean_square_fluctuation(matrix_free=True)
+
+
+def test_gnm_msf_stochastic_surface(ca_1l2y):
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    exact = np.asarray(gnm.mean_square_fluctuation())
+    vals, vecs = (np.asarray(a) for a in gnm.eigen())
+    modes = (vals[1:6], vecs[1:6])
+    floor = np.einsum("kn,kn,k->n", vecs[1:6], vecs[1:6],
+                      1.0 / vals[1:6])
+
+    msf, sem = gnm.mean_square_fluctuation(
+        matrix_free=True, modes=modes, probes=256, seed=9, tol=1e-11,
+        block=16, use_pallas=False, dtype=jnp.float64)
+    clamped = msf <= floor + 1e-12
+    assert np.all((np.abs(msf - exact) < 6 * sem + 1e-12) | clamped)
+
+    with pytest.raises(ValueError, match="modes"):
+        gnm.mean_square_fluctuation(matrix_free=True)
 
 
 def test_anm_prs_effector_sensor_modes_surface(ca_1l2y):
