@@ -117,48 +117,17 @@ class ANM(ElasticNetworkModel):
         standard error is part of the estimate.  `mode_subset` is not
         supported on this path (all-mode quantity); extra `options`
         (``tol``, ``max_iter``, ...) pass through to the CG solver.
+        Mode vectors default to the model's atom-interleaved layout
+        (what :meth:`lowest_modes` and :meth:`eigen` return); pass
+        ``layout="xyz"`` for ops-level ``lowest_modes_matfree``
+        output.
         """
         if not matrix_free:
             return nma.mean_square_fluctuation(self, mode_subset, tem,
                                                tem_factors)
-
-        import numpy as np
-
-        from ..ops import matfree, nma_core
-        from ..parallel.pipeline import _resolve_params
-
-        if mode_subset is not None:
-            raise ValueError(
-                "mean_square_fluctuation(matrix_free=True) is an "
-                "all-mode quantity; mode_subset is not supported")
-        if modes is None:
-            raise ValueError(
-                "mean_square_fluctuation(matrix_free=True) needs "
-                "modes=<k | (values, vectors)> as the deflation "
-                "subspace (e.g. k=10 runs lowest_modes(10, "
-                "matrix_free=True) first)")
-        self._require_force_field_matrix(
-            "mean_square_fluctuation(matrix_free=True)")
-        params = _resolve_params(self._ff)
-        if isinstance(modes, (int, np.integer)):
-            vals, vecs, _ = self.lowest_modes(
-                int(modes), matrix_free=True,
-                **{k: v for k, v in options.items()
-                   if k in ("tile", "use_pallas")})
-            modes = (vals, vecs)
-        tol = options.setdefault("tol", 1e-6)
-        msf, stderr, n_it, res = matfree.msf_stochastic(
-            self._coord, params, modes, probes=probes,
-            masses=self._masses, **options)
-        max_res = float(np.max(np.asarray(res)))
-        if not np.all(np.isfinite(msf)) or max_res > 10 * tol:
-            raise ValueError(
-                f"stochastic MSF did not converge: max relative "
-                f"residual {max_res:.2e} after {int(n_it)} CG "
-                f"iterations (tol {tol:.0e}) — raise max_iter, or "
-                "check network connectivity")
-        scale = nma_core.temperature_scaling(tem, tem_factors)
-        return msf * scale, stderr * scale
+        return self._stochastic_msf(
+            "msf_stochastic", mode_subset, tem, tem_factors, modes,
+            probes, options, atom_layout=True)
 
     def bfactor(self, mode_subset=None, tem=None, tem_factors=K_B,
                 matrix_free=False, **options):
@@ -298,6 +267,13 @@ class ANM(ElasticNetworkModel):
                     **{k: v for k, v in options.items()
                        if k in ("tile", "use_pallas")})
                 modes = (vals, vecs)
+                # lowest_modes returns atom-interleaved vectors
+                options["layout"] = "atom"
+            elif modes is not None:
+                # model-level default: atom-interleaved (what
+                # lowest_modes/eigen return); pass layout="xyz" for
+                # ops-level lowest_modes_matfree output
+                options.setdefault("layout", "atom")
             tol = options.setdefault("tol", 1e-6)
             eff, sens, _, _, n_it, res = (
                 matfree.effector_sensor_stochastic(

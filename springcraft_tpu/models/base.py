@@ -165,3 +165,62 @@ class ElasticNetworkModel:
             vals, vecs = linalg.eigensystem(self._get_matrix())
             self._eigen_cache = (np.array(vals), np.array(vecs))
         return self._eigen_cache
+
+    def _stochastic_msf(self, op_name, mode_subset, tem, tem_factors,
+                        modes, probes, options, atom_layout):
+        """Shared matrix-free MSF implementation for ANM/GNM
+        (``mean_square_fluctuation(matrix_free=True)``): resolve the
+        deflation modes, run the deflated Hutchinson estimator
+        (``ops.matfree.msf_stochastic[_gnm]``), guard convergence, and
+        apply the reference temperature scaling.  Returns
+        ``(msf, stderr)``.
+
+        `atom_layout`: the model's :meth:`lowest_modes` returns
+        atom-interleaved vectors, so the ANM path defaults the op's
+        ``layout`` to ``"atom"`` (pass ``layout="xyz"`` explicitly for
+        ops-level ``lowest_modes_matfree`` output); GNM vectors carry
+        no component layout.
+        """
+        import numpy as np
+
+        from ..ops import matfree, nma_core
+        from ..parallel.pipeline import _resolve_params
+
+        if mode_subset is not None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) is an "
+                "all-mode quantity; mode_subset is not supported")
+        if modes is None:
+            raise ValueError(
+                "mean_square_fluctuation(matrix_free=True) needs "
+                "modes=<k | (values, vectors)> as the deflation "
+                "subspace (e.g. k=10 runs lowest_modes(10, "
+                "matrix_free=True) first)")
+        self._require_force_field_matrix(
+            "mean_square_fluctuation(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        if isinstance(modes, (int, np.integer)):
+            vals, vecs, _ = self.lowest_modes(
+                int(modes), matrix_free=True,
+                **{k: v for k, v in options.items()
+                   if k in ("tile", "use_pallas")})
+            modes = (vals, vecs)
+            if atom_layout:
+                # lowest_modes returns atom-interleaved vectors
+                options["layout"] = "atom"
+        elif atom_layout:
+            options.setdefault("layout", "atom")
+        tol = options.setdefault("tol", 1e-6)
+        op = getattr(matfree, op_name)
+        msf, stderr, n_it, res = op(
+            self._coord, params, modes, probes=probes,
+            masses=self._masses, **options)
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(msf)) or max_res > 10 * tol:
+            raise ValueError(
+                f"stochastic MSF did not converge: max relative "
+                f"residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        scale = nma_core.temperature_scaling(tem, tem_factors)
+        return msf * scale, stderr * scale

@@ -2343,8 +2343,13 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         drops from ``~(C^2)_rr`` to ``~(C_rest^2)_rr + cross`` order
         (the sensor keeps an unbiased ``2 u v`` cross term: ``W``
         breaks the orthogonality).  Pass the ``lowest_modes`` output
-        already in hand; the estimate stays unbiased with ANY mode
-        subset.
+        already in hand.  Exactness caveat: the effector decomposition
+        assumes `modes` are orthonormal eigenpairs — with iteratively
+        converged modes at residual ``r`` the dropped ``2 diag(C_k
+        C_rest)`` cross term is ``O(r)`` relative (~1e-4 for the f32
+        Chebyshev sets, far below the sampling noise); the sensor
+        keeps its cross term and is unbiased for any orthonormal
+        subspace.
     layout : {"xyz", "atom"}
         `modes` eigenvector component layout.
     options

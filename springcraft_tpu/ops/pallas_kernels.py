@@ -824,7 +824,7 @@ def _batch_inner_auto(params, batch, tile, n_acc_rows, itemsize=4):
 
 
 def _ensemble_setup(coords, params, tile, dtype, interpret,
-                    batch_inner):
+                    batch_inner, n_acc_rows):
     if not supports_params(params):
         raise ValueError(
             f"Pallas path does not support kind={params.kind!r} "
@@ -837,6 +837,8 @@ def _ensemble_setup(coords, params, tile, dtype, interpret,
     if tile is None:
         tile = (_ensemble_tile(n, params.n_bins)
                 if params.kind == "table_compact" else _auto_tile(n))
+    if batch_inner is None:
+        batch_inner = _batch_inner_auto(params, batch, tile, n_acc_rows)
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
 
@@ -881,7 +883,7 @@ def _ensemble_setup(coords, params, tile, dtype, interpret,
         in_specs.append(kspec)
         inputs.append(kplanes)
     return (interpret, coords, batch, n, n_pad, n_tiles, tile,
-            in_specs, inputs)
+            batch_inner, in_specs, inputs)
 
 
 def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
@@ -921,15 +923,9 @@ def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
         corr = jax.vmap(lambda h, c: assembly.overlay_correction_hessian_xyz(
             h, c, params, jnp))
         return corr(base, coords)
-    if batch_inner is None:
-        batch_inner = _batch_inner_auto(
-            params, coords.shape[0],
-            tile or (_ensemble_tile(coords.shape[1], params.n_bins)
-                     if params.kind == "table_compact"
-                     else _auto_tile(coords.shape[1])), 9)
-    (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
-     inputs) = _ensemble_setup(coords, params, tile, dtype, interpret,
-                               batch_inner)
+    (interpret, coords, batch, n, n_pad, n_tiles, tile, batch_inner,
+     in_specs, inputs) = _ensemble_setup(coords, params, tile, dtype,
+                                         interpret, batch_inner, 9)
 
     kernel = functools.partial(
         _hessian_ensemble_kernel, params, n, n_tiles, tile, batch_inner)
@@ -997,15 +993,9 @@ def kirchhoff_pallas_ensemble(coords, params, tile=None,
         corr = jax.vmap(lambda k, c: assembly.overlay_correction_kirchhoff(
             k, c, params, jnp))
         return corr(base, coords)
-    if batch_inner is None:
-        batch_inner = _batch_inner_auto(
-            params, coords.shape[0],
-            tile or (_ensemble_tile(coords.shape[1], params.n_bins)
-                     if params.kind == "table_compact"
-                     else _auto_tile(coords.shape[1])), 1)
-    (interpret, coords, batch, n, n_pad, n_tiles, tile, in_specs,
-     inputs) = _ensemble_setup(coords, params, tile, dtype, interpret,
-                               batch_inner)
+    (interpret, coords, batch, n, n_pad, n_tiles, tile, batch_inner,
+     in_specs, inputs) = _ensemble_setup(coords, params, tile, dtype,
+                                         interpret, batch_inner, 1)
 
     kernel = functools.partial(
         _kirchhoff_ensemble_kernel, params, n, n_tiles, tile,

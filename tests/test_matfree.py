@@ -1237,6 +1237,40 @@ def test_anm_msf_stochastic_surface(ca_1l2y):
         anm.mean_square_fluctuation(matrix_free=True)
 
 
+def test_anm_stochastic_int_modes_layout(ca_1l2y):
+    """modes=<int> resolves through ANM.lowest_modes, which returns
+    ATOM-interleaved vectors: the surfaces must feed the ops with
+    layout="atom" (regression — the op default is xyz, and a scrambled
+    layout destroys the rank-k floor and control variate)."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    exact = np.asarray(anm.mean_square_fluctuation())
+    msf, sem = anm.mean_square_fluctuation(
+        matrix_free=True, modes=6, probes=256, seed=11,
+        tol=1e-8, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.all(np.abs(msf - exact) < 6 * sem + 1e-9)
+    assert np.median(np.abs(msf - exact) / exact) < 0.2
+
+    def _spearman(a, b):
+        ra = np.argsort(np.argsort(a)).astype(np.float64)
+        rb = np.argsort(np.argsort(b)).astype(np.float64)
+        ra -= ra.mean()
+        rb -= rb.mean()
+        return float((ra @ rb) / np.sqrt((ra @ ra) * (rb @ rb)))
+
+    assert _spearman(msf, exact) > 0.9
+
+    prs_raw, _, _ = anm.prs_effector_sensor(norm=False)
+    _, eff_d, sens_d = anm.prs_effector_sensor(norm=True)
+    prs_diag = np.diagonal(np.asarray(prs_raw))
+    none_mat, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, probes=256, prs_diag=prs_diag, modes=6,
+        seed=12, tol=1e-8, block=32, use_pallas=False,
+        dtype=jnp.float64)
+    assert none_mat is None
+    assert _spearman(eff, np.asarray(eff_d)) > 0.9
+    assert _spearman(sens, np.asarray(sens_d)) > 0.9
+
+
 def test_gnm_msf_stochastic_surface(ca_1l2y):
     gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
     exact = np.asarray(gnm.mean_square_fluctuation())
