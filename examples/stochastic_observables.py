@@ -97,7 +97,7 @@ modesum = np.einsum("knd,knd,k->n",
                     modes[1].reshape(K_DEFLATE, N, 3),
                     modes[1].reshape(K_DEFLATE, N, 3),
                     1.0 / modes[0])
-msf, msf_sem, n_it, res = matfree.msf_stochastic(
+msf, msf_sem, n_it, _ = matfree.msf_stochastic(
     coord, params, modes, probes=PROBES, seed=1, layout="atom", **opts)
 print(f"MSF ({PROBES} probes, {n_it} CG iterations): mode-sum max rel "
       f"deviation {float(np.max(np.abs(modesum - msf_true) / msf_true)):.2f}"
@@ -106,7 +106,7 @@ print(f"MSF ({PROBES} probes, {n_it} CG iterations): mode-sum max rel "
 report("  msf", msf, msf_sem, msf_true)
 
 # 2. All-mode effector/sensor with the exact rank-k control variate
-eff, sens, eff_sem, sens_sem, n_it2, res2 = (
+eff, sens, eff_sem, sens_sem, _, _ = (
     matfree.effector_sensor_stochastic(
         coord, params, prs_diag, probes=PROBES, seed=2, modes=modes,
         layout="atom", **opts))

@@ -2340,16 +2340,19 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         the ``C_k^2`` part (which carries almost the whole profile for
         atoms the low modes move) is computed EXACTLY on host and only
         the small residual second moment is estimated — per-atom noise
-        drops from ``~(C^2)_rr`` to ``~(C_rest^2)_rr + cross`` order
-        (the sensor keeps an unbiased ``2 u v`` cross term: ``W``
-        breaks the orthogonality).  Pass the ``lowest_modes`` output
-        already in hand.  Exactness caveat: the effector decomposition
-        assumes `modes` are orthonormal eigenpairs — with iteratively
-        converged modes at residual ``r`` the dropped ``2 diag(C_k
-        C_rest)`` cross term is ``O(r)`` relative (~1e-4 for the f32
-        Chebyshev sets, far below the sampling noise); the sensor
-        keeps its cross term and is unbiased for any orthonormal
-        subspace.
+        drops from ``~(C^2)_rr`` to ``~(C_rest^2)_rr`` order.  The
+        sensor's ``W`` weights break the eigenspace orthogonality, so
+        its ``2 diag(C_k W C_rest)`` cross term does NOT vanish — it
+        is computed exactly instead, by appending the ``k`` columns
+        ``W v_k`` to the same batched solve (``C_rest W v_k`` then
+        closes the diagonal in closed form); only the residual second
+        moment is sampled for both profiles.  Pass the
+        ``lowest_modes`` output already in hand.  Exactness caveat:
+        the effector decomposition assumes `modes` are orthonormal
+        eigenpairs — with iteratively converged modes at residual
+        ``r`` the dropped ``2 diag(C_k C_rest)`` cross term is
+        ``O(r)`` relative (~1e-4 for the f32 Chebyshev sets, far
+        below the sampling noise).
     layout : {"xyz", "atom"}
         `modes` eigenvector component layout.
     options
@@ -2363,9 +2366,11 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         Per-atom standard error of the estimates (sample std over
         probes / sqrt(probes)), in profile units.
     n_iter : int
-    residuals : ndarray, shape=(2 * probes,) or (probes,)
-        CG relative residuals per probe column (`norm=False` skips
-        the sensor probes — the raw folded PRS is symmetric).
+    residuals : ndarray, shape=(2 * probes [+ k],) or (probes,)
+        CG relative residuals per solve column (`norm=False` skips
+        the sensor probes — the raw folded PRS is symmetric; with
+        `modes` and `norm` the last ``k`` columns are the exact
+        sensor-cross solves ``C W v_k``).
     """
     coord_np = np.asarray(coord)
     n = coord_np.shape[0]
@@ -2383,25 +2388,34 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         raise ValueError("probes must be >= 2 (stderr needs a sample "
                          "variance)")
     rng = np.random.RandomState(seed)
+    if modes is not None:
+        vals_k, planes_k, v_xyz = _rank_k_planes(modes, n, layout)
+        k_defl = v_xyz.shape[0]
     n_cols = 2 * probes if norm else probes
-    z = rng.randint(0, 2, size=(3 * n, n_cols)).astype(
+    # With deflation + norm, append k extra columns W v_k to the SAME
+    # batched solve: they make the sensor's C_k W C_rest cross
+    # diagonal EXACT (see below) instead of sampled.
+    n_extra = (k_defl if (modes is not None and norm) else 0)
+    z = rng.randint(0, 2, size=(3 * n, n_cols + n_extra)).astype(
         np.float64) * 2.0 - 1.0
     if norm:
         # Sensor probes: scale by W^(1/2) in xyz plane layout
         # (component (a, i) sits at row a*n + i)
         w_half = np.tile(1.0 / np.sqrt(prs_diag), 3)
-        z[:, probes:] *= w_half[:, None]
+        z[:, probes:n_cols] *= w_half[:, None]
+    if n_extra:
+        w_full = np.tile(1.0 / prs_diag, 3)
+        z[:, n_cols:] = (w_full[:, None] * v_xyz.T)
 
     x, n_it, res = covariance_solve_matfree(
         coord, params, z, masses=masses, dtype=dtype, **options)
     x = np.asarray(x, np.float64)
 
     if modes is not None:
-        vals_k, planes_k, v_xyz = _rank_k_planes(modes, n, layout)
+        zp = z[:, :n_cols]
         # exact rank-k response per probe and its removal
-        u = v_xyz.T @ ((v_xyz @ z) / vals_k[:, None])
-        v = (x - u).reshape(3, n, n_cols)
-        u = u.reshape(3, n, n_cols)
+        u = v_xyz.T @ ((v_xyz @ zp) / vals_k[:, None])
+        v = (x[:, :n_cols] - u).reshape(3, n, n_cols)
         # exact fold diag(C_k^2) per atom
         e_k2 = np.einsum("kai,kai,k->i", planes_k, planes_k,
                          1.0 / vals_k**2, optimize=True)
@@ -2412,16 +2426,24 @@ def effector_sensor_stochastic(coord, params, prs_diag, *, probes=64,
         e_sem = se.std(axis=1, ddof=1) / np.sqrt(probes)
         if norm:
             # exact fold diag(C_k W C_k): S = L^-1 (V W V^T) L^-1
-            w_full = np.tile(1.0 / prs_diag, 3)
             s_mat = ((v_xyz * w_full[None, :]) @ v_xyz.T
                      / np.outer(vals_k, vals_k))
             a_rows = s_mat @ v_xyz                   # (k, 3n)
-            s_k2 = np.sum(v_xyz * a_rows, axis=0).reshape(3, n)
-            # W breaks the eigenspace orthogonality: keep the
-            # (zero-exact-part, unbiased) 2 u v cross term
-            ss = np.sum(2.0 * u[:, :, probes:] * v[:, :, probes:]
-                        + v[:, :, probes:]**2, axis=0)
-            s_num = s_k2.sum(axis=0) + ss.mean(axis=1)
+            s_k2 = np.sum(v_xyz * a_rows, axis=0)
+            # W breaks the eigenspace orthogonality, but the cross
+            # diagonal needs only C_rest applied to the k vectors
+            # W v_k — the extra solve columns: 2 diag(C_k W C_rest)_r
+            # = 2 sum_k (v_k,r / lambda_k) (C W v_k - C_k W v_k)_r,
+            # exact to CG tolerance.  Only the residual second moment
+            # v'^2 is sampled.
+            y_rest = (x[:, n_cols:]
+                      - v_xyz.T @ ((v_xyz @ z[:, n_cols:])
+                                   / vals_k[:, None]))   # C_rest W v_k
+            s_cross = 2.0 * np.sum(
+                (v_xyz.T / vals_k[None, :]) * y_rest, axis=1)
+            ss = np.sum(v[:, :, probes:]**2, axis=0)
+            s_num = ((s_k2 + s_cross).reshape(3, n).sum(axis=0)
+                     + ss.mean(axis=1))
             s_sem = ss.std(axis=1, ddof=1) / np.sqrt(probes)
     else:
         x = x.reshape(3, n, n_cols)

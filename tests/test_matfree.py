@@ -999,10 +999,11 @@ def test_effector_sensor_stochastic_matches_dense(ca_1l2y):
             dtype=jnp.float64))
     assert np.all(np.abs(eff_d - eff_n) < 6 * effd_sem + 1e-12)
     assert np.all(np.abs(sens_d - sens_n) < 6 * sensd_sem + 1e-12)
-    assert np.median(effd_sem / eff_sem) < 0.3
-    # the sensor keeps the 2 u v cross-term noise (W breaks the
-    # eigenspace orthogonality) — smaller cut than the effector's
-    assert np.median(sensd_sem / sens_sem) < 0.7
+    assert np.median(effd_sem / eff_sem) < 0.2
+    # the sensor's C_k W C_rest cross diagonal is computed exactly
+    # from k extra solve columns, so only the residual second moment
+    # is sampled (measured ratio ~0.15 at this size/k)
+    assert np.median(sensd_sem / sens_sem) < 0.3
     assert _spearman(eff_d, eff_n) > 0.95
     assert _spearman(sens_d, sens_n) > 0.95
 
