@@ -72,6 +72,7 @@ class ANM(ElasticNetworkModel):
         ``max_iter``, ...) pass through.  The dense path matches the
         reference exactly (``nma.py:422-473``)."""
         if not matrix_free:
+            self._dense_path_rejects("linear_response", options)
             return nma.linear_response(self, force)
 
         import numpy as np
@@ -103,7 +104,7 @@ class ANM(ElasticNetworkModel):
 
     def mean_square_fluctuation(self, mode_subset=None, tem=None,
                                 tem_factors=K_B, matrix_free=False,
-                                modes=None, probes=64, **options):
+                                modes=None, probes=None, **options):
         """MSF per node; equals the superelement traces of the covariance
         when all non-trivial modes are included.
 
@@ -123,6 +124,9 @@ class ANM(ElasticNetworkModel):
         output.
         """
         if not matrix_free:
+            self._dense_path_rejects(
+                "mean_square_fluctuation", options, modes=modes,
+                probes=probes)
             return nma.mean_square_fluctuation(self, mode_subset, tem,
                                                tem_factors)
         return self._stochastic_msf(
@@ -137,6 +141,7 @@ class ANM(ElasticNetworkModel):
         estimate (see :meth:`mean_square_fluctuation`); returns
         ``(bfactor, stderr)``."""
         if not matrix_free:
+            self._dense_path_rejects("bfactor", options)
             return nma.bfactor(self, mode_subset, tem, tem_factors)
         from ..ops import nma_core
         msf, stderr = self.mean_square_fluctuation(
@@ -163,6 +168,8 @@ class ANM(ElasticNetworkModel):
         (``tol``, ``max_iter``, ...) pass through to the CG solver.
         """
         if not matrix_free:
+            self._dense_path_rejects("dcc", options, sites=sites,
+                                     msf=msf)
             return nma.dcc(self, mode_subset, norm, tem, tem_factors)
 
         import numpy as np
@@ -239,6 +246,9 @@ class ANM(ElasticNetworkModel):
         ``(None, effector, sensor)``.
         """
         if not matrix_free:
+            self._dense_path_rejects(
+                "prs_effector_sensor", options, sites=sites,
+                prs_diag=prs_diag, modes=modes, probes=probes)
             prs_mat = nma.prs(self, norm)
             eff, sens = nma.effector_sensor(prs_mat)
             return prs_mat, eff, sens
@@ -248,6 +258,12 @@ class ANM(ElasticNetworkModel):
         from ..ops import matfree
         from ..parallel.pipeline import _resolve_params
 
+        if sites is not None and (probes is not None or modes is not None):
+            raise ValueError(
+                "prs_effector_sensor(matrix_free=True): sites= (exact "
+                "CG profile values at selected sites) is exclusive "
+                "with probes=/modes= (full-atom estimators) — the "
+                "exact site path would silently ignore them")
         if sites is None and modes is None and probes is None:
             raise ValueError(
                 "prs_effector_sensor(matrix_free=True) needs "
@@ -261,19 +277,8 @@ class ANM(ElasticNetworkModel):
             self._require_force_field_matrix(
                 "prs_effector_sensor(matrix_free=True)")
             params = _resolve_params(self._ff)
-            if isinstance(modes, (int, np.integer)):
-                vals, vecs, _ = self.lowest_modes(
-                    int(modes), matrix_free=True,
-                    **{k: v for k, v in options.items()
-                       if k in ("tile", "use_pallas")})
-                modes = (vals, vecs)
-                # lowest_modes returns atom-interleaved vectors
-                options["layout"] = "atom"
-            elif modes is not None:
-                # model-level default: atom-interleaved (what
-                # lowest_modes/eigen return); pass layout="xyz" for
-                # ops-level lowest_modes_matfree output
-                options.setdefault("layout", "atom")
+            modes = self._resolve_deflation_modes(
+                modes, options, atom_layout=True)
             tol = options.setdefault("tol", 1e-6)
             eff, sens, _, _, n_it, res = (
                 matfree.effector_sensor_stochastic(
@@ -291,11 +296,10 @@ class ANM(ElasticNetworkModel):
                     "raise max_iter, or check network connectivity")
             return None, eff, sens
         if sites is None:
-            if isinstance(modes, (int, np.integer)):
-                vals, vecs, _ = self.lowest_modes(
-                    int(modes), matrix_free=True, **options)
-            else:
-                vals, vecs = modes
+            # no CG follows on this path: every option belongs to
+            # lowest_modes
+            vals, vecs = self._resolve_deflation_modes(
+                modes, options, atom_layout=True, forward_all=True)
             eff, sens = matfree.effector_sensor_from_modes(
                 vals, vecs, norm=norm, layout="atom")
             return None, eff, sens

@@ -166,6 +166,67 @@ class ElasticNetworkModel:
             self._eigen_cache = (np.array(vals), np.array(vecs))
         return self._eigen_cache
 
+    @staticmethod
+    def _dense_path_rejects(method, options, **kwargs):
+        """Fail fast when matrix-free-only arguments reach a dense
+        (``matrix_free=False``) observable path: silently swallowing
+        them would return a differently-shaped result than the
+        stochastic surfaces document (e.g. ``(n,)`` instead of
+        ``(msf, stderr)``) with no hint which path ran."""
+        bad = sorted([name for name, val in kwargs.items()
+                      if val is not None] + list(options))
+        if bad:
+            raise ValueError(
+                f"{method}: argument(s) {', '.join(bad)} apply only to "
+                f"matrix_free=True; the dense path computes from the "
+                f"covariance directly (pass matrix_free=True, or drop "
+                f"them)")
+
+    def _resolve_deflation_modes(self, modes, options, atom_layout,
+                                 forward_all=False):
+        """Resolve a ``modes=`` deflation-subspace argument for the
+        stochastic matrix-free surfaces: an integer ``k`` runs
+        :meth:`lowest_modes(k, matrix_free=True) <lowest_modes>` (with
+        solver options forwarded — only ``tile``/``use_pallas`` unless
+        `forward_all`, the rest belong to the downstream CG) and guards
+        the returned mode residuals against ``mode_residual_tol``
+        (popped from `options`, default 1e-2): a spuriously small
+        unconverged eigenvalue would silently bias the rank-k control
+        variate while the CG residual guard still passes.  Defaults the
+        op-level ``layout`` to ``"atom"`` when `atom_layout` (what
+        :meth:`lowest_modes`/:meth:`eigen` return; GNM vectors carry no
+        component layout).  Returns the ``(values, vectors)`` pair (or
+        ``None`` untouched)."""
+        import numpy as np
+
+        mode_rtol = options.pop("mode_residual_tol", 1e-2)
+        if isinstance(modes, (int, np.integer)):
+            fwd = (dict(options) if forward_all else
+                   {k: v for k, v in options.items()
+                    if k in ("tile", "use_pallas")})
+            vals, vecs, res = self.lowest_modes(
+                int(modes), matrix_free=True, **fwd)
+            res = np.asarray(res)
+            max_res = float(np.max(res)) if res.size else 0.0
+            if not np.isfinite(max_res) or max_res > mode_rtol:
+                raise ValueError(
+                    f"deflation modes did not converge: max relative "
+                    f"eigenpair residual {max_res:.2e} (tol "
+                    f"{mode_rtol:.0e}) from lowest_modes(matrix_free="
+                    f"True) — raise the solver budget (e.g. degree/"
+                    f"n_iter), pass pre-converged modes=(values, "
+                    f"vectors), or loosen mode_residual_tol")
+            modes = (vals, vecs)
+            if atom_layout:
+                # lowest_modes returns atom-interleaved vectors
+                options["layout"] = "atom"
+        elif modes is not None and atom_layout:
+            # model-level default: atom-interleaved (what lowest_modes/
+            # eigen return); pass layout="xyz" for ops-level
+            # lowest_modes_matfree output
+            options.setdefault("layout", "atom")
+        return modes
+
     def _stochastic_msf(self, op_name, mode_subset, tem, tem_factors,
                         modes, probes, options, atom_layout):
         """Shared matrix-free MSF implementation for ANM/GNM
@@ -199,17 +260,8 @@ class ElasticNetworkModel:
         self._require_force_field_matrix(
             "mean_square_fluctuation(matrix_free=True)")
         params = _resolve_params(self._ff)
-        if isinstance(modes, (int, np.integer)):
-            vals, vecs, _ = self.lowest_modes(
-                int(modes), matrix_free=True,
-                **{k: v for k, v in options.items()
-                   if k in ("tile", "use_pallas")})
-            modes = (vals, vecs)
-            if atom_layout:
-                # lowest_modes returns atom-interleaved vectors
-                options["layout"] = "atom"
-        elif atom_layout:
-            options.setdefault("layout", "atom")
+        modes = self._resolve_deflation_modes(modes, options, atom_layout)
+        probes = 64 if probes is None else probes
         tol = options.setdefault("tol", 1e-6)
         op = getattr(matfree, op_name)
         msf, stderr, n_it, res = op(

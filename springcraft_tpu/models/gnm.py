@@ -60,7 +60,7 @@ class GNM(ElasticNetworkModel):
 
     def mean_square_fluctuation(self, mode_subset=None, tem=None,
                                 tem_factors=K_B, matrix_free=False,
-                                modes=None, probes=64, **options):
+                                modes=None, probes=None, **options):
         """MSF per node; equals the covariance diagonal when all
         non-trivial modes are included.
 
@@ -75,6 +75,9 @@ class GNM(ElasticNetworkModel):
         ``precond``, ...) pass through to the solver.
         """
         if not matrix_free:
+            self._dense_path_rejects(
+                "mean_square_fluctuation", options, modes=modes,
+                probes=probes)
             return nma.mean_square_fluctuation(self, mode_subset, tem,
                                                tem_factors)
         return self._stochastic_msf(
@@ -89,6 +92,7 @@ class GNM(ElasticNetworkModel):
         estimate (see :meth:`mean_square_fluctuation`); returns
         ``(bfactor, stderr)``."""
         if not matrix_free:
+            self._dense_path_rejects("bfactor", options)
             return nma.bfactor(self, mode_subset, tem, tem_factors)
         from ..ops import nma_core
         msf, stderr = self.mean_square_fluctuation(
@@ -111,6 +115,8 @@ class GNM(ElasticNetworkModel):
         ``max_iter``, ``precond``, ...) pass through to the solver.
         """
         if not matrix_free:
+            self._dense_path_rejects("dcc", options, sites=sites,
+                                     msf=msf)
             return nma.dcc(self, mode_subset, norm, tem, tem_factors)
 
         import numpy as np

@@ -812,13 +812,14 @@ def _kirchhoff_ensemble_kernel(params, n, n_tiles, tile, batch_inner,
                                     0.0)
 
 
-def _batch_inner_auto(params, batch, tile, n_acc_rows, itemsize=4):
+def _batch_inner_auto(params, batch, tile, n_acc_rows, dtype):
     """Default grid order for the ensemble kernels: conformer-innermost
     whenever there are pair-plane blocks worth reusing (tabulated
     family) and the per-conformer accumulator scratch stays small
     (sublane-padded ``(B, n_acc_rows -> 8k, tile)``)."""
     if params.kind != "table_compact":
         return False
+    itemsize = jnp.dtype(dtype).itemsize
     acc_bytes = batch * _round_up(n_acc_rows, 8) * tile * itemsize
     return acc_bytes <= 4 * 1024**2
 
@@ -838,7 +839,8 @@ def _ensemble_setup(coords, params, tile, dtype, interpret,
         tile = (_ensemble_tile(n, params.n_bins)
                 if params.kind == "table_compact" else _auto_tile(n))
     if batch_inner is None:
-        batch_inner = _batch_inner_auto(params, batch, tile, n_acc_rows)
+        batch_inner = _batch_inner_auto(params, batch, tile, n_acc_rows,
+                                        dtype)
     n_pad = _round_up(n, tile)
     n_tiles = n_pad // tile
 
@@ -919,7 +921,7 @@ def hessian_pallas_ensemble(coords, params, tile=None, dtype=jnp.float32,
         coords = jnp.asarray(coords, dtype=dtype)
         base = hessian_pallas_ensemble(
             coords, _fp.strip_overlays(params), tile=tile, dtype=dtype,
-            interpret=interpret)
+            interpret=interpret, batch_inner=batch_inner)
         corr = jax.vmap(lambda h, c: assembly.overlay_correction_hessian_xyz(
             h, c, params, jnp))
         return corr(base, coords)
@@ -989,7 +991,7 @@ def kirchhoff_pallas_ensemble(coords, params, tile=None,
         coords = jnp.asarray(coords, dtype=dtype)
         base = kirchhoff_pallas_ensemble(
             coords, _fp.strip_overlays(params), tile=tile, dtype=dtype,
-            interpret=interpret)
+            interpret=interpret, batch_inner=batch_inner)
         corr = jax.vmap(lambda k, c: assembly.overlay_correction_kirchhoff(
             k, c, params, jnp))
         return corr(base, coords)

@@ -1378,3 +1378,49 @@ def test_matfree_applies_support_overlays():
     bound = float(matfree.hessian_degree_bound(coord, params, block=64,
                                                dtype=jnp.float64))
     assert bound >= np.linalg.eigvalsh(h_ref)[-1]
+
+
+def test_model_surface_argument_guards(ca_1l2y):
+    """Matrix-free-only arguments fail fast on the dense observable
+    paths (instead of being silently swallowed and changing the return
+    shape), conflicting path selectors raise, and an int ``modes=``
+    deflation request guards the eigenpair residuals it resolves."""
+    n = ca_1l2y.array_length()
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.mean_square_fluctuation(modes=10)
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.mean_square_fluctuation(probes=64)
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        gnm.mean_square_fluctuation(tol=1e-8)
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.dcc(sites=[0, 1])
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        gnm.dcc(msf=np.ones(n))
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.bfactor(probes=32)
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.linear_response(np.zeros((n, 3)), tol=1e-8)
+    with pytest.raises(ValueError, match="matrix_free=True"):
+        anm.prs_effector_sensor(sites=[0])
+
+    # the exact-site CG path is exclusive with the full-atom estimators
+    with pytest.raises(ValueError, match="exclusive"):
+        anm.prs_effector_sensor(matrix_free=True, sites=[0],
+                                probes=64, prs_diag=np.ones(n))
+    with pytest.raises(ValueError, match="exclusive"):
+        anm.prs_effector_sensor(matrix_free=True, sites=[0], modes=4)
+
+    # int modes= runs lowest_modes(matrix_free=True) whose residuals
+    # are guarded: an impossible tolerance must raise, not silently
+    # bias the rank-k control variate
+    with pytest.raises(ValueError, match="deflation modes"):
+        anm.mean_square_fluctuation(matrix_free=True, modes=4,
+                                    mode_residual_tol=0.0,
+                                    use_pallas=False)
+    with pytest.raises(ValueError, match="deflation modes"):
+        gnm.mean_square_fluctuation(matrix_free=True, modes=4,
+                                    mode_residual_tol=0.0,
+                                    use_pallas=False)

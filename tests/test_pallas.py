@@ -186,10 +186,15 @@ def test_hessian_ensemble_batch_inner_grid(shifted_two_chain, maker):
 
     # auto: on for tabulated with a small accumulator, off for
     # analytic families (no pair planes to reuse) and huge batches
-    assert pallas_kernels._batch_inner_auto(params, 128, 128, 9)
-    assert not pallas_kernels._batch_inner_auto(params, 8192, 128, 9)
+    f32, f64 = np.float32, np.float64
+    assert pallas_kernels._batch_inner_auto(params, 128, 128, 9, f32)
+    assert not pallas_kernels._batch_inner_auto(params, 8192, 128, 9, f32)
     assert not pallas_kernels._batch_inner_auto(
-        ffparams.invariant_params(8.0), 128, 128, 9)
+        ffparams.invariant_params(8.0), 128, 128, 9, f32)
+    # the VMEM accumulator guard scales with the kernel dtype: a
+    # configuration just under the 4 MB limit in f32 is over it in f64
+    assert pallas_kernels._batch_inner_auto(params, 128, 512, 9, f32)
+    assert not pallas_kernels._batch_inner_auto(params, 128, 512, 9, f64)
 
     # the analytic families accept an explicit override too
     inv = ffparams.invariant_params(8.0)
@@ -305,6 +310,16 @@ def test_ensemble_kernels_overlays_match_dense(coords):
     test_k = np.asarray(pallas_kernels.kirchhoff_pallas_ensemble(
         batch, params, tile=32, interpret=True))
     assert _rel_err(test_k, ref_k.astype(np.float32)) < 1e-6
+
+    # an explicit batch_inner override survives the overlay recursion
+    # (the stripped-params base must not silently re-auto-select)
+    for bi in (False, True):
+        h_bi = np.asarray(pallas_kernels.hessian_pallas_ensemble(
+            batch, params, tile=32, interpret=True, batch_inner=bi))
+        assert _rel_err(h_bi, ref_h.astype(np.float32)) < 1e-6
+        k_bi = np.asarray(pallas_kernels.kirchhoff_pallas_ensemble(
+            batch, params, tile=32, interpret=True, batch_inner=bi))
+        assert _rel_err(k_bi, ref_k.astype(np.float32)) < 1e-6
 
 
 def test_patched_force_field_routes_through_pallas(two_chain_ca):
