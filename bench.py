@@ -28,6 +28,16 @@ Secondary stderr metrics:
   opt-in via ``--banded-single``: measured 14x slower than XLA eigh
   at this size).
 
+Run structure (hardened after round 4's driver timeout erased the
+already-measured headline): the headline megabatch is measured FIRST
+and the driver-facing JSON line printed immediately, with the
+committed idle-host CPU baseline (``BASELINE_CPU.json``) as the
+denominator; the secondary sections then run inside a whole-run
+wall-clock budget (``BENCH_BUDGET_S``, default 1500 s — skipped
+sections are named); and because the driver artifact keeps only the
+stderr TAIL, every section appends its key evidence lines to a recap
+that is re-logged at the very end of the run.
+
 Every secondary section runs in its OWN subprocess (``python bench.py
 --section NAME`` is the child entry) so a hard relay fault in one —
 RESOURCE_EXHAUSTED wedges the whole client process — cannot cascade
@@ -87,6 +97,26 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+#: Key-evidence recap: the driver records only the LAST ~2.5 KB of
+#: stderr, so every section appends its headline lines to this file
+#: (path exported by the parent) and the parent re-logs the whole
+#: recap at the very end of the run — the artifact tail then carries
+#: the full evidence no matter how long the middle was.
+_SUMMARY_ENV = "BENCH_SUMMARY_FILE"
+
+
+def summary(msg):
+    """Log `msg` to stderr AND append it to the end-of-run recap."""
+    log(msg)
+    path = os.environ.get(_SUMMARY_ENV)
+    if path:
+        try:
+            with open(path, "a") as fh:
+                fh.write(msg + "\n")
+        except OSError:
+            pass
+
+
 def make_batches(n_batches, batch, n_res, seed=0):
     rng = np.random.RandomState(seed)
     base = (rng.rand(n_res, 3) * 34.0).astype(np.float32)
@@ -110,14 +140,33 @@ V5E_F32_TFLOPS = 49.0
 V5E_HBM_GBPS = 819.0
 
 
-def mfu(name, rate, flops_per_solve, note=""):
+def mfu(name, rate, flops_per_solve, note="", recap=False):
     """Achieved GFLOP/s (canonical task flops x solve rate) and
     percent of the v5e f32 peak — the denominator VERDICT r2 asked
     for.  Canonical counts are documented in docs/performance.md."""
     gflops = flops_per_solve * rate / 1e9
     pct = 100.0 * gflops / (V5E_F32_TFLOPS * 1e3)
-    log(f"  mfu[{name}]: {gflops:.0f} GFLOP/s = {pct:.1f}% of f32 peak"
-        f"{' (' + note + ')' if note else ''}")
+    emit = summary if recap else log
+    emit(f"  mfu[{name}]: {gflops:.0f} GFLOP/s = {pct:.1f}% of f32 peak"
+         f"{' (' + note + ')' if note else ''}")
+
+
+_BASELINE_CPU_PATH = os.path.join(
+    os.path.dirname(os.path.realpath(__file__)), "BASELINE_CPU.json")
+
+
+def _load_cpu_baseline():
+    """The committed single-thread f64 NumPy baseline measurement
+    (``BASELINE_CPU.json``) — deterministic reference-architecture
+    code, measured once on an idle host and re-verified by the
+    ``cpu-baseline`` section instead of re-timed on the critical path
+    of every run (the live measurement lands *after* the headline JSON
+    otherwise, which is how round 4 lost its artifact)."""
+    try:
+        with open(_BASELINE_CPU_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
 
 
 def bandwidth(name, seconds, bytes_moved):
@@ -160,7 +209,15 @@ def _timed(fn, inputs):
     return compile_s, time.perf_counter() - t0, checksum
 
 
-def bench_tpu():
+def bench_headline():
+    """The headline measurement ALONE — production-throughput
+    fluctuation NMA (MSF + B-factors + normalized DCC per conformer):
+    plane-trace covariance engine + Pallas assembly (auto tile) + ONE
+    megabatch program (lax.map over 128-conformer chunks pays the
+    ~28 ms relay call floor once instead of once per batch).  Kept
+    minimal (one ~20 s cold compile) so the driver-facing JSON line is
+    out the door minutes into the run; every comparison pipeline lives
+    in a budgeted secondary section."""
     import jax
     import jax.numpy as jnp
 
@@ -168,37 +225,6 @@ def bench_tpu():
     from springcraft_tpu.parallel import pipeline
 
     params = ffparams.invariant_params(CUTOFF)
-    batches = [
-        jax.device_put(jnp.asarray(b))
-        for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
-    ]
-
-    solves = TPU_ITERS * BATCH
-
-    # Fluctuation pipeline — the headline: MSF + B-factors + normalized
-    # DCC + all-mode covariance per conformer, through the batched
-    # Pallas panel-Cholesky blocked inverse (ops/pallas_linalg)
-    fluct_fn = jax.jit(
-        lambda b: sum(jnp.sum(v) for v in
-                      pipeline.ensemble_anm_fluctuations(
-                          b, params, with_dcc=True, dtype=jnp.float32,
-                          inverse="blocked").values())
-    )
-    compile_s, elapsed, _ = _timed(fluct_fn, batches)
-    fluct_rate = solves / elapsed
-    m = 3 * N_RES
-    log(f"tpu[{jax.devices()[0].device_kind}] fluctuation pipeline "
-        f"(blocked Pallas-panel covariance): compile {compile_s:.1f}s; "
-        f"{solves} solves (N={N_RES}) in {elapsed:.3f}s -> "
-        f"{fluct_rate:.1f} solves/s")
-    mfu("fluctuation", fluct_rate, m**3 * 7 / 3,
-        "chol + m-rhs cho_solve canonical")
-
-    # Production-throughput configuration — the same deliverables as the
-    # CPU baseline (MSF/B-factors/DCC; no covariance materialized):
-    # plane-trace covariance engine + Pallas assembly (auto tile) + ONE
-    # megabatch program (lax.map over 128-conformer chunks pays the
-    # ~28 ms relay call floor once instead of once per batch)
     mega = [
         jax.device_put(jnp.asarray(b))
         for b in make_batches(2, TPU_ITERS * BATCH, N_RES, seed=3)
@@ -213,11 +239,48 @@ def bench_tpu():
     )
     compile_s, elapsed, _ = _timed(prod_fn, mega)
     prod_rate = (TPU_ITERS * BATCH) / elapsed
-    log(f"tpu fluctuation pipeline (megabatch {TPU_ITERS * BATCH}, "
-        f"chunk={BATCH}, trace engine, Pallas assembly): compile "
-        f"{compile_s:.1f}s; {TPU_ITERS * BATCH} solves in {elapsed:.3f}s "
-        f"-> {prod_rate:.1f} solves/s")
+    m = 3 * N_RES
+    summary(f"tpu[{jax.devices()[0].device_kind}] fluctuation pipeline "
+            f"(megabatch {TPU_ITERS * BATCH}, chunk={BATCH}, trace "
+            f"engine, Pallas assembly): compile {compile_s:.1f}s; "
+            f"{TPU_ITERS * BATCH} solves (N={N_RES}) in {elapsed:.3f}s "
+            f"-> {prod_rate:.1f} solves/s")
     mfu("fluctuation-megabatch", prod_rate, m**3 * 7 / 3,
+        "chol + m-rhs cho_solve canonical", recap=True)
+    return prod_rate
+
+
+def bench_fluct_variants():
+    """Fluctuation-pipeline comparison points: the per-batch blocked
+    Pallas-panel covariance pipeline (materializes the covariance) vs
+    the XLA cho_solve formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from springcraft_tpu.ops import ffparams
+    from springcraft_tpu.parallel import pipeline
+
+    params = ffparams.invariant_params(CUTOFF)
+    batches = [
+        jax.device_put(jnp.asarray(b))
+        for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
+    ]
+    solves = TPU_ITERS * BATCH
+    m = 3 * N_RES
+
+    fluct_fn = jax.jit(
+        lambda b: sum(jnp.sum(v) for v in
+                      pipeline.ensemble_anm_fluctuations(
+                          b, params, with_dcc=True, dtype=jnp.float32,
+                          inverse="blocked").values())
+    )
+    compile_s, elapsed, _ = _timed(fluct_fn, batches)
+    fluct_rate = solves / elapsed
+    summary(f"tpu fluctuation pipeline (blocked Pallas-panel "
+            f"covariance, per-batch): compile {compile_s:.1f}s; "
+            f"{solves} solves (N={N_RES}) in {elapsed:.3f}s -> "
+            f"{fluct_rate:.1f} solves/s")
+    mfu("fluctuation", fluct_rate, m**3 * 7 / 3,
         "chol + m-rhs cho_solve canonical")
 
     # The per-conformer cho_solve formulation, for comparison
@@ -233,6 +296,24 @@ def bench_tpu():
         f"{compile_s:.1f}s; {solves} solves in {elapsed:.3f}s -> "
         f"{cho_rate:.1f} solves/s "
         f"({fluct_rate / cho_rate:.2f}x from the blocked inverse)")
+
+
+def bench_spectral():
+    """Spectral pipelines: full XLA eigh vs the green-field banded
+    two-stage solver (k-modes and full-eigensystem forms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from springcraft_tpu.ops import ffparams
+    from springcraft_tpu.parallel import pipeline
+
+    params = ffparams.invariant_params(CUTOFF)
+    batches = [
+        jax.device_put(jnp.asarray(b))
+        for b in make_batches(TPU_ITERS + 1, BATCH, N_RES)
+    ]
+    solves = TPU_ITERS * BATCH
+    m = 3 * N_RES
 
     # Full spectral pipeline (eigh) — diagnostics
     spectral = jax.vmap(
@@ -259,12 +340,12 @@ def bench_tpu():
     )
     compile_s, elapsed, _ = _timed(fast_spectral_fn, batches)
     fast_rate = solves / elapsed
-    log(f"tpu spectral pipeline (banded two-stage + Cholesky, k=20 "
-        f"modes): compile {compile_s:.1f}s; {solves} solves in "
-        f"{elapsed:.3f}s -> {fast_rate:.1f} solves/s "
-        f"({fast_rate / spectral_rate:.1f}x the eigh pipeline)")
+    summary(f"tpu spectral pipeline (banded two-stage + Cholesky, k=20 "
+            f"modes): compile {compile_s:.1f}s; {solves} solves in "
+            f"{elapsed:.3f}s -> {fast_rate:.1f} solves/s "
+            f"({fast_rate / spectral_rate:.1f}x the eigh pipeline)")
     mfu("spectral-banded-k20", fast_rate, 5 * m**3,
-        "band reduction + chol covariance estimate")
+        "band reduction + chol covariance estimate", recap=True)
 
     # Full eigensystem via the two-stage banded solver (no dense
     # eigh): same outputs as the eigh pipeline
@@ -274,15 +355,19 @@ def bench_tpu():
     )
     compile_s, elapsed, _ = _timed(banded_fn, batches)
     banded_rate = solves / elapsed
-    log(f"tpu spectral pipeline (two-stage full eigensystem): compile "
-        f"{compile_s:.1f}s; {solves} solves in {elapsed:.3f}s -> "
-        f"{banded_rate:.1f} solves/s "
-        f"({banded_rate / spectral_rate:.1f}x the eigh pipeline)")
+    summary(f"tpu spectral pipeline (two-stage full eigensystem): "
+            f"compile {compile_s:.1f}s; {solves} solves in {elapsed:.3f}s "
+            f"-> {banded_rate:.1f} solves/s "
+            f"({banded_rate / spectral_rate:.1f}x the eigh pipeline)")
     mfu("spectral-two-stage-full", banded_rate, 9 * m**3,
         "canonical full-eigensystem 9m^3")
 
-    return max(fluct_rate, prod_rate), max(spectral_rate, fast_rate,
-                                           banded_rate)
+    # Spectral speedup vs the committed single-thread CPU eigh baseline
+    base = _load_cpu_baseline()
+    if base is not None:
+        best = max(spectral_rate, fast_rate, banded_rate)
+        summary(f"spectral speedup vs committed CPU eigh baseline: "
+                f"{best / base['spectral_solves_per_s']:.1f}x")
 
 
 def bench_tabulated_tpu():
@@ -318,6 +403,10 @@ def bench_tabulated_tpu():
             f"blocked covariance]: "
             f"compile {compile_s:.1f}s; {solves} solves (N={N_RES}) in "
             f"{elapsed:.3f}s -> {rates[use_pallas]:.1f} solves/s")
+    summary(f"tpu tabulated sdENM fluctuation pipeline (N={N_RES}, "
+            f"batch {BATCH}): Pallas assembly "
+            f"{rates[True]:.1f} solves/s ({rates[True] / rates[False]:.1f}x "
+            f"the XLA assembly's {rates[False]:.1f})")
     return rates
 
 
@@ -432,11 +521,11 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
     dcc_err = float(np.max(np.abs(dcc32 - dcc64)))
     msf_status = "ok" if msf_err <= 1e-3 else "FAIL"
     dcc_status = "ok" if dcc_err <= 1e-2 else "FAIL"
-    log(f"tpu mega-assembly observables (dim={m}, {k_modes}-mode sum): "
-        f"mega MSF rel err {msf_err:.1e} (f32 vs f64-refined, tol "
-        f"1e-03) {msf_status}; DCC 64-row block max abs err "
-        f"{dcc_err:.1e} (tol 1e-02, correlations in [-1,1]) "
-        f"{dcc_status}")
+    summary(f"tpu mega-assembly observables (dim={m}, {k_modes}-mode "
+            f"sum): mega MSF rel err {msf_err:.1e} (f32 vs "
+            f"f64-refined, tol 1e-03) {msf_status}; DCC 64-row block "
+            f"max abs err {dcc_err:.1e} (tol 1e-02, correlations in "
+            f"[-1,1]) {dcc_status}")
 
     # Ground-truth proof at a size where dense f64 eigh is feasible:
     # the refined eigenvalues must hit <=1e-6 rtol vs f64 truth.
@@ -466,6 +555,21 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
     log(f"tpu mega-assembly accuracy proof (n={n_proof}, f64 eigh "
         f"truth): raw f32 eigenvalue rtol {raw_rtol:.1e} -> refined "
         f"{ref_rtol:.1e} (north-star clause: <=1e-6) {status}")
+
+    # ONE self-contained driver-artifact line carrying both
+    # BASELINE.json north-star clauses in one measured budget
+    # (VERDICT r4 #2): the <10 s 30k-dim time AND the <=1e-6
+    # eigenvalue-accuracy proof.
+    time_status = "ok" if total <= 10.0 else "FAIL"
+    summary(f"tpu NORTH-STAR (BASELINE.json, n={n_res}, dim={m}): "
+            f"sdENM Pallas build {build_s:.2f}s + {k_modes}(+4) modes "
+            f"{modes_s:.2f}s + f64 refine {refine_s:.2f}s = {total:.2f}s "
+            f"total (<10s clause {time_status}; compiles "
+            f"{build_compile_s:.0f}+{modes_compile_s:.0f}s cached "
+            f"separately); max rel residual {max_res:.1e}; raw-f32 vs "
+            f"refined eigenvalue rtol {raw_vs_ref:.1e}; refined vs f64 "
+            f"eigh truth rtol {ref_rtol:.1e} at n={n_proof} (<=1e-6 "
+            f"clause {status})")
 
     # All-mode observable accuracy at >=20k dims vs a COMMITTED f64
     # ground truth (tests/data/golden_mega_msf_20736.npz, generated by
@@ -497,9 +601,10 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
         allmode_err = float(np.sqrt(np.mean((msf_dev - truth) ** 2)
                                     / np.mean(truth ** 2)))
         am_status = "ok" if allmode_err <= 1e-3 else "FAIL"
-        log(f"tpu mega all-mode MSF (dim={3 * n_g}, f32 pinv_diagonal "
-            f"{allmode_s:.1f}s) vs committed f64 golden: rel RMSE "
-            f"{allmode_err:.1e} (tol 1e-03) {am_status}")
+        summary(f"tpu mega all-mode MSF (dim={3 * n_g}, f32 "
+                f"pinv_diagonal {allmode_s:.1f}s) vs committed f64 "
+                f"golden: rel RMSE {allmode_err:.1e} (tol 1e-03) "
+                f"{am_status}")
     return total
 
 
@@ -535,11 +640,11 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
     for _ in range(5):
         float(apply_fn(sorted_d, x, ids))
     apply_ms = (time.perf_counter() - t0) / 5 * 1e3
-    log(f"tpu matrix-free (n={n_atoms}, dim={3 * n_atoms}; dense "
-        f"Hessian would be {(3 * n_atoms) ** 2 * 4 / 2**30:.0f} GB): "
-        f"block-sparse H@X(20) {apply_ms:.1f} ms "
-        f"(compile {compile_s:.1f}s; "
-        f"{counts.mean():.0f}/{nbr.shape[0]} mean tile neighbors)")
+    summary(f"tpu matrix-free (n={n_atoms}, dim={3 * n_atoms}; dense "
+            f"Hessian would be {(3 * n_atoms) ** 2 * 4 / 2**30:.0f} GB): "
+            f"block-sparse H@X(20) {apply_ms:.1f} ms "
+            f"(compile {compile_s:.1f}s; "
+            f"{counts.mean():.0f}/{nbr.shape[0]} mean tile neighbors)")
     tile_pairs = float(np.sum(np.asarray(counts))) * 256**2
     k_cols = x.shape[1]
     mfu("matfree-apply", 1e3 / apply_ms, tile_pairs * (18 * k_cols + 30),
@@ -571,10 +676,10 @@ def bench_matfree_tpu(n_atoms=30_000, k_modes=10):
     raw_vs_ref = float(np.max(np.abs(
         np.asarray(vals, np.float64)[:k_modes] - ref_vals[:k_modes])
         / ref_vals[:k_modes]))
-    log(f"tpu matrix-free accuracy (n={n_atoms}, dim={3 * n_atoms}): "
-        f"f64 sparse-pair refinement {refine_s:.1f}s (host); raw f32 "
-        f"eigenvalue rtol vs refined {raw_vs_ref:.1e}; refined true "
-        f"f64 residuals max {float(np.max(ref_res[:k_modes])):.1e}")
+    summary(f"tpu matrix-free accuracy (n={n_atoms}, dim={3 * n_atoms}): "
+            f"f64 sparse-pair refinement {refine_s:.1f}s (host); raw f32 "
+            f"eigenvalue rtol vs refined {raw_vs_ref:.1e}; refined true "
+            f"f64 residuals max {float(np.max(ref_res[:k_modes])):.1e}")
 
     # Matrix-free effector/sensor profiles (reference nma.py:527-569
     # at a scale the reference cannot reach): 42 sites -> 126 RHS
@@ -747,12 +852,12 @@ def bench_matfree_xl_tpu():
     raw_vs_ref = float(np.max(np.abs(
         np.asarray(vals, np.float64)[:k] - ref_vals[:k])
         / ref_vals[:k]))
-    log(f"tpu matrix-free XL ANM (n={n}, dim={3 * n}): {k}(+4) "
-        f"Chebyshev modes {solve_s:.0f}s (max f32 rel residual "
-        f"{float(jnp.max(res[:k])):.1e}) + f64 sparse-pair refinement "
-        f"{refine_s:.1f}s; raw-vs-refined eigenvalue rtol "
-        f"{raw_vs_ref:.1e}, refined true f64 residuals max "
-        f"{float(np.max(ref_res[:k])):.1e}")
+    summary(f"tpu matrix-free XL ANM (n={n}, dim={3 * n}): {k}(+4) "
+            f"Chebyshev modes {solve_s:.0f}s (max f32 rel residual "
+            f"{float(jnp.max(res[:k])):.1e}) + f64 sparse-pair refinement "
+            f"{refine_s:.1f}s; raw-vs-refined eigenvalue rtol "
+            f"{raw_vs_ref:.1e}, refined true f64 residuals max "
+            f"{float(np.max(ref_res[:k])):.1e}")
 
     # (b) 1M-atom GNM
     n = 1_000_000
@@ -771,12 +876,12 @@ def bench_matfree_xl_tpu():
     raw_vs_ref = float(np.max(np.abs(
         np.asarray(vals, np.float64)[:k] - ref_vals[:k])
         / ref_vals[:k]))
-    log(f"tpu matrix-free XL GNM (n={n}): {k}(+4) Chebyshev modes "
-        f"{solve_s:.0f}s (max f32 rel residual "
-        f"{float(jnp.max(res[:k])):.1e}) + f64 sparse-pair refinement "
-        f"{refine_s:.1f}s; raw-vs-refined eigenvalue rtol "
-        f"{raw_vs_ref:.1e}, refined true f64 residuals max "
-        f"{float(np.max(ref_res[:k])):.1e}")
+    summary(f"tpu matrix-free XL GNM (n={n}): {k}(+4) Chebyshev modes "
+            f"{solve_s:.0f}s (max f32 rel residual "
+            f"{float(jnp.max(res[:k])):.1e}) + f64 sparse-pair refinement "
+            f"{refine_s:.1f}s; raw-vs-refined eigenvalue rtol "
+            f"{raw_vs_ref:.1e}, refined true f64 residuals max "
+            f"{float(np.max(ref_res[:k])):.1e}")
 
 
 def bench_single_structure(k_modes=20, ca_limit=None,
@@ -886,10 +991,10 @@ def bench_single_structure(k_modes=20, ca_limit=None,
     t0 = time.perf_counter()
     anm_cpu.eigen()
     cpu_s = time.perf_counter() - t0
-    log(f"cpu single-structure reference (f64 assembly + eigh, "
-        f"n={n}): {cpu_s:.1f}s; tpu full eigh speedup "
-        f"{cpu_s / eigh_s:.0f}x, lowest-{k_modes} speedup "
-        f"{cpu_s / lowk_s:.0f}x")
+    summary(f"cpu single-structure reference (f64 assembly + eigh, "
+            f"n={n}): {cpu_s:.1f}s; tpu full eigh speedup "
+            f"{cpu_s / eigh_s:.0f}x, lowest-{k_modes} speedup "
+            f"{cpu_s / lowk_s:.0f}x")
 
     if not ensemble_point:
         return
@@ -923,10 +1028,10 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         float(fn2(x))
     e2 = time.perf_counter() - t0
     rate2 = (len(batches) - 1) * b2 / e2
-    log(f"tpu ensemble point (N={n2}, batch {b2}, plane-trace "
-        f"covariance engine): compile {c2:.1f}s; "
-        f"{rate2:.2f} fluctuation solves/s")
-    mfu("ensemble-n2000", rate2, (3 * n2)**3 * 7 / 3)
+    summary(f"tpu ensemble point (N={n2}, batch {b2}, plane-trace "
+            f"covariance engine): compile {c2:.1f}s; "
+            f"{rate2:.2f} fluctuation solves/s")
+    mfu("ensemble-n2000", rate2, (3 * n2)**3 * 7 / 3, recap=True)
 
 
 class _SkipBanded(Exception):
@@ -1096,7 +1201,7 @@ def run_smoke():
     log(f"smoke: 7cal eANM f32 MSF vs f64 truth: rel RMSE "
         f"{rel_rmse:.2e} (tol 1e-03, expected ~1e-5) {status}")
 
-    log(f"smoke: {failures} failure(s)")
+    summary(f"smoke: {failures} failure(s)")
     return failures
 
 
@@ -1166,56 +1271,95 @@ def bench_cpu_baselines():
     return fluct_rate, spectral_rate
 
 
+def bench_cpu_baseline_verify():
+    """Re-measure the committed BASELINE_CPU.json on this host and log
+    the drift — the live measurement is a verification, not the
+    denominator of the already-printed headline JSON."""
+    fluct, spectral = bench_cpu_baselines()
+    base = _load_cpu_baseline()
+    if base is None:
+        summary("cpu-baseline: BASELINE_CPU.json missing — live "
+                f"measurement fluct {fluct:.3f} / spectral "
+                f"{spectral:.3f} solves/s (commit these)")
+        return
+    summary(f"cpu-baseline drift vs committed BASELINE_CPU.json: "
+            f"fluct {fluct:.3f} vs {base['fluct_solves_per_s']:.3f}, "
+            f"spectral {spectral:.3f} vs "
+            f"{base['spectral_solves_per_s']:.3f} solves/s "
+            f"(live host / committed idle-host)")
+
+
 #: Secondary sections, each run in its OWN subprocess: a hard relay
 #: fault (e.g. RESOURCE_EXHAUSTED) wedges the whole client process
 #: (see CLAUDE.md / utils/elastic.py), so in-process section isolation
 #: cannot stop one failure from cascading into every later section —
 #: the r4 run lost four sections plus smoke to one OOM this way.
-#: Compile caches live on the relay side + JAX_COMPILATION_CACHE_DIR,
+#: Compile caches live on the relay side + the persistent cache dir,
 #: so child processes stay warm.
-_SECTIONS = ("tabulated", "mega-assembly", "matrix-free",
-             "matrix-free-xl", "single-structure")
-#: Generous: a cold-cache mega section measured ~45 min when the
-#: remote compiler was slow; warm (persistent-cache) runs take minutes.
+#:
+#: ORDER = evidence value (VERDICT r4 #1c): the north-star mega proof
+#: and the smoke regression checks must land even if the whole-run
+#: budget truncates the tail sections.
+_SECTIONS = ("mega-assembly", "smoke", "spectral", "fluctuation",
+             "tabulated", "single-structure", "matrix-free",
+             "matrix-free-xl", "cpu-baseline")
+#: Per-section ceiling: a cold-cache mega section measured ~45 min when
+#: the remote compiler was slow; warm (persistent-cache) runs take
+#: minutes.  The whole-run budget below is the binding limit.
 _SECTION_TIMEOUT_S = int(os.environ.get("BENCH_SECTION_TIMEOUT_S",
                                         "3600"))
+#: Whole-run wall-clock budget for the secondary sections (seconds,
+#: measured from process start).  The driver's bench budget is finite —
+#: round 4 hit it (rc 124) and lost the artifact; now the headline JSON
+#: is printed first and the sections stop launching when the budget is
+#: spent, logging exactly which were skipped.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _run_section(name, banded_single=False):
-    if name == "tabulated":
-        bench_tabulated_tpu()
-    elif name == "mega-assembly":
+    if name == "mega-assembly":
         bench_mega_tpu()
+    elif name == "smoke":
+        sys.exit(1 if run_smoke() else 0)
+    elif name == "spectral":
+        bench_spectral()
+    elif name == "fluctuation":
+        bench_fluct_variants()
+    elif name == "tabulated":
+        bench_tabulated_tpu()
+    elif name == "single-structure":
+        bench_single_structure(banded=banded_single)
     elif name == "matrix-free":
         bench_matfree_tpu()
     elif name == "matrix-free-xl":
         bench_matfree_xl_tpu()
-    elif name == "single-structure":
-        bench_single_structure(banded=banded_single)
+    elif name == "cpu-baseline":
+        bench_cpu_baseline_verify()
     else:
         raise ValueError(f"unknown bench section: {name}")
 
 
-def _run_section_subprocess(name, extra_args):
+def _run_section_subprocess(name, extra_args, timeout_s):
     import subprocess
 
     cmd = [sys.executable, os.path.realpath(__file__),
            "--section", name] + extra_args
     try:
-        proc = subprocess.run(cmd, timeout=_SECTION_TIMEOUT_S)
+        proc = subprocess.run(cmd, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        log(f"tpu {name} bench failed: timeout after "
-            f"{_SECTION_TIMEOUT_S}s")
+        summary(f"tpu {name} bench failed: timeout after "
+                f"{timeout_s:.0f}s")
         return False
     if proc.returncode != 0:
-        log(f"tpu {name} bench failed: subprocess exit "
-            f"{proc.returncode}")
+        summary(f"tpu {name} bench failed: subprocess exit "
+                f"{proc.returncode}")
         return False
     return True
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    t_start = time.perf_counter()
     _enable_compile_cache()
     if "--smoke" in argv:
         sys.exit(1 if run_smoke() else 0)
@@ -1228,8 +1372,18 @@ def main(argv=None):
             sys.exit(1)
         sys.exit(0)
 
+    # Fresh recap file for this run; children append through the env.
+    summary_path = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)), ".bench_summary")
     try:
-        tpu_fluct, tpu_spectral = bench_tpu()
+        with open(summary_path, "w"):
+            pass
+        os.environ[_SUMMARY_ENV] = summary_path
+    except OSError:
+        summary_path = None
+
+    try:
+        tpu_fluct = bench_headline()
     except Exception as exc:
         # One retry: transient relay faults are the dominant failure
         # mode (utils/elastic.py) and the headline JSON line must not
@@ -1237,37 +1391,60 @@ def main(argv=None):
         log(f"tpu headline bench failed ({type(exc).__name__}: {exc}); "
             f"retrying in 30s")
         time.sleep(30.0)
-        tpu_fluct, tpu_spectral = bench_tpu()
-    extra = [a for a in argv if a == "--banded-single"]
-    for name in _SECTIONS:
-        if name == "matrix-free-xl" and "--no-xl" in argv:
-            continue
-        _run_section_subprocess(name, extra)
-    # Compiled-Mosaic regression checks captured in every bench run
-    # (VERDICT r2 #4): Pallas==XLA parity + the bf16-hazard MSF check.
-    # Also subprocess-isolated: smoke must report even if a section
-    # wedged its own process.
-    import subprocess
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.realpath(__file__), "--smoke"],
-            timeout=_SECTION_TIMEOUT_S)
-        if proc.returncode != 0:
-            log(f"tpu bench: SMOKE FAILURES (exit {proc.returncode})")
-    except Exception as exc:
-        log(f"tpu smoke failed to run: {type(exc).__name__}: {exc}")
-    cpu_fluct, cpu_spectral = bench_cpu_baselines()
-    log(f"speedups vs architecture-equivalent single-thread CPU "
-        f"reference (literal reference not installable here): "
-        f"fluctuation {tpu_fluct / cpu_fluct:.1f}x, "
-        f"spectral {tpu_spectral / cpu_spectral:.1f}x")
+        tpu_fluct = bench_headline()
+
+    # The driver-facing JSON line goes out IMMEDIATELY — round 4's
+    # bench timed out with the headline measured but unprinted.  The
+    # denominator is the committed idle-host CPU baseline (verified by
+    # the cpu-baseline section); a live fallback only if it is missing.
+    base = _load_cpu_baseline()
+    if base is None:
+        log("BASELINE_CPU.json missing; measuring the CPU baseline "
+            "live before printing the headline JSON")
+        cpu_fluct, cpu_spectral = bench_cpu_baselines()
+    else:
+        cpu_fluct = base["fluct_solves_per_s"]
     result = {
         "metric": f"anm_fluctuation_nma_solves_per_sec_batched_n{N_RES}",
         "value": round(tpu_fluct, 2),
         "unit": "solves/s",
         "vs_baseline": round(tpu_fluct / cpu_fluct, 2),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    summary(f"headline: {result['value']} solves/s = "
+            f"{result['vs_baseline']}x the single-thread f64 CPU "
+            f"reference architecture (committed idle-host baseline)")
+
+    extra = [a for a in argv if a == "--banded-single"]
+    skipped = []
+    for name in _SECTIONS:
+        if name == "matrix-free-xl" and "--no-xl" in argv:
+            continue
+        remaining = _BUDGET_S - (time.perf_counter() - t_start)
+        if remaining < 90.0:
+            skipped.append(name)
+            continue
+        _run_section_subprocess(
+            name, extra, min(_SECTION_TIMEOUT_S, remaining))
+    if skipped:
+        summary(f"budget ({_BUDGET_S:.0f}s) spent — sections skipped: "
+                f"{', '.join(skipped)} (run `python bench.py --section "
+                f"NAME` or raise BENCH_BUDGET_S)")
+
+    # Re-log the recap LAST: the driver artifact keeps only the stderr
+    # tail, so the key evidence lines from every section must be the
+    # final thing on the stream.
+    if summary_path:
+        try:
+            with open(summary_path) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            lines = []
+        del os.environ[_SUMMARY_ENV]  # recap itself must not re-append
+        log(f"=== bench recap ({time.perf_counter() - t_start:.0f}s "
+            f"wall) ===")
+        for line in lines:
+            log(line)
 
 
 if __name__ == "__main__":
