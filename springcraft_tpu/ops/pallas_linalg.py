@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["panel_cholesky_batched", "panel_inverse_batched",
-           "spd_inverse_blocked", "spd_inverse_factor"]
+           "spd_inverse_blocked", "spd_inverse_factor",
+           "spd_inverse_factor_parts"]
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -404,6 +405,67 @@ def spd_inverse_factor(a, block=64, interpret=None, precision=None):
     return g.reshape(batch_shape + g.shape[-2:])
 
 
+def spd_inverse_factor_parts(a, block=64, interpret=None,
+                             precision=None):
+    """
+    Top-split form of :func:`spd_inverse_factor`: the blocks
+    ``(g11, g21, g22)`` with ``G = [[g11, 0], [g21, g22]]`` at the
+    padded size (``g21 is None`` when the padded problem fits a single
+    leaf and ``g11`` is the whole factor).
+
+    Consumers that contract ``G`` blockwise — the fluctuation
+    pipeline's plane-trace Grams (``ops.rigid``) — skip the factor's
+    final materializing concat this way: measured 3.1 ms of pure HBM
+    round-trip at the (128, 1024) f32 headline shape
+    (tools/exp_concat_cost.py).  The intermediate recursion levels
+    keep their concats — XLA's slice-of-concat simplification already
+    elides those against the parent's block reads (a block-tree
+    variant replacing them with dynamic-update-slice materialization
+    measured 11 ms SLOWER standalone), so the top level, whose
+    consumer used to be a dense Gram, is the only one worth splitting.
+    """
+    a = jnp.asarray(a)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        raise ValueError(f"expected (..., m, m), got {a.shape}")
+    batch_shape = a.shape[:-2]
+    m = a.shape[-1]
+    a = a.reshape((-1, m, m))
+    prec = _HIGH if precision is None else precision
+    base = max(8, min(128, block))
+    mp = _choose_padding(m, base)
+    if mp != m:
+        pad = mp - m
+        a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
+        diag = jnp.arange(m, mp)
+        a = a.at[:, diag, diag].set(1.0)
+    g11, g21, g22 = _top_inverse_factor_parts(a, base, interpret, prec)
+    if g21 is None:
+        return g11.reshape(batch_shape + g11.shape[-2:]), None, None
+    return (g11.reshape(batch_shape + g11.shape[-2:]),
+            g21.reshape(batch_shape + g21.shape[-2:]),
+            g22.reshape(batch_shape + g22.shape[-2:]))
+
+
+def _top_inverse_factor_parts(a, base, interpret, precision):
+    """One node of the divide-and-conquer inverse factor with the
+    final concat left to the caller: ``(g11, g21, g22)``, or
+    ``(g, None, None)`` when ``a`` fits a single leaf."""
+    s = a.shape[-1]
+    if s <= base:
+        return (panel_inverse_batched(a, interpret=interpret,
+                                      shrink_block=8), None, None)
+    h = _round_up(s // 2, 128)
+    if h >= s:
+        h = s // 2
+    g11 = _recursive_inverse_factor(a[:, :h, :h], base, interpret,
+                                    precision)
+    l21, s22 = _schur_lower(a, h, g11, precision)
+    g22 = _recursive_inverse_factor(s22, base, interpret, precision)
+    g21 = -_tri_left_mm(g22, _tri_right_mm(l21, g11, precision),
+                        precision)
+    return g11, g21, g22
+
+
 def padded_size(m, block=64):
     """Public probe of the recursion's padded size: callers that can
     emit the SPD input already identity-padded to this size (e.g.
@@ -458,22 +520,16 @@ def _recursive_inverse_factor(a, base, interpret, precision=_HIGH):
     Pallas leaf panels (size <= ``base``).
     """
     s = a.shape[-1]
-    if s <= base:
-        # triangular-shrink leaf: rows retire in blocks of 8 as their
-        # pivots complete — measured 0.29 vs 0.56 ms/call at
-        # (128, 64, 64) f32 on v5e (tools/exp_leaf_shrink.py,
-        # floor-differenced), ~4 ms off the headline factor stage
-        return panel_inverse_batched(a, interpret=interpret,
-                                     shrink_block=8)
-    h = _round_up(s // 2, 128)
-    if h >= s:
-        h = s // 2
-    g11 = _recursive_inverse_factor(a[:, :h, :h], base, interpret,
-                                    precision)
-    l21, s22 = _schur_lower(a, h, g11, precision)
-    g22 = _recursive_inverse_factor(s22, base, interpret, precision)
-    g21 = -_tri_left_mm(g22, _tri_right_mm(l21, g11, precision),
-                        precision)
+    # NOTE on leaves (inside _top_inverse_factor_parts): the
+    # triangular-shrink leaf retires rows in blocks of 8 as their
+    # pivots complete — measured 0.29 vs 0.56 ms/call at (128, 64, 64)
+    # f32 on v5e (tools/exp_leaf_shrink.py, floor-differenced), ~4 ms
+    # off the headline factor stage.
+    g11, g21, g22 = _top_inverse_factor_parts(a, base, interpret,
+                                              precision)
+    if g21 is None:
+        return g11
+    h = g11.shape[-1]
     top = jnp.concatenate(
         [g11, jnp.zeros(a.shape[:-2] + (h, s - h), a.dtype)], axis=2)
     bot = jnp.concatenate([g21, g22], axis=2)

@@ -331,8 +331,8 @@ def covariance_plane_traces_direct(coords, params, null_basis,
     t = jnp.asarray(null_basis, dtype=coords.dtype)
     reg, scale, sigma = _regularize_equilibrated_direct(
         coords, params, t, sigma, masses=masses, interpret=interpret)
-    w = _w_from_reg_blocked(reg, scale, 3 * n, interpret)
-    return _plane_traces_from_w(w, t, sigma, n)
+    parts = _w_parts_from_reg_blocked(reg, scale, 3 * n, interpret)
+    return _plane_traces_from_w_parts(parts, t, sigma, n)
 
 
 def covariance_cholesky_direct(coords, params, null_basis, sigma=None,
@@ -497,7 +497,8 @@ def covariance_plane_traces(matrix, null_basis, sigma=None,
         # separate O(m^2) pad program.
         reg, scale, sigma = _regularize_equilibrated(
             matrix, t, sigma, pad_to=pallas_linalg.padded_size(m))
-        w = _w_from_reg_blocked(reg, scale, m, interpret)
+        parts = _w_parts_from_reg_blocked(reg, scale, m, interpret)
+        return _plane_traces_from_w_parts(parts, t, sigma, n)
     elif inverse == "cho_solve":
         reg, scale, sigma = _regularize_equilibrated(matrix, t, sigma)
         chol = jnp.linalg.cholesky(reg)
@@ -528,6 +529,81 @@ def _w_from_reg_blocked(reg, scale, m, interpret):
     # identity-padded factorization decouples), so contracting over
     # the full padded row range downstream stays exact.
     return g * scale_p[..., None, :]
+
+
+def _w_parts_from_reg_blocked(reg, scale, m, interpret):
+    """Top-split form of :func:`_w_from_reg_blocked`: the factor's
+    top-level blocks ``(w11, w21, w22)`` (``W = [[w11, 0], [w21,
+    w22]]``, column-scaled; ``w21 is None`` for single-leaf sizes) —
+    feeding the plane-trace Grams blockwise skips the factor's final
+    materializing concat (~3.1 ms at the (128, 1024) f32 headline
+    shape, tools/exp_concat_cost.py)."""
+    from . import pallas_linalg
+
+    g11, g21, g22 = pallas_linalg.spd_inverse_factor_parts(
+        reg, interpret=interpret)
+    h = g11.shape[-1]
+    mp = h if g21 is None else h + g22.shape[-1]
+    if mp != m:
+        scale_p = jnp.zeros(scale.shape[:-1] + (mp,), scale.dtype)
+        scale_p = scale_p.at[..., :m].set(scale)
+    else:
+        scale_p = scale
+    # Padding rows carry zeros in the first m columns (the
+    # identity-padded factorization decouples) — contracting over the
+    # full padded row range downstream stays exact.
+    if g21 is None:
+        return g11 * scale_p[..., None, :], None, None
+    return (g11 * scale_p[..., None, :h],
+            g21 * scale_p[..., None, :h],
+            g22 * scale_p[..., None, h:])
+
+
+def _plane_traces_from_w_parts(parts, t, sigma, n):
+    """:func:`_plane_traces_from_w` on the factor's top-level blocks:
+    each plane Gram splits over the row blocks — ``G_a = top_a^T top_a
+    + bot_a^T bot_a`` with ``top = [w11 | 0]`` and ``bot = [w21 |
+    w22]`` — so the dense ``W`` never materializes.  The top term only
+    exists where both plane columns fall left of the split (columns
+    ``>= h`` are exactly zero in the top rows), and keeps the
+    lower-triangular row-range skipping; the bottom term stitches its
+    plane column slice from ``w21``/``w22`` (a ``(mp - h, <=n)``
+    concat — two orders smaller than the factor concat it replaces)."""
+    w11, w21, w22 = parts
+    if w21 is None:
+        return _plane_traces_from_w(w11, t, sigma, n)
+    h = w11.shape[-1]
+    traces = None
+    for a in range(3):
+        c0, c1 = a * n, (a + 1) * n
+        ga = None
+        if c0 < h:
+            t1 = min(c1, h)
+            # rows k < c0 of these columns are exactly zero (column-
+            # scaled lower-triangular factor) — contract from the
+            # 128-aligned floor down, as the dense path does
+            k0 = c0 // 128 * 128
+            wa = w11[..., k0:, c0:t1]
+            g_top = jnp.einsum("...kn,...km->...nm", wa, wa,
+                               precision='highest')
+            nb = wa.ndim - 2
+            ga = jnp.pad(g_top, ((0, 0),) * nb
+                         + ((0, c1 - t1), (0, c1 - t1)))
+        cols = []
+        if c0 < h:
+            cols.append(w21[..., :, c0:min(c1, h)])
+        if c1 > h:
+            cols.append(w22[..., :, max(c0, h) - h:c1 - h])
+        wb = cols[0] if len(cols) == 1 else jnp.concatenate(cols,
+                                                            axis=-1)
+        g_bot = jnp.einsum("...kn,...km->...nm", wb, wb,
+                           precision='highest')
+        ga = g_bot if ga is None else ga + g_bot
+        traces = ga if traces is None else traces + ga
+    tp = t.reshape(t.shape[:-2] + (3, n, t.shape[-1]))
+    corr = jnp.einsum("...anp,...amp->...nm", tp, tp,
+                      precision='highest')
+    return traces - corr / sigma
 
 
 def _gram_lower(w):
@@ -591,8 +667,8 @@ def covariance_plane_traces_from_planes(planes, n, null_basis,
     t = jnp.asarray(null_basis, dtype=planes[0].dtype)
     reg, scale, sigma = _regularize_equilibrated_planes(
         planes, n, t, sigma, masses=masses, interpret=interpret)
-    w = _w_from_reg_blocked(reg, scale, 3 * n, interpret)
-    return _plane_traces_from_w(w, t, sigma, n)
+    parts = _w_parts_from_reg_blocked(reg, scale, 3 * n, interpret)
+    return _plane_traces_from_w_parts(parts, t, sigma, n)
 
 
 def covariance_cholesky_from_planes(planes, n, null_basis, sigma=None,

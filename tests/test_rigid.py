@@ -237,3 +237,37 @@ def test_pinv_diagonal(ca_1l2y):
     )
     ref = np.diagonal(np.linalg.pinv(h, hermitian=True, rcond=1e-6))
     assert np.allclose(diag, ref, atol=1e-8)
+
+
+def test_plane_traces_from_w_parts_matches_dense():
+    """The blockwise plane-trace Grams over the factor's top-level
+    blocks (the concat-free headline path) must match the dense-W
+    contraction."""
+    import jax.numpy as jnp
+
+    from springcraft_tpu.ops import rigid
+
+    rng = np.random.RandomState(11)
+    # h=256, n=100: plane 2 (cols 200:300) starts above 128, so the
+    # top-block row-range skip (k0=128) is exercised, and plane 2's
+    # columns cross the h split
+    b, mp, h, n = 3, 384, 256, 100  # m = 3n = 300 < mp
+    m = 3 * n
+    w = np.tril(rng.randn(b, mp, mp)).astype(np.float32)
+    w[:, :, m:] = 0.0               # zero-scaled padding columns
+    t = np.linalg.qr(rng.randn(b, m, 6))[0].astype(np.float32)
+    sigma = jnp.float32(1.7)
+
+    dense = rigid._plane_traces_from_w(jnp.asarray(w), jnp.asarray(t),
+                                       sigma, n)
+    parts = (jnp.asarray(w[:, :h, :h]), jnp.asarray(w[:, h:, :h]),
+             jnp.asarray(w[:, h:, h:]))
+    got = rigid._plane_traces_from_w_parts(parts, jnp.asarray(t),
+                                           sigma, n)
+    scale = float(jnp.max(jnp.abs(dense)))
+    assert float(jnp.max(jnp.abs(got - dense))) / scale < 1e-6
+
+    # single-leaf passthrough
+    got1 = rigid._plane_traces_from_w_parts(
+        (jnp.asarray(w), None, None), jnp.asarray(t), sigma, n)
+    assert float(jnp.max(jnp.abs(got1 - dense))) == 0.0
