@@ -29,9 +29,9 @@ def bench():
 
 def test_bench_surface(bench):
     # The driver invokes main(); --smoke is a documented flag.
-    for name in ("main", "bench_tpu", "bench_mega_tpu", "run_smoke",
-                 "bench_cpu_baselines", "make_batches", "mfu",
-                 "bandwidth"):
+    for name in ("main", "bench_headline", "bench_mega_tpu",
+                 "run_smoke", "bench_cpu_baselines", "make_batches",
+                 "mfu", "bandwidth", "summary", "_load_cpu_baseline"):
         assert callable(getattr(bench, name)), name
 
 
@@ -39,12 +39,40 @@ def test_section_dispatch_names(bench):
     """Every advertised section dispatches; unknown names raise.  The
     driver-facing contract: sections run in their own subprocess so a
     hard relay fault cannot cascade (the r4 run lost four sections
-    plus smoke to one RESOURCE_EXHAUSTED this way)."""
-    assert set(bench._SECTIONS) == {
-        "tabulated", "mega-assembly", "matrix-free", "matrix-free-xl",
-        "single-structure"}
+    plus smoke to one RESOURCE_EXHAUSTED this way), the headline JSON
+    prints before any of them, and the evidence-ordered list runs
+    under a whole-run budget (the r4 artifact died rc=124 with the
+    headline measured but unprinted)."""
+    assert bench._SECTIONS == (
+        "mega-assembly", "smoke", "spectral", "fluctuation",
+        "tabulated", "single-structure", "matrix-free",
+        "matrix-free-xl", "cpu-baseline")
     with pytest.raises(ValueError, match="unknown bench section"):
         bench._run_section("no-such-section")
+
+
+def test_committed_cpu_baseline_loads(bench):
+    """BASELINE_CPU.json (the headline JSON's denominator) is
+    committed, loads, and carries plausible idle-host rates."""
+    base = bench._load_cpu_baseline()
+    assert base is not None, "BASELINE_CPU.json missing or unreadable"
+    assert 0.1 < base["fluct_solves_per_s"] < 1000
+    assert 0.1 < base["spectral_solves_per_s"] < 1000
+    assert base["n_res"] == bench.N_RES
+
+
+def test_summary_appends_to_recap(bench, tmp_path, monkeypatch):
+    """summary() logs AND appends to the end-of-run recap file — the
+    driver artifact keeps only the stderr tail, so the recap re-log is
+    what carries each section's key evidence."""
+    path = tmp_path / "recap"
+    monkeypatch.setenv(bench._SUMMARY_ENV, str(path))
+    bench.summary("line one")
+    bench.summary("line two")
+    assert path.read_text() == "line one\nline two\n"
+    monkeypatch.delenv(bench._SUMMARY_ENV)
+    bench.summary("not recorded")
+    assert path.read_text() == "line one\nline two\n"
 
 
 def test_enable_compile_cache_is_explicit_config(bench, tmp_path):
