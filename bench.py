@@ -604,7 +604,15 @@ def bench_mega_tpu(n_res=10_000, k_modes=20):
     golden_path = os.path.join(
         os.path.dirname(os.path.realpath(__file__)), "tests", "data",
         "golden_mega_msf_20736.npz")
-    if os.path.exists(golden_path):
+    # The 20736-dim all-mode pinv_diagonal check measured ~190 s on the
+    # relay — with the whole-run budget nearly spent it would crowd out
+    # every later section, and the north-star evidence above is already
+    # emitted.
+    remaining = float(os.environ.get("BENCH_REMAINING_S", "1e9"))
+    if remaining < 600.0:
+        log(f"tpu mega all-mode MSF golden check skipped "
+            f"(~190 s; {remaining:.0f}s of run budget left)")
+    elif os.path.exists(golden_path):
         from springcraft_tpu.ops import rigid
         golden = np.load(golden_path)
         n_g = int(golden["n_res"])
@@ -1370,8 +1378,10 @@ def _run_section_subprocess(name, extra_args, timeout_s):
 
     cmd = [sys.executable, os.path.realpath(__file__),
            "--section", name] + extra_args
+    env = dict(os.environ,
+               BENCH_REMAINING_S=str(int(timeout_s)))
     try:
-        proc = subprocess.run(cmd, timeout=timeout_s)
+        proc = subprocess.run(cmd, timeout=timeout_s, env=env)
     except subprocess.TimeoutExpired:
         summary(f"tpu {name} bench failed: timeout after "
                 f"{timeout_s:.0f}s")
