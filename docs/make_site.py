@@ -243,8 +243,9 @@ def api_page(mod_name):
 
 def main():
     SITE.mkdir(parents=True, exist_ok=True)
-    for png in (Path(ROOT) / "docs" / "gallery").glob("*.png"):
-        shutil.copy(png, SITE / png.name)
+    gallery = Path(ROOT) / "docs" / "gallery"
+    for img in list(gallery.glob("*.png")) + list(gallery.glob("*.gif")):
+        shutil.copy(img, SITE / img.name)
 
     for slug, path, title in DOC_PAGES:
         body = render_md(path)

@@ -106,3 +106,41 @@ disp = anm.normal_mode(index=6, amplitude=4.0, frames=20)
 frames = ca.coord[None, :, :] + np.asarray(disp)
 write_pdb("gallery_mode7.pdb", ca, coord_models=frames)
 print("wrote gallery_mode7.pdb (20-frame mode-7 animation)")
+
+if plt is not None:
+    # Rendered animation (the counterpart of the reference gallery's
+    # PyMOL mode movie, /root/reference/doc/scraper.py:12-74): the CA
+    # trace oscillating along the mode, colored by per-atom mode
+    # amplitude, saved as an animated GIF via Pillow.
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    amp = np.linalg.norm(np.asarray(disp), axis=2).max(axis=0)
+    colors = plt.cm.viridis(amp / amp.max())
+    center = frames.mean(axis=(0, 1))
+    span = np.max(np.abs(frames - center)) * 1.05
+
+    fig = plt.figure(figsize=(4.5, 4.5))
+    ax3 = fig.add_subplot(projection="3d")
+    ax3.set_axis_off()
+    ax3.set_title("mode 7 (lowest non-trivial)", fontsize=10)
+
+    def draw(f):
+        ax3.cla()
+        ax3.set_axis_off()
+        c = frames[f] - center
+        for i in range(n - 1):
+            ax3.plot(c[i:i + 2, 0], c[i:i + 2, 1], c[i:i + 2, 2],
+                     color=colors[i], lw=2.5)
+        ax3.scatter(c[:, 0], c[:, 1], c[:, 2], c=amp, cmap="viridis",
+                    s=14, depthshade=False)
+        ax3.set_xlim(-span, span)
+        ax3.set_ylim(-span, span)
+        ax3.set_zlim(-span, span)
+        ax3.view_init(elev=18, azim=35 + 0.8 * f)
+        return []
+
+    anim = FuncAnimation(fig, draw, frames=len(frames), blit=False)
+    anim.save("gallery_mode_anim.gif",
+              writer=PillowWriter(fps=10), dpi=80)
+    plt.close(fig)
+    print("wrote gallery_mode_anim.gif (rendered mode animation)")
