@@ -1346,8 +1346,26 @@ _SECTION_TIMEOUT_S = int(os.environ.get("BENCH_SECTION_TIMEOUT_S",
 #: measured from process start).  The driver's bench budget is finite —
 #: round 4 hit it (rc 124) and lost the artifact; now the headline JSON
 #: is printed first and the sections stop launching when the budget is
-#: spent, logging exactly which were skipped.
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+#: spent, logging exactly which were skipped.  1200 s keeps the total
+#: run (headline + sections + recap) safely under a ~25 min ceiling.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+#: Minimum remaining budget worth LAUNCHING each section with (warm-
+#: cache wall measured 2026-08-20): launching into a smaller slice
+#: just burns the slice on a partial run that times out (the r5
+#: validation run spent 113 s on a single-structure attempt that needs
+#: ~240 s).
+_SECTION_MIN_S = {
+    "mega-assembly": 240,
+    "smoke": 150,
+    "spectral": 300,
+    "fluctuation": 120,
+    "tabulated": 120,
+    "single-structure": 240,
+    "matrix-free": 300,
+    "matrix-free-xl": 500,
+    "cpu-baseline": 20,
+}
 
 
 def _run_section(name, banded_single=False):
@@ -1457,7 +1475,7 @@ def main(argv=None):
         if name == "matrix-free-xl" and "--no-xl" in argv:
             continue
         remaining = _BUDGET_S - (time.perf_counter() - t_start)
-        if remaining < 90.0:
+        if remaining < max(90.0, _SECTION_MIN_S.get(name, 90.0)):
             skipped.append(name)
             continue
         _run_section_subprocess(
