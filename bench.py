@@ -225,9 +225,12 @@ def bench_headline():
     from springcraft_tpu.parallel import pipeline
 
     params = ffparams.invariant_params(CUTOFF)
+    # 3 measured megabatch calls after the compile call: one call is
+    # ~200 ms and carries ~±1% relay jitter — the headline value is
+    # too load-bearing for a single sample.
     mega = [
         jax.device_put(jnp.asarray(b))
-        for b in make_batches(2, TPU_ITERS * BATCH, N_RES, seed=3)
+        for b in make_batches(4, TPU_ITERS * BATCH, N_RES, seed=3)
     ]
     prod_fn = jax.jit(
         lambda b: sum(jnp.sum(v) for v in
@@ -238,12 +241,13 @@ def bench_headline():
                           chunk=BATCH).values())
     )
     compile_s, elapsed, _ = _timed(prod_fn, mega)
-    prod_rate = (TPU_ITERS * BATCH) / elapsed
+    n_solves = (len(mega) - 1) * TPU_ITERS * BATCH
+    prod_rate = n_solves / elapsed
     m = 3 * N_RES
     summary(f"tpu[{jax.devices()[0].device_kind}] fluctuation pipeline "
             f"(megabatch {TPU_ITERS * BATCH}, chunk={BATCH}, trace "
             f"engine, Pallas assembly): compile {compile_s:.1f}s; "
-            f"{TPU_ITERS * BATCH} solves (N={N_RES}) in {elapsed:.3f}s "
+            f"{n_solves} solves (N={N_RES}) in {elapsed:.3f}s "
             f"-> {prod_rate:.1f} solves/s")
     mfu("fluctuation-megabatch", prod_rate, m**3 * 7 / 3,
         "chol + m-rhs cho_solve canonical", recap=True)
