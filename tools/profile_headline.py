@@ -110,8 +110,10 @@ def s1_prep(c):
 
 
 def s2_factor(c):
+    # parts form — what the pipeline's trace path actually consumes
+    # (r5: the final materializing concat is skipped)
     reg, scale = s1_prep(c)
-    return pallas_linalg.spd_inverse_factor(reg), scale
+    return pallas_linalg.spd_inverse_factor_parts(reg), scale
 
 
 def s3_traces(c):
