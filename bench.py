@@ -978,14 +978,30 @@ def bench_single_structure(k_modes=20, ca_limit=None,
         assembly.hessian_matrix, params=params, xp=jnp,
         dtype=jnp.float32, layout="xyz"))
 
-    # (a) full dense eigh
+    # (a) shift-invert lowest k FIRST — the 5328-dim XLA eigh baseline
+    # below never lands in the persistent compile cache (measured
+    # ~360 s recompiles across warm runs), so a tight budget slice
+    # must cut the baseline, not the production path.
+    def lowk(c):
+        h = build(c)
+        vals, vecs = modes.lowest_modes_anm(h, c, k=k_modes)
+        return vals, vecs, modes.mode_residuals(h, vals, vecs)
+
+    lowk_fn = jax.jit(lowk)
+    c_s, lowk_s, out = timed_once(lowk_fn, coord)
+    summary(f"tpu single-structure 7cal (n={n}, dim={m}): {k_modes} "
+            f"lowest modes (shift-invert) {lowk_s:.2f}s (compile "
+            f"{c_s:.1f}s, max rel residual {float(jnp.max(out[2])):.1e})")
+
+    # (b) full dense eigh
     eigh_fn = jax.jit(lambda c: jnp.linalg.eigh(build(c)))
     c_s, eigh_s, _ = timed_once(eigh_fn, coord)
     log(f"tpu single-structure 7cal (n={n}, dim={m}): full eigh "
-        f"{eigh_s:.2f}s (compile {c_s:.1f}s)")
+        f"{eigh_s:.2f}s (compile {c_s:.1f}s, {eigh_s / lowk_s:.1f}x "
+        f"the lowest-{k_modes} solve)")
     mfu("7cal-eigh", 1.0 / eigh_s, 9 * m**3)
 
-    # (b) two-stage banded full eigensystem, OPT-IN (staged: four
+    # (c) two-stage banded full eigensystem, OPT-IN (staged: four
     # separate device programs — the monolithic form crashed the
     # remote compiler at this size until the use_pallas VMEM-guard
     # fix; the batched mid-size pipelines remain the banded solver's
@@ -1016,19 +1032,6 @@ def bench_single_structure(k_modes=20, ca_limit=None,
     except Exception as exc:
         log(f"tpu single-structure banded failed: "
             f"{type(exc).__name__}: {exc}")
-
-    # (c) shift-invert lowest k
-    def lowk(c):
-        h = build(c)
-        vals, vecs = modes.lowest_modes_anm(h, c, k=k_modes)
-        return vals, vecs, modes.mode_residuals(h, vals, vecs)
-
-    lowk_fn = jax.jit(lowk)
-    c_s, lowk_s, out = timed_once(lowk_fn, coord)
-    log(f"tpu single-structure 7cal: {k_modes} lowest modes "
-        f"(shift-invert) {lowk_s:.2f}s (compile {c_s:.1f}s, max rel "
-        f"residual {float(jnp.max(out[2])):.1e}, "
-        f"{eigh_s / lowk_s:.1f}x eigh)")
 
     # CPU reference architecture: f64 assembly + np.linalg.eigh,
     # measured at full 7cal size (~30 s single-thread)
@@ -1372,7 +1375,7 @@ _SECTION_MIN_S = {
     "spectral": 300,
     "fluctuation": 120,
     "tabulated": 120,
-    "single-structure": 240,
+    "single-structure": 300,
     "matrix-free": 300,
     "matrix-free-xl": 500,
     "cpu-baseline": 20,
