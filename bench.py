@@ -33,7 +33,7 @@ already-measured headline): the headline megabatch is measured FIRST
 and the driver-facing JSON line printed immediately, with the
 committed idle-host CPU baseline (``BASELINE_CPU.json``) as the
 denominator; the secondary sections then run inside a whole-run
-wall-clock budget (``BENCH_BUDGET_S``, default 1500 s — skipped
+wall-clock budget (``BENCH_BUDGET_S``, default 1200 s — skipped
 sections are named); and because the driver artifact keeps only the
 stderr TAIL, every section appends its key evidence lines to a recap
 that is re-logged at the very end of the run.
